@@ -1,0 +1,23 @@
+"""TPU-native two-stage multisplitting sparse linear-algebra framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+``craftman22/medane_tchakorom_ufc_thesis_repository`` (synchronous and
+asynchronous two-stage multisplitting methods with Krylov minimization
+acceleration for large sparse systems from 2D/3D Poisson PDEs).
+
+Design stance (not a PETSc port):
+  * operators are immutable pytrees (stencil matrix-free, ELL, CSR, dense)
+  * solvers are pure functions under ``jax.lax.while_loop`` / ``scan``
+  * block parallelism is a ``jax.sharding.Mesh`` with axes ``('block','intra')``;
+    halo exchange is ``ppermute``, norm reductions are ``psum``
+  * hot kernels (stencil SpMV, fused Krylov reductions) have Pallas TPU paths
+
+Reference layer map: see SURVEY.md at the repo root.
+"""
+
+__version__ = "0.1.0"
+
+from medane_tchakorom_ufc_thesis_repository_tpu.core import (  # noqa: F401
+    operators,
+    poisson,
+)

@@ -1,0 +1,334 @@
+"""Linear-operator pytrees: the framework's replacement for PETSc Mat.
+
+The reference manipulates PETSc ``Mat`` objects (MPIAIJ sparse, MPIDENSE) —
+see ``create_matrix_sparse`` / ``create_matrix_dense``
+(reference ``src/utils/utils.c:123-168``).  Here an operator is an immutable
+dataclass registered as a JAX pytree, so it can be closed over by jitted
+solvers, vmapped over a leading "block" axis, and sharded with
+``shard_map``.  Matrix-vector products are pure functions of (operator, x).
+
+Representations
+---------------
+``Stencil2D`` / ``Stencil3D``
+    Matrix-free constant-coefficient 5/7-point Poisson stencils — the
+    fastest TPU path (no index gathers; XLA fuses the shifted adds).
+``ELL``
+    ELLPACK padded sparse: row-major ``(n, width)`` column-index and value
+    planes.  The general path; Poisson rows have <= 5 (2D) / 7 (3D)
+    nonzeros so padding waste is tiny.  SpMV is a gather + small reduction.
+``DenseOp``
+    Thin wrapper over a dense matrix, for tests and tall-skinny blocks.
+
+All operators expose ``mv`` (matvec) and ``rmv`` (transpose matvec, needed
+by LSQR/CGNE), plus ``shape`` / ``dtype`` / ``nnz`` metadata.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _register(cls, data_fields, meta_fields):
+    jax.tree_util.register_dataclass(
+        cls, data_fields=list(data_fields), meta_fields=list(meta_fields)
+    )
+    return cls
+
+
+@dataclasses.dataclass(frozen=True)
+class ELL:
+    """ELLPACK sparse matrix.
+
+    ``indices``/``values`` have shape ``(nrows, width)``; padded slots carry
+    ``values == 0`` and an arbitrary valid index (0), so the padded products
+    vanish.  ``ncols`` is static metadata (the matvec output/input widths).
+    """
+
+    indices: jax.Array  # int32 (nrows, width)
+    values: jax.Array   # (nrows, width)
+    ncols: int
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.indices.shape[0], self.ncols)
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    @property
+    def nnz(self) -> int:
+        # padded count; exact nnz tracked by callers when it matters
+        return int(self.indices.shape[0] * self.indices.shape[1])
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        """y = A @ x.  Gather + small fixed-width reduction (VPU-friendly)."""
+        gathered = jnp.take(x, self.indices, axis=0)  # (nrows, width)
+        return jnp.sum(self.values * gathered, axis=1)
+
+    def rmv(self, y: jax.Array) -> jax.Array:
+        """x = A.T @ y via scatter-add (segment sum over column indices)."""
+        contrib = (self.values * y[:, None]).reshape(-1)
+        return jnp.zeros((self.ncols,), self.values.dtype).at[
+            self.indices.reshape(-1)
+        ].add(contrib)
+
+    def to_dense(self) -> jax.Array:
+        n, w = self.indices.shape
+        dense = jnp.zeros((n, self.ncols), self.values.dtype)
+        rows = jnp.repeat(jnp.arange(n), w)
+        return dense.at[rows, self.indices.reshape(-1)].add(
+            self.values.reshape(-1)
+        )
+
+
+_register(ELL, ["indices", "values"], ["ncols"])
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseOp:
+    """Dense matrix operator (tests, tall-skinny R blocks)."""
+
+    a: jax.Array
+
+    @property
+    def shape(self):
+        return self.a.shape
+
+    @property
+    def dtype(self):
+        return self.a.dtype
+
+    @property
+    def nnz(self) -> int:
+        return int(np.prod(self.a.shape))
+
+    def mv(self, x):
+        return self.a @ x
+
+    def rmv(self, y):
+        return self.a.T @ y
+
+    def to_dense(self):
+        return self.a
+
+
+_register(DenseOp, ["a"], [])
+
+
+@dataclasses.dataclass(frozen=True)
+class Stencil2D:
+    """Matrix-free 2D 5-point Poisson operator on an ``m x n`` grid.
+
+    Row ``i*n + j`` is ``diag*x[i,j] + off*(x[i-1,j]+x[i+1,j]+x[i,j-1]+x[i,j+1])``
+    with Dirichlet truncation at the boundary — exactly the rows assembled by
+    the reference's ``poisson2DMatrix`` (``src/utils/utils.c:247-293``,
+    diag 4, off -1).  ``x`` is the flattened grid of length ``m*n``.
+    """
+
+    m: int
+    n: int
+    diag: float = 4.0
+    off: float = -1.0
+
+    @property
+    def shape(self):
+        return (self.m * self.n, self.m * self.n)
+
+    @property
+    def nnz(self) -> int:
+        m, n = self.m, self.n
+        return 5 * m * n - 2 * m - 2 * n
+
+    def mv(self, x):
+        m, n = self.m, self.n
+        g = x.reshape(m, n)
+        y = self.diag * g
+        y = y.at[1:, :].add(self.off * g[:-1, :])   # north neighbor
+        y = y.at[:-1, :].add(self.off * g[1:, :])   # south neighbor
+        y = y.at[:, 1:].add(self.off * g[:, :-1])   # west neighbor
+        y = y.at[:, :-1].add(self.off * g[:, 1:])   # east neighbor
+        return y.reshape(-1)
+
+    rmv = mv  # symmetric
+
+    def to_dense(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+
+        return jnp.asarray(
+            poisson.poisson2d_dense_np(self.m, self.n, self.diag, self.off)
+        )
+
+
+_register(Stencil2D, [], ["m", "n", "diag", "off"])
+
+
+@dataclasses.dataclass(frozen=True)
+class Stencil3D:
+    """Matrix-free 3D 7-point Poisson operator (diag 6, off -1) — the
+    TPU-native analog of ``poisson3DMatrix`` (reference ``utils.c:30-121``).
+    Unknown order: ``x[ix, iy, iz]`` flattened C-style."""
+
+    nx: int
+    ny: int
+    nz: int
+    diag: float = 6.0
+    off: float = -1.0
+
+    @property
+    def shape(self):
+        size = self.nx * self.ny * self.nz
+        return (size, size)
+
+    @property
+    def nnz(self) -> int:
+        nx, ny, nz = self.nx, self.ny, self.nz
+        size = nx * ny * nz
+        return 7 * size - 2 * (nx * ny + ny * nz + nx * nz)
+
+    def mv(self, x):
+        nx, ny, nz = self.nx, self.ny, self.nz
+        g = x.reshape(nx, ny, nz)
+        y = self.diag * g
+        y = y.at[1:, :, :].add(self.off * g[:-1, :, :])
+        y = y.at[:-1, :, :].add(self.off * g[1:, :, :])
+        y = y.at[:, 1:, :].add(self.off * g[:, :-1, :])
+        y = y.at[:, :-1, :].add(self.off * g[:, 1:, :])
+        y = y.at[:, :, 1:].add(self.off * g[:, :, :-1])
+        y = y.at[:, :, :-1].add(self.off * g[:, :, 1:])
+        return y.reshape(-1)
+
+    rmv = mv  # symmetric
+
+    def to_dense(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+
+        return jnp.asarray(
+            poisson.poisson3d_dense_np(self.nx, self.ny, self.nz, self.diag, self.off)
+        )
+
+
+_register(Stencil3D, [], ["nx", "ny", "nz", "diag", "off"])
+
+
+@dataclasses.dataclass(frozen=True)
+class StencilStrip2D:
+    """One block's row strip of a 2D Poisson operator, matrix-free.
+
+    The reference splits the global matrix into 2 horizontal strips (one per
+    Jacobi block) and each strip by columns into the inner operator ``A_ii``
+    and the coupling operator ``A_ij`` (``divideSubDomainIntoBlockMatrices``,
+    reference ``src/utils/utils.c:450-478``).  For a 5-point stencil split on
+    grid-row boundaries the coupling is exactly one halo grid-row on each cut
+    side, so ``A_ij @ x_j`` only needs ``n`` peer values — this is what rides
+    ``ppermute`` in the sharded path instead of the reference's full-block
+    ``MPI_Sendrecv`` (``comm.c:126-141``).
+
+    ``rows``: number of grid rows owned by this strip (``m / nblocks``).
+    """
+
+    rows: int
+    n: int
+    diag: float = 4.0
+    off: float = -1.0
+
+    @property
+    def shape(self):
+        return (self.rows * self.n, self.rows * self.n)
+
+    @property
+    def nnz(self) -> int:
+        r, n = self.rows, self.n
+        return 5 * r * n - 2 * r - 2 * n
+
+    def mv(self, x):
+        """A_ii @ x — the strip's diagonal block (zero halo)."""
+        g = x.reshape(self.rows, self.n)
+        y = self.diag * g
+        y = y.at[1:, :].add(self.off * g[:-1, :])
+        y = y.at[:-1, :].add(self.off * g[1:, :])
+        y = y.at[:, 1:].add(self.off * g[:, :-1])
+        y = y.at[:, :-1].add(self.off * g[:, 1:])
+        return y.reshape(-1)
+
+    rmv = mv  # A_ii is symmetric
+
+    def coupling(self, halo_top: jax.Array, halo_bottom: jax.Array):
+        """A_ij @ x_j given the peer grid rows adjacent to this strip.
+
+        ``halo_top`` is the grid row above the strip (zeros when this is the
+        topmost block), ``halo_bottom`` the row below; each has length ``n``.
+        """
+        c = jnp.zeros((self.rows, self.n), halo_top.dtype)
+        c = c.at[0, :].add(self.off * halo_top)
+        c = c.at[-1, :].add(self.off * halo_bottom)
+        return c.reshape(-1)
+
+    def mv_full(self, x, halo_top, halo_bottom):
+        """Full strip product ``A_i @ x_global`` = A_ii x_i + A_ij x_j."""
+        return self.mv(x) + self.coupling(halo_top, halo_bottom)
+
+
+_register(StencilStrip2D, [], ["rows", "n", "diag", "off"])
+
+
+@dataclasses.dataclass(frozen=True)
+class StencilStrip3D:
+    """One block's strip of a 3D 7-point Poisson operator, split on the
+    leading (x) grid axis.  Halos are full (ny, nz) planes."""
+
+    rows: int  # grid planes owned along x
+    ny: int
+    nz: int
+    diag: float = 6.0
+    off: float = -1.0
+
+    @property
+    def shape(self):
+        size = self.rows * self.ny * self.nz
+        return (size, size)
+
+    @property
+    def nnz(self) -> int:
+        r, ny, nz = self.rows, self.ny, self.nz
+        return 7 * r * ny * nz - 2 * (r * ny + r * nz + ny * nz)
+
+    def mv(self, x):
+        g = x.reshape(self.rows, self.ny, self.nz)
+        y = self.diag * g
+        y = y.at[1:, :, :].add(self.off * g[:-1, :, :])
+        y = y.at[:-1, :, :].add(self.off * g[1:, :, :])
+        y = y.at[:, 1:, :].add(self.off * g[:, :-1, :])
+        y = y.at[:, :-1, :].add(self.off * g[:, 1:, :])
+        y = y.at[:, :, 1:].add(self.off * g[:, :, :-1])
+        y = y.at[:, :, :-1].add(self.off * g[:, :, 1:])
+        return y.reshape(-1)
+
+    rmv = mv
+
+    def coupling(self, halo_top, halo_bottom):
+        c = jnp.zeros((self.rows, self.ny, self.nz), halo_top.dtype)
+        c = c.at[0].add(self.off * halo_top.reshape(self.ny, self.nz))
+        c = c.at[-1].add(self.off * halo_bottom.reshape(self.ny, self.nz))
+        return c.reshape(-1)
+
+    def mv_full(self, x, halo_top, halo_bottom):
+        return self.mv(x) + self.coupling(halo_top, halo_bottom)
+
+
+_register(StencilStrip3D, [], ["rows", "ny", "nz", "diag", "off"])
+
+
+def as_matvec(op):
+    """Return a pure ``x -> A@x`` closure for any operator."""
+    return op.mv
+
+
+def as_rmatvec(op):
+    return op.rmv
