@@ -1,0 +1,13 @@
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.krylov import (  # noqa: F401
+    KrylovResult,
+    cg,
+    gmres,
+)
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.lsqr import (  # noqa: F401
+    cgne,
+    lsqr,
+)
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.lstsq import (  # noqa: F401
+    lstsq_normal,
+    lstsq_qr,
+)

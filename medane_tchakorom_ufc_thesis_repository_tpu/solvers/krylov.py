@@ -1,0 +1,242 @@
+"""Krylov solvers as pure JAX functions: restarted GMRES(m) and CG.
+
+These replace the PETSc KSP objects the reference configures in
+``initializeKSP`` (reference ``src/utils/utils.c:512-541``) and drives in
+``inner_solver`` (``utils.c:950-970``) and the ``gmres_solution`` baseline
+(``src/gmres_solution/gmres_solution.c:58-91``).
+
+TPU-first design notes
+----------------------
+* The reference's measured hotspot is GMRES orthogonalization — PETSc
+  ``VecMDot``/``VecMAXPY`` (SURVEY.md §3, flamegraph).  Here the whole
+  Gram-Schmidt step is two matmuls against the stacked basis
+  ``V (m+1, n)``: ``h = V @ w`` and ``w -= V.T @ h`` — classical
+  Gram-Schmidt (PETSc's default orthogonalization), which XLA tiles onto
+  the MXU.  Zero-initialized unused basis rows make masking implicit.
+* Everything is fixed-shape: ``lax.while_loop`` over restart cycles,
+  ``lax.fori_loop`` over Arnoldi steps, masked updates after convergence —
+  so the solver jits once and also batches with ``vmap`` over a leading
+  block axis (the single-chip analog of the reference's two concurrent
+  per-block KSPSolves).
+* Convergence matches PETSc's default test with UIRNorm (used by
+  ``inner_solver``): stop when ``||r_k|| <= max(rtol * ||r_0||, atol)``
+  where ``r_0 = b - A x_0`` (warm start aware).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@dataclasses.dataclass(frozen=True)
+class KrylovResult:
+    """Solver output pytree (the analog of KSPGetIterationNumber /
+    KSPGetResidualNorm / KSPGetConvergedReason)."""
+
+    x: jax.Array
+    iters: jax.Array       # int32, total matvecs consumed
+    resnorm: jax.Array     # final (estimated) residual norm
+    resnorm0: jax.Array    # initial residual norm used by the test
+    converged: jax.Array   # bool
+
+
+jax.tree_util.register_dataclass(
+    KrylovResult,
+    data_fields=["x", "iters", "resnorm", "resnorm0", "converged"],
+    meta_fields=[],
+)
+
+
+def _tol(rtol, atol, rnorm0):
+    return jnp.maximum(rtol * rnorm0, atol)
+
+
+# ---------------------------------------------------------------------------
+# GMRES(m)
+# ---------------------------------------------------------------------------
+
+def gmres(
+    matvec: Callable,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    restart: int = 30,
+    maxiter: int = 10000,
+    rtol: float = 1e-5,
+    atol: float = 0.0,
+    rnorm0: Optional[jax.Array] = None,
+    orthog: str = "cgs2",
+) -> KrylovResult:
+    """Restarted GMRES with classical Gram-Schmidt + Givens least squares.
+
+    ``rnorm0`` optionally pins the convergence-test reference norm (the
+    reference pins it to the global ``||r_0||`` in the multisplitting
+    loops); default is ``||b - A x0||`` at entry.
+
+    ``orthog``: ``"cgs"`` = single-pass classical Gram-Schmidt (PETSc's
+    default, fine in f64); ``"cgs2"`` = two-pass CGS (default — needed for
+    a trustworthy Givens residual estimate in f32/bf16 on TPU; still pure
+    matmuls on the MXU).
+    """
+    if orthog not in ("cgs", "cgs2"):
+        raise ValueError(f"unknown orthog {orthog!r}")
+    n = b.shape[0]
+    dtype = b.dtype
+    m = restart
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+
+    r0 = b - matvec(x0)
+    beta0 = jnp.linalg.norm(r0)
+    rnorm0_ = beta0 if rnorm0 is None else jnp.asarray(rnorm0, dtype)
+    tol = _tol(jnp.asarray(rtol, dtype), jnp.asarray(atol, dtype), rnorm0_)
+
+    def cycle(carry):
+        x, iters, rnorm, converged = carry
+        r = b - matvec(x)
+        beta = jnp.linalg.norm(r)
+
+        V = jnp.zeros((m + 1, n), dtype)
+        V = V.at[0].set(jnp.where(beta > 0, r / beta, r))
+        H = jnp.zeros((m + 1, m), dtype)      # Hessenberg (rotated in place)
+        cs = jnp.zeros((m,), dtype)
+        sn = jnp.zeros((m,), dtype)
+        g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
+
+        def arnoldi(j, state):
+            V, H, cs, sn, g, iters, rnorm, converged = state
+            active = jnp.logical_and(~converged, iters < maxiter)
+
+            w = matvec(V[j])
+            # classical Gram-Schmidt: rows > j of V are zero, so one pair of
+            # matmuls orthogonalizes against the whole active basis.
+            h = V @ w                      # (m+1,)
+            w = w - V.T @ h
+            if orthog == "cgs2":           # re-orthogonalization pass
+                h2 = V @ w
+                w = w - V.T @ h2
+                h = h + h2
+            hj1 = jnp.linalg.norm(w)
+            happy = hj1 <= eps * beta      # happy breakdown / stagnation
+            vnext = jnp.where(hj1 > 0, w / jnp.where(hj1 > 0, hj1, 1.0), w)
+
+            hcol = h.at[j + 1].set(hj1)
+
+            # apply the accumulated Givens rotations to the new column
+            def rot(i, col):
+                t1 = cs[i] * col[i] + sn[i] * col[i + 1]
+                t2 = -sn[i] * col[i] + cs[i] * col[i + 1]
+                return col.at[i].set(t1).at[i + 1].set(t2)
+
+            hcol = lax.fori_loop(0, j, rot, hcol)
+
+            # new rotation annihilating hcol[j+1]
+            a_, b_ = hcol[j], hcol[j + 1]
+            denom = jnp.sqrt(a_ * a_ + b_ * b_)
+            c_new = jnp.where(denom > 0, a_ / jnp.where(denom > 0, denom, 1.0), 1.0)
+            s_new = jnp.where(denom > 0, b_ / jnp.where(denom > 0, denom, 1.0), 0.0)
+            hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
+            gj = g[j]
+            g_new = g.at[j].set(c_new * gj).at[j + 1].set(-s_new * gj)
+            rnorm_new = jnp.abs(g_new[j + 1])
+
+            # masked commit (freeze once converged / out of budget)
+            V = jnp.where(active, V.at[j + 1].set(vnext), V)
+            H = jnp.where(active, H.at[:, j].set(hcol), H)
+            cs = jnp.where(active, cs.at[j].set(c_new), cs)
+            sn = jnp.where(active, sn.at[j].set(s_new), sn)
+            g = jnp.where(active, g_new, g)
+            iters = jnp.where(active, iters + 1, iters)
+            rnorm = jnp.where(active, rnorm_new, rnorm)
+            converged = jnp.logical_or(
+                converged, jnp.logical_and(active, rnorm_new <= tol)
+            )
+            converged = jnp.logical_or(converged, jnp.logical_and(active, happy))
+            return V, H, cs, sn, g, iters, rnorm, converged
+
+        state = (V, H, cs, sn, g, iters, rnorm, converged)
+        V, H, cs, sn, g, iters, rnorm, converged = lax.fori_loop(
+            0, m, arnoldi, state
+        )
+
+        # back-substitution on the rotated (upper-triangular) H.  Untouched
+        # columns have zero diagonal — mask them to identity so y = 0 there.
+        R = H[:m, :]
+        diag = jnp.diagonal(R)
+        safe = jnp.abs(diag) > 0
+        R = R + jnp.diag(jnp.where(safe, 0.0, 1.0).astype(dtype))
+        # untaken columns (masked to identity) must contribute y = 0; the
+        # frozen g still carries the residual value at slot k — zero it.
+        y = jax.scipy.linalg.solve_triangular(
+            R, jnp.where(safe, g[:m], 0.0), lower=False
+        )
+        x_new = x + V[:m].T @ y
+        return x_new, iters, rnorm, converged
+
+    def cond(carry):
+        _, iters, rnorm, converged = carry
+        return jnp.logical_and(~converged, iters < maxiter)
+
+    converged0 = beta0 <= tol
+    init = (x0, jnp.zeros((), jnp.int32), beta0, converged0)
+    x, iters, rnorm, converged = lax.while_loop(cond, cycle, init)
+    return KrylovResult(
+        x=x, iters=iters, resnorm=rnorm, resnorm0=rnorm0_, converged=converged
+    )
+
+
+# ---------------------------------------------------------------------------
+# CG
+# ---------------------------------------------------------------------------
+
+def cg(
+    matvec: Callable,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    maxiter: int = 10000,
+    rtol: float = 1e-5,
+    atol: float = 0.0,
+    rnorm0: Optional[jax.Array] = None,
+) -> KrylovResult:
+    """Conjugate gradients for SPD systems (the reference's outer-CG config,
+    ``config/default_run_variables`` outer ksp_type cg)."""
+    dtype = b.dtype
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    r = b - matvec(x0)
+    beta0 = jnp.linalg.norm(r)
+    rnorm0_ = beta0 if rnorm0 is None else jnp.asarray(rnorm0, dtype)
+    tol = _tol(jnp.asarray(rtol, dtype), jnp.asarray(atol, dtype), rnorm0_)
+
+    def body(carry):
+        x, r, p, rs, iters = carry
+        ap = matvec(p)
+        pap = jnp.vdot(p, ap)
+        alpha = jnp.where(pap != 0, rs / jnp.where(pap != 0, pap, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = jnp.vdot(r, r)
+        beta = jnp.where(rs != 0, rs_new / jnp.where(rs != 0, rs, 1.0), 0.0)
+        p = r + beta * p
+        return x, r, p, rs_new, iters + 1
+
+    def cond(carry):
+        _, _, _, rs, iters = carry
+        return jnp.logical_and(jnp.sqrt(rs) > tol, iters < maxiter)
+
+    rs = jnp.vdot(r, r)
+    x, r, _, rs, iters = lax.while_loop(cond, body, (x0, r, r, rs, jnp.zeros((), jnp.int32)))
+    rnorm = jnp.sqrt(rs)
+    return KrylovResult(
+        x=x, iters=iters, resnorm=rnorm, resnorm0=rnorm0_,
+        converged=rnorm <= tol,
+    )

@@ -1,0 +1,130 @@
+"""Least-squares Krylov solvers: LSQR and CGNE.
+
+The reference's outer (minimization) stage solves ``min_a ||rhs - R a||``
+with PETSc KSPLSQR / KSPCGNE on the tall-skinny ``R = A @ S``
+(``outer_solver_lsqr`` ``src/utils/utils.c:998-1020``, ``outer_solver_cgne``
+``utils.c:1022-1043``).  R here is ``(n, s)`` with s ~ 4..30, so each LSQR
+iteration is one tall-skinny matvec + one rmatvec — both map to skinny
+matmuls on the MXU when R is dense.
+
+Pure-JAX fixed-shape loops, vmappable over a leading block axis.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.krylov import (
+    KrylovResult,
+    _tol,
+)
+
+
+def lsqr(
+    matvec: Callable,
+    rmatvec: Callable,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    n: Optional[int] = None,
+    *,
+    maxiter: int = 100,
+    rtol: float = 1e-8,
+    atol: float = 0.0,
+) -> KrylovResult:
+    """Paige-Saunders LSQR for ``min ||b - A x||_2``.
+
+    Golub-Kahan bidiagonalization; stops when the residual norm estimate
+    drops below ``max(rtol * ||b||, atol)`` or ``||A^T r||`` vanishes
+    (least-squares optimum reached), or at ``maxiter``.
+    """
+    dtype = b.dtype
+    if x0 is not None:
+        # shift: solve min||(b - A x0) - A dx||, x = x0 + dx
+        b_eff = b - matvec(x0)
+    else:
+        b_eff = b
+    if n is None:
+        n = rmatvec(b).shape[0]
+
+    beta0 = jnp.linalg.norm(b_eff)
+    tol = _tol(jnp.asarray(rtol, dtype), jnp.asarray(atol, dtype), beta0)
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+
+    u = jnp.where(beta0 > 0, b_eff / jnp.where(beta0 > 0, beta0, 1.0), b_eff)
+    v0 = rmatvec(u)
+    alpha0 = jnp.linalg.norm(v0)
+    v0 = jnp.where(alpha0 > 0, v0 / jnp.where(alpha0 > 0, alpha0, 1.0), v0)
+
+    def body(carry):
+        x, u, v, w, alpha, beta, phibar, rhobar, iters, _ = carry
+        # bidiagonalization step
+        u_new = matvec(v) - alpha * u
+        beta_new = jnp.linalg.norm(u_new)
+        u_new = jnp.where(
+            beta_new > 0, u_new / jnp.where(beta_new > 0, beta_new, 1.0), u_new
+        )
+        v_new = rmatvec(u_new) - beta_new * v
+        alpha_new = jnp.linalg.norm(v_new)
+        v_new = jnp.where(
+            alpha_new > 0, v_new / jnp.where(alpha_new > 0, alpha_new, 1.0), v_new
+        )
+        # orthogonal transformation
+        rho = jnp.sqrt(rhobar * rhobar + beta_new * beta_new)
+        c = rhobar / rho
+        s = beta_new / rho
+        theta = s * alpha_new
+        rhobar_new = -c * alpha_new
+        phi = c * phibar
+        phibar_new = s * phibar
+        x = x + (phi / rho) * w
+        w = v_new - (theta / rho) * w
+        return (
+            x, u_new, v_new, w, alpha_new, beta_new,
+            phibar_new, rhobar_new, iters + 1, jnp.abs(phibar_new),
+        )
+
+    def cond(carry):
+        *_, alpha, beta, phibar, rhobar, iters, rnorm = carry
+        # |phibar| estimates ||r||; |phibar*alpha*cos| ~ ||A^T r||
+        return jnp.logical_and(rnorm > tol, iters < maxiter)
+
+    x_init = jnp.zeros((n,), dtype)
+    init = (
+        x_init, u, v0, v0, alpha0, beta0, beta0, alpha0,
+        jnp.zeros((), jnp.int32), beta0,
+    )
+    out = lax.while_loop(cond, body, init)
+    x, *_, iters, rnorm = out
+    if x0 is not None:
+        x = x0 + x
+    return KrylovResult(
+        x=x, iters=iters, resnorm=rnorm, resnorm0=beta0, converged=rnorm <= tol
+    )
+
+
+def cgne(
+    matvec: Callable,
+    rmatvec: Callable,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    n: Optional[int] = None,
+    *,
+    maxiter: int = 100,
+    rtol: float = 1e-8,
+    atol: float = 0.0,
+) -> KrylovResult:
+    """CG on the normal equations ``A^T A x = A^T b`` (KSPCGNE-equivalent,
+    reference ``outer_solver_cgne`` ``utils.c:1022-1043``)."""
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers.krylov import cg
+
+    if n is None:
+        n = rmatvec(b).shape[0]
+    if x0 is None:
+        x0 = jnp.zeros((n,), b.dtype)
+    atb = rmatvec(b)
+    normal_mv = lambda v: rmatvec(matvec(v))
+    return cg(normal_mv, atb, x0, maxiter=maxiter, rtol=rtol, atol=atol)

@@ -1,0 +1,151 @@
+"""Krylov solver property tests vs dense reference solves (SURVEY.md §4:
+the rebuild adds solver coverage the reference lacked)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import DenseOp, Stencil2D
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers import (
+    cg,
+    cgne,
+    gmres,
+    lsqr,
+    lstsq_normal,
+    lstsq_qr,
+)
+
+
+@pytest.fixture(scope="module")
+def poisson_8x8():
+    m = n = 8
+    op = Stencil2D(m=m, n=n)
+    dense = poisson.poisson2d_dense_np(m, n)
+    b = np.asarray(dense @ np.ones(m * n))
+    x_exact = np.linalg.solve(dense, b)
+    return op, dense, jnp.asarray(b), x_exact
+
+
+def test_gmres_matches_dense_solve(poisson_8x8):
+    op, dense, b, x_exact = poisson_8x8
+    res = gmres(op.mv, b, restart=30, maxiter=500, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.x), x_exact, rtol=1e-8, atol=1e-10)
+    assert bool(res.converged)
+    rnorm = np.linalg.norm(b - dense @ np.asarray(res.x))
+    assert rnorm <= 1e-10 * np.linalg.norm(b)
+
+
+def test_gmres_convergence_invariant_and_iter_count(poisson_8x8):
+    """||r_final|| <= rtol * ||r_0|| and the reported estimate agrees with
+    the true residual (Givens recurrence correctness)."""
+    op, dense, b, _ = poisson_8x8
+    res = gmres(op.mv, b, restart=10, maxiter=200, rtol=1e-6)
+    true_r = np.linalg.norm(b - dense @ np.asarray(res.x))
+    assert bool(res.converged)
+    assert true_r <= 1.01e-6 * np.linalg.norm(np.asarray(b))
+    np.testing.assert_allclose(float(res.resnorm), true_r, rtol=1e-6, atol=1e-12)
+    assert 0 < int(res.iters) <= 200
+
+
+def test_gmres_warm_start(poisson_8x8):
+    """Nonzero initial guess (KSPSetInitialGuessNonzero analog): starting
+    at the exact solution converges in 0 iterations when the convergence
+    norm is pinned to ||b|| (as the multisplitting loops pin it)."""
+    op, dense, b, x_exact = poisson_8x8
+    res = gmres(op.mv, b, x0=jnp.asarray(x_exact), rtol=1e-8,
+                rnorm0=jnp.linalg.norm(b))
+    assert int(res.iters) == 0
+    assert bool(res.converged)
+
+
+def test_gmres_maxiter_budget(poisson_8x8):
+    """maxiter counts total inner iterations across restart cycles."""
+    op, dense, b, _ = poisson_8x8
+    res = gmres(op.mv, b, restart=5, maxiter=7, rtol=1e-14)
+    assert int(res.iters) == 7
+    assert not bool(res.converged)
+
+
+def test_cg_matches_dense_solve(poisson_8x8):
+    op, dense, b, x_exact = poisson_8x8
+    res = cg(op.mv, b, maxiter=1000, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.x), x_exact, rtol=1e-8, atol=1e-10)
+    assert bool(res.converged)
+
+
+def test_gmres_vmap_over_blocks(poisson_8x8):
+    """Batched GMRES over a leading block axis — the single-chip analog of
+    the reference's two concurrent per-block inner KSPSolves."""
+    op, dense, b, x_exact = poisson_8x8
+    B = jnp.stack([b, 2.0 * b])
+    f = jax.vmap(lambda bb: gmres(op.mv, bb, restart=30, maxiter=300, rtol=1e-10).x)
+    X = np.asarray(f(B))
+    np.testing.assert_allclose(X[0], x_exact, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(X[1], 2 * x_exact, rtol=1e-7, atol=1e-9)
+
+
+def test_lsqr_tall_skinny():
+    rng = np.random.default_rng(0)
+    R = rng.standard_normal((50, 6))
+    rhs = rng.standard_normal(50)
+    want, *_ = np.linalg.lstsq(R, rhs, rcond=None)
+    opR = DenseOp(a=jnp.asarray(R))
+    res = lsqr(opR.mv, opR.rmv, jnp.asarray(rhs), maxiter=200, rtol=0.0, atol=0.0)
+    # LSQR stops on maxiter here (inconsistent system: residual floor > 0);
+    # with 6 unknowns it reaches the LS optimum in a few iterations.
+    np.testing.assert_allclose(np.asarray(res.x), want, rtol=1e-6, atol=1e-8)
+
+
+def test_lsqr_consistent_system_converges():
+    rng = np.random.default_rng(1)
+    R = rng.standard_normal((50, 6))
+    a_true = rng.standard_normal(6)
+    rhs = R @ a_true
+    opR = DenseOp(a=jnp.asarray(R))
+    res = lsqr(opR.mv, opR.rmv, jnp.asarray(rhs), maxiter=100, rtol=1e-12)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), a_true, rtol=1e-8)
+
+
+def test_cgne_tall_skinny():
+    rng = np.random.default_rng(2)
+    R = rng.standard_normal((40, 5))
+    rhs = rng.standard_normal(40)
+    want, *_ = np.linalg.lstsq(R, rhs, rcond=None)
+    opR = DenseOp(a=jnp.asarray(R))
+    res = cgne(opR.mv, opR.rmv, jnp.asarray(rhs), maxiter=100, rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(res.x), want, rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("fn", [lstsq_normal, lstsq_qr])
+def test_direct_lstsq(fn):
+    rng = np.random.default_rng(3)
+    R = rng.standard_normal((64, 8))
+    rhs = rng.standard_normal(64)
+    want, *_ = np.linalg.lstsq(R, rhs, rcond=None)
+    got = np.asarray(fn(jnp.asarray(R), jnp.asarray(rhs)))
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+def test_direct_lstsq_batched():
+    rng = np.random.default_rng(4)
+    R = rng.standard_normal((2, 64, 8))
+    rhs = rng.standard_normal((2, 64))
+    got = np.asarray(jax.vmap(lstsq_qr)(jnp.asarray(R), jnp.asarray(rhs)))
+    for k in range(2):
+        want, *_ = np.linalg.lstsq(R[k], rhs[k], rcond=None)
+        np.testing.assert_allclose(got[k], want, rtol=1e-8, atol=1e-10)
+
+
+def test_gmres_f32_still_converges():
+    """TPU default dtype path: f32 GMRES to 1e-3 (the reference's default
+    inner rtol, config/default_run_variables)."""
+    m = n = 16
+    op = Stencil2D(m=m, n=n)
+    b = jnp.asarray(poisson.rhs_for_exact_ones(op), jnp.float32)
+    res = gmres(op.mv, b, restart=30, maxiter=300, rtol=1e-3)
+    assert bool(res.converged)
+    rnorm = float(jnp.linalg.norm(b - op.mv(res.x)))
+    assert rnorm <= 1.01e-3 * float(jnp.linalg.norm(b))
