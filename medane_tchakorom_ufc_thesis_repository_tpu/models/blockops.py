@@ -1,0 +1,335 @@
+"""Stacked block operators: the Jacobi-block decomposition as one pytree.
+
+The reference splits the global system into ``njacobi_blocks`` horizontal
+row strips, each strip further split by columns into the diagonal operator
+``A_ii`` and the coupling operator ``A_ij``
+(``divideSubDomainIntoBlockMatrices``, reference ``src/utils/utils.c:450-478``).
+Each block then lives on its own MPI sub-communicator.
+
+Here the decomposition is *data layout*, not process topology: all block
+states are stacked along a leading ``nblocks`` axis — ``x`` has shape
+``(nblocks, block_size)`` — and the per-block operators act blockwise.
+On one chip the block axis is a batch axis (XLA vectorizes across it);
+under ``shard_map`` the same arrays shard along the mesh ``'block'`` axis
+and the coupling term becomes a ``ppermute`` (see ``parallel/``).
+
+A ``BlockOperator`` exposes:
+  * ``diag_mv(x)``     — blockwise ``A_ii @ x_i``            (nb, bs) -> (nb, bs)
+  * ``coupling_mv(x)`` — blockwise ``sum_j A_ij @ x_j``      (nb, bs) -> (nb, bs)
+  * ``full_mv(x)``     — the global product ``A @ x`` in stacked layout
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import ELL
+from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson as _poisson
+
+
+class BlockOperator:
+    """Interface (duck-typed; implementations below)."""
+
+    nblocks: int
+    block_size: int
+
+    def diag_mv(self, x: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def coupling_mv(self, x: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def full_mv(self, x: jax.Array) -> jax.Array:
+        return self.diag_mv(x) + self.coupling_mv(x)
+
+    # -- global (merged-vector) views, for baselines and residual checks --
+    def global_mv(self, x_flat: jax.Array) -> jax.Array:
+        nb, bs = self.nblocks, self.block_size
+        return self.full_mv(x_flat.reshape(nb, bs)).reshape(-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class StackedStencil2D(BlockOperator):
+    """2D 5-point Poisson, matrix-free, blocks = horizontal grid strips.
+
+    Grid ``m x n``; block ``k`` owns grid rows ``[k*rows, (k+1)*rows)``
+    with ``rows = m // nblocks`` — the same row convention as the
+    reference's ``poisson2DMatrix`` (``src/utils/utils.c:247-293``).
+    The coupling ``A_ij @ x_j`` reduces to one halo grid-row per cut.
+    """
+
+    m: int
+    n: int
+    nblocks: int = 2
+    diag: float = 4.0
+    off: float = -1.0
+
+    def __post_init__(self):
+        if self.m % self.nblocks:
+            raise ValueError(f"m={self.m} not divisible by {self.nblocks}")
+
+    @property
+    def rows(self) -> int:
+        return self.m // self.nblocks
+
+    @property
+    def block_size(self) -> int:
+        return self.rows * self.n
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.m * self.n, self.m * self.n)
+
+    @property
+    def nnz(self) -> int:
+        return 5 * self.m * self.n - 2 * self.m - 2 * self.n
+
+    @property
+    def dtype(self):
+        return jnp.float32
+
+    def _grid(self, x):
+        return x.reshape(self.nblocks, self.rows, self.n)
+
+    def diag_mv(self, x):
+        g = self._grid(x)
+        y = self.diag * g
+        y = y.at[:, 1:, :].add(self.off * g[:, :-1, :])
+        y = y.at[:, :-1, :].add(self.off * g[:, 1:, :])
+        y = y.at[:, :, 1:].add(self.off * g[:, :, :-1])
+        y = y.at[:, :, :-1].add(self.off * g[:, :, 1:])
+        return y.reshape(x.shape)
+
+    # per-block matvec hooks for vmapped inner solves -------------------
+    @property
+    def diag_mv_args(self):
+        return None  # uniform stencil: every block shares the operator
+
+    def single_diag_mv(self, args, xb):
+        """``A_ii @ x_i`` for one block (``xb`` of length block_size)."""
+        g = xb.reshape(self.rows, self.n)
+        y = self.diag * g
+        y = y.at[1:, :].add(self.off * g[:-1, :])
+        y = y.at[:-1, :].add(self.off * g[1:, :])
+        y = y.at[:, 1:].add(self.off * g[:, :-1])
+        y = y.at[:, :-1].add(self.off * g[:, 1:])
+        return y.reshape(xb.shape)
+
+    def halos(self, x):
+        """Peer boundary rows for every block: (top, bottom), each (nb, n).
+
+        ``top[k]`` is the last grid row of block ``k-1`` (zeros for k=0);
+        ``bottom[k]`` the first grid row of block ``k+1``.  This is the
+        entire payload the reference ships with ``MPI_Sendrecv`` of the
+        whole block (``comm.c:126-141``) — the stencil only needs the cut
+        rows.
+        """
+        g = self._grid(x)
+        zero = jnp.zeros((1, self.n), x.dtype)
+        top = jnp.concatenate([zero, g[:-1, -1, :]], axis=0)
+        bottom = jnp.concatenate([g[1:, 0, :], zero], axis=0)
+        return top, bottom
+
+    def coupling_mv(self, x):
+        top, bottom = self.halos(x)
+        c = jnp.zeros_like(self._grid(x))
+        c = c.at[:, 0, :].add(self.off * top)
+        c = c.at[:, -1, :].add(self.off * bottom)
+        return c.reshape(x.shape)
+
+    def to_dense(self):
+        return jnp.asarray(_poisson.poisson2d_dense_np(self.m, self.n, self.diag, self.off))
+
+
+jax.tree_util.register_dataclass(
+    StackedStencil2D, data_fields=[], meta_fields=["m", "n", "nblocks", "diag", "off"]
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class StackedStencil3D(BlockOperator):
+    """3D 7-point Poisson, blocks split on the leading grid axis
+    (the reference's depth loop, ``poisson3DMatrix`` ``utils.c:30-121``).
+    Halos are (ny, nz) planes."""
+
+    nx: int
+    ny: int
+    nz: int
+    nblocks: int = 2
+    diag: float = 6.0
+    off: float = -1.0
+
+    def __post_init__(self):
+        if self.nx % self.nblocks:
+            raise ValueError(f"nx={self.nx} not divisible by {self.nblocks}")
+
+    @property
+    def rows(self) -> int:
+        return self.nx // self.nblocks
+
+    @property
+    def block_size(self) -> int:
+        return self.rows * self.ny * self.nz
+
+    @property
+    def shape(self):
+        size = self.nx * self.ny * self.nz
+        return (size, size)
+
+    @property
+    def nnz(self) -> int:
+        nx, ny, nz = self.nx, self.ny, self.nz
+        return 7 * nx * ny * nz - 2 * (nx * ny + ny * nz + nx * nz)
+
+    def _grid(self, x):
+        return x.reshape(self.nblocks, self.rows, self.ny, self.nz)
+
+    def diag_mv(self, x):
+        g = self._grid(x)
+        y = self.diag * g
+        y = y.at[:, 1:].add(self.off * g[:, :-1])
+        y = y.at[:, :-1].add(self.off * g[:, 1:])
+        y = y.at[:, :, 1:, :].add(self.off * g[:, :, :-1, :])
+        y = y.at[:, :, :-1, :].add(self.off * g[:, :, 1:, :])
+        y = y.at[:, :, :, 1:].add(self.off * g[:, :, :, :-1])
+        y = y.at[:, :, :, :-1].add(self.off * g[:, :, :, 1:])
+        return y.reshape(x.shape)
+
+    @property
+    def diag_mv_args(self):
+        return None
+
+    def single_diag_mv(self, args, xb):
+        g = xb.reshape(self.rows, self.ny, self.nz)
+        y = self.diag * g
+        y = y.at[1:].add(self.off * g[:-1])
+        y = y.at[:-1].add(self.off * g[1:])
+        y = y.at[:, 1:, :].add(self.off * g[:, :-1, :])
+        y = y.at[:, :-1, :].add(self.off * g[:, 1:, :])
+        y = y.at[:, :, 1:].add(self.off * g[:, :, :-1])
+        y = y.at[:, :, :-1].add(self.off * g[:, :, 1:])
+        return y.reshape(xb.shape)
+
+    def halos(self, x):
+        g = self._grid(x)
+        zero = jnp.zeros((1, self.ny, self.nz), x.dtype)
+        top = jnp.concatenate([zero, g[:-1, -1]], axis=0)
+        bottom = jnp.concatenate([g[1:, 0], zero], axis=0)
+        return top, bottom
+
+    def coupling_mv(self, x):
+        top, bottom = self.halos(x)
+        c = jnp.zeros_like(self._grid(x))
+        c = c.at[:, 0].add(self.off * top)
+        c = c.at[:, -1].add(self.off * bottom)
+        return c.reshape(x.shape)
+
+    def to_dense(self):
+        return jnp.asarray(
+            _poisson.poisson3d_dense_np(self.nx, self.ny, self.nz, self.diag, self.off)
+        )
+
+
+jax.tree_util.register_dataclass(
+    StackedStencil3D,
+    data_fields=[],
+    meta_fields=["nx", "ny", "nz", "nblocks", "diag", "off"],
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class StackedELLOperator(BlockOperator):
+    """General sparse path: stacked per-block ELL planes.
+
+    ``a_ii``: indices/values ``(nb, bs, w1)`` with *local* column ids;
+    ``a_ic``: indices/values ``(nb, bs, w2)`` with *global* column ids
+    (padded slots value 0).  Produced by ``core.poisson.block_split_ell``,
+    the analog of the reference's sub-matrix extraction
+    (``divideSubDomainIntoBlockMatrices``, ``utils.c:450-478``).
+    """
+
+    a_ii: ELL
+    a_ic: ELL
+
+    @property
+    def nblocks(self) -> int:
+        return self.a_ii.indices.shape[0]
+
+    @property
+    def block_size(self) -> int:
+        return self.a_ii.indices.shape[1]
+
+    @property
+    def shape(self):
+        n = self.nblocks * self.block_size
+        return (n, n)
+
+    @property
+    def nnz(self) -> int:
+        return int((self.a_ii.values != 0).sum() + (self.a_ic.values != 0).sum())
+
+    @property
+    def dtype(self):
+        return self.a_ii.values.dtype
+
+    def diag_mv(self, x):
+        def one(idx, val, xb):
+            return jnp.sum(val * xb[idx], axis=-1)
+
+        return jax.vmap(one)(self.a_ii.indices, self.a_ii.values, x)
+
+    @property
+    def diag_mv_args(self):
+        return (self.a_ii.indices, self.a_ii.values)
+
+    def single_diag_mv(self, args, xb):
+        idx, val = args
+        return jnp.sum(val * xb[idx], axis=-1)
+
+    def coupling_mv(self, x):
+        x_flat = x.reshape(-1)
+        gathered = x_flat[self.a_ic.indices]  # (nb, bs, w2)
+        return jnp.sum(self.a_ic.values * gathered, axis=-1)
+
+    def to_dense(self):
+        nb, bs = self.nblocks, self.block_size
+        n = nb * bs
+        dense = jnp.zeros((n, n), self.dtype)
+        for b in range(nb):
+            sub = ELL(self.a_ii.indices[b], self.a_ii.values[b], bs).to_dense()
+            dense = dense.at[b * bs:(b + 1) * bs, b * bs:(b + 1) * bs].add(sub)
+            subc = ELL(self.a_ic.indices[b], self.a_ic.values[b], n).to_dense()
+            dense = dense.at[b * bs:(b + 1) * bs, :].add(subc)
+        return dense
+
+
+jax.tree_util.register_dataclass(
+    StackedELLOperator, data_fields=["a_ii", "a_ic"], meta_fields=[]
+)
+
+
+def block_poisson2d(m: int, n: int, nblocks: int = 2) -> StackedStencil2D:
+    return StackedStencil2D(m=m, n=n, nblocks=nblocks)
+
+
+def block_poisson3d(nx: int, ny: int, nz: int, nblocks: int = 2) -> StackedStencil3D:
+    return StackedStencil3D(nx=nx, ny=ny, nz=nz, nblocks=nblocks)
+
+
+def block_poisson2d_ell(m: int, n: int, nblocks: int = 2, dtype=jnp.float32) -> StackedELLOperator:
+    a_ii, a_ic = _poisson.block_split_ell(
+        *_poisson.poisson2d_coo(m, n), nblocks=nblocks, dtype=dtype
+    )
+    return StackedELLOperator(a_ii=a_ii, a_ic=a_ic)
+
+
+def rhs_ones(op: BlockOperator, dtype=None) -> jax.Array:
+    """Stacked RHS ``b = A @ 1`` (exact solution u = 1), the analog of
+    ``computeTheRightHandSideWithInitialGuess`` (``utils.c:623-650``)."""
+    dtype = dtype or getattr(op, "dtype", jnp.float32)
+    ones = jnp.ones((op.nblocks, op.block_size), dtype)
+    return op.full_mv(ones)

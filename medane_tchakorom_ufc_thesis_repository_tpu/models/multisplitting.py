@@ -1,0 +1,393 @@
+"""Two-stage multisplitting solvers with optional s-step Krylov minimization.
+
+One unified, fully-jittable driver (``multisplit_solve``) covers all eight
+reference algorithm binaries (SURVEY.md §2.4):
+
+=================  ==========  ============  ====================
+reference binary   schedule    minimization  termination
+=================  ==========  ============  ====================
+SM                 sync        none          global true-residual
+AM                 async       none          persistence counters
+SMSM_LOCAL         sync        'local'       per-block handshake
+SMSM_SEMI_LOCAL    sync        'semi_local'  per-block handshake
+SMSM_GLOBAL        sync        'global'      outer LS residual
+AMAM_LOCAL         async       'local'       persistence counters
+AMAM_SEMI_LOCAL    async       'semi_local'  persistence counters
+AMAM_GLOBAL        async       'global'      persistence counters
+=================  ==========  ============  ====================
+
+Design (TPU-first, not a PETSc port)
+------------------------------------
+* Block state is stacked ``(nblocks, block_size)``; the whole outer loop is
+  one ``lax.while_loop`` whose body runs ``s`` inner sweeps with
+  ``lax.fori_loop`` — everything compiles to a single XLA program, no
+  per-iteration host round-trips (the reference pays an MPI_Sendrecv +
+  Allreduce every sweep, ``synchronous-multisplitting.c:170-206``).
+* The per-block inner GMRES solves are ``vmap``-ed — both blocks' KSPSolves
+  (reference ``inner_solver``, ``utils.c:950-970``) run as one batched
+  kernel on the chip instead of two processes.
+* "Asynchronous" execution is emulated with *bounded staleness*: each
+  block publishes its iterate to peers every ``staleness[b]`` sweeps, so
+  peers compute with data up to ``staleness-1`` sweeps old — the
+  mathematical content of totally-asynchronous iterations (chaotic
+  relaxation) under a deterministic, compilable schedule.  ``staleness=1``
+  recovers the synchronous exchange.  (The reference's genuinely
+  nondeterministic message arrival, ``comm.c:6-77``, is not reproducible
+  in SPMD; the multi-host backend in ``parallel/`` adds a host-driven
+  async mode.)
+* Async termination (the reference's decentralized Alg-5.15 protocol,
+  ``conv_detection_prime.c:11-249``) is emulated deterministically: a
+  per-block counter of *consecutive* cycles with the local residual under
+  threshold, all blocks required to hold for ``min_convergence_count``
+  cycles (the reference's ``-min_convergence_count`` flag, and the
+  pseudo-period persistence requirement of the protocol).
+* Minimization replaces the reference's iterative outer KSP on ``R = A·S``
+  (``outer_solver*``, ``utils.c:972-1128``) with one fused tall-skinny
+  least-squares: Gram/Cholesky or TSQR on an ``(n, s)`` panel — s is 4-30,
+  so this is a single MXU matmul + tiny factorization instead of an LSQR
+  iteration per digit.  Iterative LSQR/CGNE remain available for parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from medane_tchakorom_ufc_thesis_repository_tpu.models.blockops import BlockOperator
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers import krylov
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.lsqr import (
+    cgne as _cgne_fn,
+    lsqr as _lsqr_fn,
+)
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.lstsq import (
+    lstsq_normal,
+    lstsq_qr,
+)
+
+
+# ---------------------------------------------------------------------------
+# Configs
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class InnerConfig:
+    """Inner (per-block) Krylov solve — the analog of the reference's
+    ``inner1_``/``inner2_``-prefixed KSP (gmres, maxit 20, rtol 1e-3,
+    pc none; ``config/default_run_variables:36-44``)."""
+
+    restart: int = 30
+    maxiter: int = 20
+    rtol: float = 1e-3
+    atol: float = 0.0
+    orthog: str = "cgs2"
+
+
+@dataclasses.dataclass(frozen=True)
+class OuterConfig:
+    """Outer (minimization) least-squares solve — the analog of the
+    ``outer1_``/``outer2_`` KSP (``default_run_variables:54-66``).
+
+    ``method``: 'qr' (TSQR direct — TPU-native default), 'normal'
+    (Gram+Cholesky), 'lsqr', 'cgne' (iterative, reference parity).
+    """
+
+    method: str = "qr"
+    maxiter: int = 100
+    rtol: float = 1e-12
+    atol: float = 0.0
+    damping: float = 0.0
+    alpha_average: bool = False  # the reference's *_modify alpha exchange
+
+
+@dataclasses.dataclass(frozen=True)
+class MultisplitResult:
+    """Stacked solver output (analog of the reference's final printouts:
+    iteration counts, final residual norm, error vs exact solution)."""
+
+    x: jax.Array             # (nblocks, block_size)
+    sweeps: jax.Array        # total multisplitting sweeps (int32)
+    cycles: jax.Array        # outer cycles (minimization rounds)
+    inner_iters: jax.Array   # total inner Krylov iterations, all blocks
+    rnorm: jax.Array         # last measured global residual norm
+    rnorm0: jax.Array        # reference norm for the convergence test
+    local_rnorms: jax.Array  # (nblocks,) last per-block residual norms
+    outer_rnorm: jax.Array   # last outer LS residual (global minimization)
+    converged: jax.Array     # bool
+
+
+jax.tree_util.register_dataclass(
+    MultisplitResult,
+    data_fields=[
+        "x", "sweeps", "cycles", "inner_iters", "rnorm", "rnorm0",
+        "local_rnorms", "outer_rnorm", "converged",
+    ],
+    meta_fields=[],
+)
+
+
+# ---------------------------------------------------------------------------
+# Inner solve (vmapped per-block GMRES)
+# ---------------------------------------------------------------------------
+
+def _make_inner(op: BlockOperator, cfg: InnerConfig):
+    """Batched per-block GMRES: the two (or N) concurrent per-block
+    KSPSolves of the reference become one vmapped solve."""
+    args = getattr(op, "diag_mv_args", None)
+
+    def solve_one(a, rhs_b, x_b):
+        mv = lambda v: op.single_diag_mv(a, v)
+        return krylov.gmres(
+            mv, rhs_b, x_b,
+            restart=cfg.restart, maxiter=cfg.maxiter,
+            rtol=cfg.rtol, atol=cfg.atol, orthog=cfg.orthog,
+        )
+
+    in_axes = (None if args is None else 0, 0, 0)
+    vsolve = jax.vmap(solve_one, in_axes=in_axes)
+    return lambda rhs, x: vsolve(args, rhs, x)
+
+
+# ---------------------------------------------------------------------------
+# Tall-skinny least squares dispatch
+# ---------------------------------------------------------------------------
+
+def _solve_ls(R, rhs, cfg: OuterConfig):
+    """argmin_a ||rhs - R a|| for one panel ``R (rows, s)``."""
+    if cfg.method == "qr":
+        return lstsq_qr(R, rhs)
+    if cfg.method == "normal":
+        return lstsq_normal(R, rhs, l2=cfg.damping)
+    if cfg.method == "lsqr":
+        res = _lsqr_fn(
+            lambda a: R @ a, lambda u: R.T @ u, rhs, n=R.shape[1],
+            maxiter=cfg.maxiter, rtol=cfg.rtol, atol=cfg.atol,
+        )
+        return res.x
+    if cfg.method == "cgne":
+        res = _cgne_fn(
+            lambda a: R @ a, lambda u: R.T @ u, rhs, n=R.shape[1],
+            maxiter=cfg.maxiter, rtol=cfg.rtol, atol=cfg.atol,
+        )
+        return res.x
+    raise ValueError(f"unknown outer method {cfg.method!r}")
+
+
+# ---------------------------------------------------------------------------
+# Main driver
+# ---------------------------------------------------------------------------
+
+def multisplit_solve(
+    op: BlockOperator,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    schedule: str = "sync",
+    staleness: Union[int, Sequence[int]] = 1,
+    minimization: Optional[str] = None,
+    s: int = 4,
+    inner: InnerConfig = InnerConfig(),
+    outer: OuterConfig = OuterConfig(),
+    rtol: float = 1e-3,
+    atol: float = 1e-100,
+    maxiter: int = 10000,
+    min_convergence_count: int = 4,
+) -> MultisplitResult:
+    """Solve ``A x = b`` by (a)synchronous two-stage block multisplitting.
+
+    Parameters mirror the reference's CLI surface (``iSolve`` /
+    ``-m -n -s -npb -rtol -min_convergence_count`` plus the prefixed
+    inner/outer KSP options).  ``b`` and the returned ``x`` are stacked
+    ``(nblocks, block_size)``.
+    """
+    if schedule not in ("sync", "async"):
+        raise ValueError(f"unknown schedule {schedule!r}")
+    if minimization not in (None, "local", "semi_local", "global"):
+        raise ValueError(f"unknown minimization {minimization!r}")
+    is_async = schedule == "async"
+    nb, bs = op.nblocks, op.block_size
+    dtype = b.dtype
+    if b.shape != (nb, bs):
+        raise ValueError(f"b must be ({nb}, {bs}), got {b.shape}")
+    if minimization is None:
+        s = 1  # one sweep per convergence check, as in SM/AM
+
+    stal = jnp.asarray(
+        np.broadcast_to(np.asarray(staleness, np.int32), (nb,)).copy()
+    )
+    if not is_async and not bool(np.all(np.asarray(staleness) == 1)):
+        raise ValueError("sync schedule requires staleness == 1")
+
+    inner_solve = _make_inner(op, inner)
+
+    if x0 is None:
+        x0 = jnp.zeros((nb, bs), dtype)
+    x_vis0 = x0
+    rhs0 = b - op.coupling_mv(x_vis0)
+
+    r0_rows = b - op.full_mv(x0)
+    rnorm0 = jnp.sqrt(jnp.sum(r0_rows * r0_rows))
+    tol_global = jnp.maximum(rtol * rnorm0, atol)
+    # per-block threshold: rtol/sqrt(nb) * ||r0|| (the reference's
+    # rtol/sqrt(2) test, `...-local.c:267`, generalized to nb blocks)
+    tol_local = jnp.maximum(rtol / jnp.sqrt(jnp.asarray(float(nb), dtype)) * rnorm0, atol)
+
+    def publish(x, x_vis, sweep_count):
+        done = (sweep_count % stal) == 0
+        return jnp.where(done[:, None], x, x_vis)
+
+    def sweep_body(i, carry):
+        x, x_vis, rhs, sweeps, inner_total, S = carry
+        res = inner_solve(rhs, x)
+        x = res.x
+        inner_total = inner_total + jnp.sum(res.iters).astype(jnp.int32)
+        sweeps = sweeps + 1
+        x_vis = publish(x, x_vis, sweeps)
+        rhs = b - op.coupling_mv(x_vis)
+        S = S.at[i].set(x)
+        return (x, x_vis, rhs, sweeps, inner_total, S)
+
+    def minimize(S, x, x_vis, rhs, sweeps):
+        """One outer minimization: basis S (s, nb, bs) -> combined x."""
+        # R columns: 'local' uses A_ii * S_i (reference `...-local.c:256`),
+        # 'semi_local'/'global' use the full row strips A_i * S
+        # (`...-semi-local.c:319`, `...-global.c:325`).
+        if minimization == "local":
+            Rcols = jax.vmap(op.diag_mv)(S)          # (s, nb, bs)
+            target = rhs                              # b_i - A_ij x_j (frozen)
+        else:
+            Rcols = jax.vmap(op.full_mv)(S)          # (s, nb, bs)
+            target = b
+        Rb = jnp.moveaxis(Rcols, 0, -1)              # (nb, bs, s)
+        Sb = jnp.moveaxis(S, 0, -1)                  # (nb, bs, s)
+
+        if minimization == "global":
+            Rf = Rb.reshape(nb * bs, s)
+            alpha = _solve_ls(Rf, target.reshape(-1), outer)   # (s,)
+            out_r = target.reshape(-1) - Rf @ alpha
+            outer_rnorm = jnp.sqrt(jnp.sum(out_r * out_r))
+            x_new = jnp.einsum("bns,s->bn", Sb, alpha)
+        else:
+            alpha = jax.vmap(lambda Rr, t: _solve_ls(Rr, t, outer))(Rb, target)
+            if outer.alpha_average:
+                alpha = jnp.broadcast_to(
+                    jnp.mean(alpha, axis=0, keepdims=True), alpha.shape
+                )
+            out_r = target - jnp.einsum("bns,bs->bn", Rb, alpha)
+            outer_rnorm = jnp.sqrt(jnp.sum(out_r * out_r))
+            x_new = jnp.einsum("bns,bs->bn", Sb, alpha)
+
+        x_vis = publish(x_new, x_vis, sweeps)
+        rhs = b - op.coupling_mv(x_vis)
+        return x_new, x_vis, rhs, outer_rnorm
+
+    def cycle(carry):
+        (x, x_vis, rhs, sweeps, cycles, inner_total,
+         conv_count, rnorm, local_rnorms, outer_rnorm, converged) = carry
+
+        S0 = jnp.zeros((s, nb, bs), dtype)
+        x, x_vis, rhs, sweeps, inner_total, S = lax.fori_loop(
+            0, s, sweep_body, (x, x_vis, rhs, sweeps, inner_total, S0)
+        )
+
+        if minimization is not None:
+            x, x_vis, rhs, outer_rnorm = minimize(S, x, x_vis, rhs, sweeps)
+
+        # convergence measurement — local residual rows r_i = rhs - A_ii x_i
+        # (with sync exchange this equals the true global residual rows,
+        # exactly the reference's MatResidual test,
+        # `synchronous-multisplitting.c:186-201`)
+        local_r = rhs - op.diag_mv(x)
+        local_sq = jnp.sum(local_r * local_r, axis=1)
+        local_rnorms = jnp.sqrt(local_sq)
+        rnorm = jnp.sqrt(jnp.sum(local_sq))
+        cycles = cycles + 1
+
+        if is_async:
+            under = local_rnorms <= tol_local
+            conv_count = jnp.where(under, conv_count + 1, 0)
+            converged = jnp.all(conv_count >= min_convergence_count)
+        elif minimization == "global":
+            converged = outer_rnorm <= tol_global
+        elif minimization is not None:
+            converged = jnp.all(local_rnorms <= tol_local)
+        else:
+            converged = rnorm <= tol_global
+
+        return (x, x_vis, rhs, sweeps, cycles, inner_total,
+                conv_count, rnorm, local_rnorms, outer_rnorm, converged)
+
+    def cond(carry):
+        (_, _, _, sweeps, _, _, _, _, _, _, converged) = carry
+        return jnp.logical_and(~converged, sweeps < maxiter)
+
+    init = (
+        x0, x_vis0, rhs0,
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((nb,), jnp.int32),
+        rnorm0, jnp.full((nb,), jnp.inf, dtype),
+        jnp.asarray(jnp.inf, dtype),
+        rnorm0 <= tol_global,
+    )
+    (x, _, _, sweeps, cycles, inner_total, _, rnorm, local_rnorms,
+     outer_rnorm, converged) = lax.while_loop(cond, cycle, init)
+
+    return MultisplitResult(
+        x=x, sweeps=sweeps, cycles=cycles, inner_iters=inner_total,
+        rnorm=rnorm, rnorm0=rnorm0, local_rnorms=local_rnorms,
+        outer_rnorm=outer_rnorm, converged=converged,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Named entry points (one per reference binary)
+# ---------------------------------------------------------------------------
+
+def sm(op, b, **kw):
+    """Synchronous multisplitting (reference SM,
+    ``src/synchronous-multisplitting/synchronous-multisplitting.c``)."""
+    return multisplit_solve(op, b, schedule="sync", minimization=None, **kw)
+
+
+def am(op, b, *, staleness=2, **kw):
+    """Asynchronous multisplitting under bounded staleness (reference AM,
+    ``src/asynchronous-multisplitting/asynchronous-multisplitting_prime.c``)."""
+    return multisplit_solve(
+        op, b, schedule="async", staleness=staleness, minimization=None, **kw
+    )
+
+
+def smsm(op, b, *, scope: str = "global", s: int = 4, **kw):
+    """Synchronous multisplitting + synchronous minimization
+    (reference SMSM_{LOCAL,SEMI_LOCAL,GLOBAL})."""
+    return multisplit_solve(
+        op, b, schedule="sync", minimization=_scope(scope), s=s, **kw
+    )
+
+
+def amam(op, b, *, scope: str = "global", s: int = 4, staleness=2, **kw):
+    """Asynchronous multisplitting + asynchronous minimization
+    (reference AMAM_{LOCAL,SEMI_LOCAL,GLOBAL})."""
+    return multisplit_solve(
+        op, b, schedule="async", staleness=staleness,
+        minimization=_scope(scope), s=s, **kw
+    )
+
+
+def _scope(scope: str) -> str:
+    aliases = {
+        "local": "local",
+        "semi_local": "semi_local",
+        "semi-local": "semi_local",
+        "semilocal": "semi_local",
+        "global": "global",
+    }
+    if scope not in aliases:
+        raise ValueError(f"unknown minimization scope {scope!r}")
+    return aliases[scope]

@@ -57,6 +57,21 @@ def _tol(rtol, atol, rnorm0):
     return jnp.maximum(rtol * rnorm0, atol)
 
 
+def make_reducer(axis_name=None):
+    """Return a ``psum``-over-mesh-axes reducer (identity when unsharded).
+
+    This is what makes every solver in this module *distribution-agnostic*:
+    called under ``shard_map`` with ``axis_name=('intra',)`` (or
+    ``('block', 'intra')`` for global solves) all dot products and norms
+    become cross-device reductions — the analog of PETSc's VecDot/VecNorm
+    being MPI collectives over the block sub-communicator (reference
+    ``src/utils/utils.c:560-573``).
+    """
+    if axis_name is None:
+        return lambda v: v
+    return lambda v: lax.psum(v, axis_name)
+
+
 # ---------------------------------------------------------------------------
 # GMRES(m)
 # ---------------------------------------------------------------------------
@@ -72,6 +87,8 @@ def gmres(
     atol: float = 0.0,
     rnorm0: Optional[jax.Array] = None,
     orthog: str = "cgs2",
+    axis_name=None,
+    fixed_cycles: bool = False,
 ) -> KrylovResult:
     """Restarted GMRES with classical Gram-Schmidt + Givens least squares.
 
@@ -83,6 +100,10 @@ def gmres(
     default, fine in f64); ``"cgs2"`` = two-pass CGS (default — needed for
     a trustworthy Givens residual estimate in f32/bf16 on TPU; still pure
     matmuls on the MXU).
+
+    ``axis_name``: mesh axis name(s) to ``psum`` reductions over — pass
+    when calling under ``shard_map`` with ``b``/``x`` row-sharded.  The
+    Arnoldi/Givens small state stays replicated on every device.
     """
     if orthog not in ("cgs", "cgs2"):
         raise ValueError(f"unknown orthog {orthog!r}")
@@ -93,16 +114,20 @@ def gmres(
         x0 = jnp.zeros_like(b)
 
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    psum = make_reducer(axis_name)
+
+    def pnorm(v):
+        return jnp.sqrt(psum(jnp.sum(v * v)))
 
     r0 = b - matvec(x0)
-    beta0 = jnp.linalg.norm(r0)
+    beta0 = pnorm(r0)
     rnorm0_ = beta0 if rnorm0 is None else jnp.asarray(rnorm0, dtype)
     tol = _tol(jnp.asarray(rtol, dtype), jnp.asarray(atol, dtype), rnorm0_)
 
     def cycle(carry):
         x, iters, rnorm, converged = carry
         r = b - matvec(x)
-        beta = jnp.linalg.norm(r)
+        beta = pnorm(r)
 
         V = jnp.zeros((m + 1, n), dtype)
         V = V.at[0].set(jnp.where(beta > 0, r / beta, r))
@@ -118,13 +143,13 @@ def gmres(
             w = matvec(V[j])
             # classical Gram-Schmidt: rows > j of V are zero, so one pair of
             # matmuls orthogonalizes against the whole active basis.
-            h = V @ w                      # (m+1,)
+            h = psum(V @ w)                # (m+1,)
             w = w - V.T @ h
             if orthog == "cgs2":           # re-orthogonalization pass
-                h2 = V @ w
+                h2 = psum(V @ w)
                 w = w - V.T @ h2
                 h = h + h2
-            hj1 = jnp.linalg.norm(w)
+            hj1 = pnorm(w)
             happy = hj1 <= eps * beta      # happy breakdown / stagnation
             vnext = jnp.where(hj1 > 0, w / jnp.where(hj1 > 0, hj1, 1.0), w)
 
@@ -187,7 +212,17 @@ def gmres(
 
     converged0 = beta0 <= tol
     init = (x0, jnp.zeros((), jnp.int32), beta0, converged0)
-    x, iters, rnorm, converged = lax.while_loop(cond, cycle, init)
+    if fixed_cycles:
+        # SPMD-lockstep mode for shard_map: a data-dependent while_loop trip
+        # count would desynchronize collectives between blocks that converge
+        # at different sweeps, so run a static number of restart cycles with
+        # all updates masked by the converged flag (they already are).
+        ncycles = -(-maxiter // m)
+        x, iters, rnorm, converged = lax.fori_loop(
+            0, ncycles, lambda _, c: cycle(c), init
+        )
+    else:
+        x, iters, rnorm, converged = lax.while_loop(cond, cycle, init)
     return KrylovResult(
         x=x, iters=iters, resnorm=rnorm, resnorm0=rnorm0_, converged=converged
     )
@@ -206,25 +241,27 @@ def cg(
     rtol: float = 1e-5,
     atol: float = 0.0,
     rnorm0: Optional[jax.Array] = None,
+    axis_name=None,
 ) -> KrylovResult:
     """Conjugate gradients for SPD systems (the reference's outer-CG config,
     ``config/default_run_variables`` outer ksp_type cg)."""
     dtype = b.dtype
+    psum = make_reducer(axis_name)
     if x0 is None:
         x0 = jnp.zeros_like(b)
     r = b - matvec(x0)
-    beta0 = jnp.linalg.norm(r)
+    beta0 = jnp.sqrt(psum(jnp.vdot(r, r)))
     rnorm0_ = beta0 if rnorm0 is None else jnp.asarray(rnorm0, dtype)
     tol = _tol(jnp.asarray(rtol, dtype), jnp.asarray(atol, dtype), rnorm0_)
 
     def body(carry):
         x, r, p, rs, iters = carry
         ap = matvec(p)
-        pap = jnp.vdot(p, ap)
+        pap = psum(jnp.vdot(p, ap))
         alpha = jnp.where(pap != 0, rs / jnp.where(pap != 0, pap, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * ap
-        rs_new = jnp.vdot(r, r)
+        rs_new = psum(jnp.vdot(r, r))
         beta = jnp.where(rs != 0, rs_new / jnp.where(rs != 0, rs, 1.0), 0.0)
         p = r + beta * p
         return x, r, p, rs_new, iters + 1
@@ -233,7 +270,7 @@ def cg(
         _, _, _, rs, iters = carry
         return jnp.logical_and(jnp.sqrt(rs) > tol, iters < maxiter)
 
-    rs = jnp.vdot(r, r)
+    rs = psum(jnp.vdot(r, r))
     x, r, _, rs, iters = lax.while_loop(cond, body, (x0, r, r, rs, jnp.zeros((), jnp.int32)))
     rnorm = jnp.sqrt(rs)
     return KrylovResult(

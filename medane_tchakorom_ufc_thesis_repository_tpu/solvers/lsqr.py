@@ -21,6 +21,7 @@ from jax import lax
 from medane_tchakorom_ufc_thesis_repository_tpu.solvers.krylov import (
     KrylovResult,
     _tol,
+    make_reducer,
 )
 
 
@@ -34,14 +35,23 @@ def lsqr(
     maxiter: int = 100,
     rtol: float = 1e-8,
     atol: float = 0.0,
+    axis_name=None,
 ) -> KrylovResult:
     """Paige-Saunders LSQR for ``min ||b - A x||_2``.
 
     Golub-Kahan bidiagonalization; stops when the residual norm estimate
     drops below ``max(rtol * ||b||, atol)`` or ``||A^T r||`` vanishes
     (least-squares optimum reached), or at ``maxiter``.
+
+    ``axis_name`` shards the ROW space of A (``b``/``u`` sharded, ``x``/``v``
+    replicated): row-space norms are ``psum``-reduced over it, and the
+    caller's ``rmatvec`` must itself reduce (return a replicated vector).
     """
     dtype = b.dtype
+    rpsum = make_reducer(axis_name)
+
+    def unorm(vec):  # row-space (sharded) norm
+        return jnp.sqrt(rpsum(jnp.sum(vec * vec)))
     if x0 is not None:
         # shift: solve min||(b - A x0) - A dx||, x = x0 + dx
         b_eff = b - matvec(x0)
@@ -50,7 +60,7 @@ def lsqr(
     if n is None:
         n = rmatvec(b).shape[0]
 
-    beta0 = jnp.linalg.norm(b_eff)
+    beta0 = unorm(b_eff)
     tol = _tol(jnp.asarray(rtol, dtype), jnp.asarray(atol, dtype), beta0)
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
 
@@ -63,7 +73,7 @@ def lsqr(
         x, u, v, w, alpha, beta, phibar, rhobar, iters, _ = carry
         # bidiagonalization step
         u_new = matvec(v) - alpha * u
-        beta_new = jnp.linalg.norm(u_new)
+        beta_new = unorm(u_new)
         u_new = jnp.where(
             beta_new > 0, u_new / jnp.where(beta_new > 0, beta_new, 1.0), u_new
         )

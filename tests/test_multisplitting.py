@@ -1,0 +1,204 @@
+"""Tests for the multisplitting algorithm drivers (models layer).
+
+Mirrors the reference's validation style (SURVEY.md §4): convergence
+invariant ``||b - A x|| <= rtol * ||r0||`` end-to-end, error vs the exact
+solution u = 1, and cross-variant sanity (minimization accelerates, async
+converges under staleness).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medane_tchakorom_ufc_thesis_repository_tpu.models import (
+    blockops,
+    multisplitting as ms,
+)
+
+
+def _problem2d(m=32, n=32, nblocks=2):
+    op = blockops.block_poisson2d(m, n, nblocks)
+    b = blockops.rhs_ones(op, jnp.float64)
+    return op, b
+
+
+def _true_rel(op, b, x):
+    r = b.reshape(-1) - op.global_mv(x.reshape(-1))
+    return float(jnp.linalg.norm(r) / jnp.linalg.norm(b.reshape(-1)))
+
+
+class TestBlockOps:
+    def test_stacked_stencil_matches_dense(self):
+        op, _ = _problem2d(8, 6)
+        dense = np.asarray(op.to_dense())
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(op.nblocks * op.block_size)
+        want = dense @ x
+        got = np.asarray(op.global_mv(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_diag_plus_coupling_is_full(self):
+        op, _ = _problem2d(8, 6)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((op.nblocks, op.block_size)))
+        np.testing.assert_allclose(
+            np.asarray(op.diag_mv(x) + op.coupling_mv(x)),
+            np.asarray(op.full_mv(x)),
+            rtol=1e-12,
+        )
+
+    def test_stencil3d_matches_dense(self):
+        op = blockops.block_poisson3d(4, 3, 3)
+        dense = np.asarray(op.to_dense())
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal(op.nblocks * op.block_size)
+        np.testing.assert_allclose(
+            np.asarray(op.global_mv(jnp.asarray(x))), dense @ x, rtol=1e-12
+        )
+
+    def test_ell_blockop_matches_stencil(self):
+        sop, _ = _problem2d(8, 6)
+        eop = blockops.block_poisson2d_ell(8, 6, dtype=jnp.float64)
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((2, sop.block_size)))
+        np.testing.assert_allclose(
+            np.asarray(eop.diag_mv(x)), np.asarray(sop.diag_mv(x)), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(eop.coupling_mv(x)), np.asarray(sop.coupling_mv(x)),
+            rtol=1e-12,
+        )
+
+    def test_four_blocks(self):
+        op = blockops.block_poisson2d(16, 8, nblocks=4)
+        dense = np.asarray(op.to_dense())
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal(16 * 8)
+        np.testing.assert_allclose(
+            np.asarray(op.global_mv(jnp.asarray(x))), dense @ x, rtol=1e-12
+        )
+
+
+class TestSM:
+    def test_converges_to_invariant(self):
+        op, b = _problem2d()
+        res = ms.sm(op, b, rtol=1e-3, maxiter=2000)
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1e-3
+        assert float(jnp.max(jnp.abs(res.x - 1.0))) < 0.05
+
+    def test_tighter_tolerance(self):
+        op, b = _problem2d(16, 16)
+        res = ms.sm(op, b, rtol=1e-8, maxiter=5000,
+                    inner=ms.InnerConfig(maxiter=30, rtol=1e-10))
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1e-8
+
+    def test_jit_wrappable(self):
+        op, b = _problem2d(16, 16)
+        f = jax.jit(lambda bb: ms.sm(op, bb, rtol=1e-3, maxiter=1000))
+        res = f(b)
+        assert bool(res.converged)
+
+    def test_ell_path_agrees_with_stencil(self):
+        sop, b = _problem2d(16, 16)
+        eop = blockops.block_poisson2d_ell(16, 16, dtype=jnp.float64)
+        rs = ms.sm(sop, b, rtol=1e-4, maxiter=2000)
+        re = ms.sm(eop, b, rtol=1e-4, maxiter=2000)
+        assert int(rs.sweeps) == int(re.sweeps)
+        # identical math; tiny fp reorderings amplify across ~36 sweeps
+        np.testing.assert_allclose(
+            np.asarray(rs.x), np.asarray(re.x), rtol=1e-6, atol=1e-6
+        )
+
+    def test_3d(self):
+        op = blockops.block_poisson3d(8, 6, 6)
+        b = blockops.rhs_ones(op, jnp.float64)
+        res = ms.sm(op, b, rtol=1e-3, maxiter=2000)
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1e-3
+
+
+class TestAM:
+    def test_staleness_converges(self):
+        op, b = _problem2d()
+        res = ms.am(op, b, staleness=2, rtol=1e-3, maxiter=4000)
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1.5e-3  # local tests => small slack
+
+    def test_asymmetric_staleness(self):
+        op, b = _problem2d()
+        res = ms.am(op, b, staleness=[1, 3], rtol=1e-3, maxiter=4000)
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1.5e-3
+
+    def test_staleness_slows_but_converges(self):
+        op, b = _problem2d(16, 16)
+        r1 = ms.am(op, b, staleness=1, rtol=1e-3, maxiter=4000)
+        r4 = ms.am(op, b, staleness=4, rtol=1e-3, maxiter=4000)
+        assert bool(r1.converged) and bool(r4.converged)
+        assert int(r4.sweeps) >= int(r1.sweeps)
+
+    def test_min_convergence_count_persistence(self):
+        op, b = _problem2d(16, 16)
+        r_lo = ms.am(op, b, staleness=2, rtol=1e-3, min_convergence_count=1,
+                     maxiter=4000)
+        r_hi = ms.am(op, b, staleness=2, rtol=1e-3, min_convergence_count=8,
+                     maxiter=4000)
+        assert int(r_hi.sweeps) >= int(r_lo.sweeps) + 7
+
+
+class TestMinimization:
+    @pytest.mark.parametrize("scope", ["local", "semi_local", "global"])
+    def test_smsm_converges(self, scope):
+        op, b = _problem2d()
+        res = ms.smsm(op, b, scope=scope, s=4, rtol=1e-3, maxiter=2000)
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1.5e-3
+
+    @pytest.mark.parametrize("scope", ["local", "semi_local", "global"])
+    def test_amam_converges(self, scope):
+        op, b = _problem2d()
+        res = ms.amam(op, b, scope=scope, s=4, staleness=2, rtol=1e-3,
+                      maxiter=4000)
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1.5e-3
+
+    def test_minimization_accelerates(self):
+        op, b = _problem2d()
+        plain = ms.sm(op, b, rtol=1e-3, maxiter=2000)
+        accel = ms.smsm(op, b, scope="global", s=4, rtol=1e-3, maxiter=2000)
+        assert int(accel.sweeps) < int(plain.sweeps)
+
+    @pytest.mark.parametrize("method", ["qr", "normal", "lsqr", "cgne"])
+    def test_outer_methods_agree(self, method):
+        op, b = _problem2d(16, 16)
+        res = ms.smsm(
+            op, b, scope="global", s=4, rtol=1e-3, maxiter=2000,
+            outer=ms.OuterConfig(method=method, maxiter=200, rtol=1e-14),
+        )
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1.5e-3
+
+    def test_global_outer_residual_is_true_residual(self):
+        op, b = _problem2d(16, 16)
+        res = ms.smsm(op, b, scope="global", s=4, rtol=1e-3, maxiter=2000)
+        # outer LS residual at the last cycle bounds the true residual of
+        # the minimized iterate (it IS ||b - A S a|| for x = S a)
+        assert float(res.outer_rnorm) <= 1e-3 * float(res.rnorm0) + 1e-12
+
+    def test_alpha_average_variant_runs(self):
+        op, b = _problem2d(16, 16)
+        res = ms.smsm(
+            op, b, scope="semi_local", s=4, rtol=1e-3, maxiter=2000,
+            outer=ms.OuterConfig(alpha_average=True),
+        )
+        assert bool(res.converged)
+
+    def test_four_block_multisplitting(self):
+        op = blockops.block_poisson2d(32, 16, nblocks=4)
+        b = blockops.rhs_ones(op, jnp.float64)
+        res = ms.smsm(op, b, scope="global", s=4, rtol=1e-3, maxiter=3000)
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1.5e-3
