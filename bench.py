@@ -1,0 +1,124 @@
+"""Benchmark entry point — run on real TPU hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Primary metric (BASELINE.json): 3D Poisson 7-point SpMV throughput per
+chip in nnz/s.  The reference publishes no numbers (BASELINE.md), so
+``vs_baseline`` is computed against an estimated PETSc MatMult rate on the
+reference's laptop/Grid'5000 class hardware: a 7-point AIJ SpMV streams
+~20 bytes/nnz and a 2-socket node sustains ~40 GB/s => ~2e9 nnz/s.  That
+constant is recorded here so the comparison is reproducible.
+
+Secondary metrics (same JSON object): time and sweeps for an SMSM_GLOBAL
+multisplitting solve of 3D Poisson to 1e-6 relative residual (f32 floor
+on TPU; the 1e-8 target of the north-star needs the f64-refinement path,
+tracked in README), plus GMRES-baseline solve time on the same system.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+REFERENCE_SPMV_NNZ_PER_S = 2.0e9  # estimated PETSc MatMult on 2-socket CPU
+
+
+def _fence(arr):
+    """Force completion: device->host copy of one element.  On the
+    experimental axon platform ``block_until_ready`` has been observed to
+    return before execution finishes; a host readback cannot."""
+    import numpy as np
+
+    return float(np.asarray(arr.ravel()[:1])[0])
+
+
+def _time_chained(fn, x, iters=50, warmup=3):
+    """Time ``x = fn(x)`` chained — every call depends on the previous
+    result, so no layer (XLA, runtime, tunnel) can dedupe or overlap
+    identical executions."""
+    for _ in range(warmup):
+        x = fn(x)
+    _fence(x)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = fn(x)
+    _fence(x)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+    from medane_tchakorom_ufc_thesis_repository_tpu.models import (
+        blockops,
+        multisplitting as ms,
+    )
+
+    # --- primary: 3D Poisson stencil SpMV nnz/s per chip ----------------
+    nx = ny = nz = 256
+    op = poisson.poisson3d(nx, ny, nz)
+    x = jnp.ones((nx * ny * nz,), jnp.float32)
+    # normalize each application so chained values stay finite
+    mv = jax.jit(lambda v: (lambda y: y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30))(op.mv(v)))
+    dt = _time_chained(mv, x, iters=50)
+    nnz_per_s = op.nnz / dt
+
+    # --- secondary: SMSM_GLOBAL solve of 3D Poisson to 1e-5 -------------
+    sop = blockops.block_poisson3d(64, 64, 64)
+    b = blockops.rhs_ones(sop, jnp.float32)
+    solve = jax.jit(
+        lambda bb: ms.smsm(
+            sop, bb, scope="global", s=4, rtol=1e-5, maxiter=400,
+            inner=ms.InnerConfig(restart=30, maxiter=30, rtol=1e-8),
+        )
+    )
+    res = solve(b)  # compile + run
+    _fence(res.x)
+    b2 = b * jnp.float32(1.0 + 1e-6)  # distinct input defeats result caching
+    t0 = time.perf_counter()
+    res = solve(b2)
+    _fence(res.x)
+    solve_s = time.perf_counter() - t0
+    rel = float(
+        jnp.linalg.norm(b.reshape(-1) - sop.global_mv(res.x.reshape(-1)))
+        / res.rnorm0
+    )
+
+    # --- secondary: GMRES baseline on the same 3D system ----------------
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers import gmres
+
+    gop = poisson.poisson3d(64, 64, 64)
+    gb = poisson.rhs_for_exact_ones(gop)
+    gsolve = jax.jit(
+        lambda bb: gmres(gop.mv, bb, restart=30, maxiter=3000, rtol=1e-6)
+    )
+    gres = gsolve(gb)
+    _fence(gres.x)
+    gb2 = gb * jnp.float32(1.0 + 1e-6)
+    t0 = time.perf_counter()
+    gres = gsolve(gb2)
+    _fence(gres.x)
+    gmres_s = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "3d_poisson_spmv_throughput_per_chip",
+        "value": round(nnz_per_s / 1e9, 3),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(nnz_per_s / REFERENCE_SPMV_NNZ_PER_S, 2),
+        "spmv_grid": f"{nx}x{ny}x{nz}",
+        "spmv_ms": round(dt * 1e3, 4),
+        "smsm_global_3d_64_solve_s": round(solve_s, 3),
+        "smsm_global_3d_64_sweeps": int(res.sweeps),
+        "smsm_global_3d_64_rel_residual": f"{rel:.2e}",
+        "smsm_global_3d_64_converged": bool(res.converged),
+        "gmres_3d_64_solve_s": round(gmres_s, 3),
+        "gmres_3d_64_iters": int(gres.iters),
+    }))
+
+
+if __name__ == "__main__":
+    main()

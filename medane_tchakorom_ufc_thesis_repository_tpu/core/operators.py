@@ -325,6 +325,80 @@ class StencilStrip3D:
 _register(StencilStrip3D, [], ["rows", "ny", "nz", "diag", "off"])
 
 
+@dataclasses.dataclass(frozen=True)
+class DIA:
+    """Diagonal (DIA) sparse format — the TPU-native general path for
+    banded matrices (every constant-stencil PDE discretization).
+
+    ``offsets`` is a static tuple of diagonal offsets; ``data`` has shape
+    ``(ndiag, n)`` with ``data[d, i] = A[i, i + offsets[d]]`` (row-aligned;
+    out-of-range slots are 0).  SpMV is a sum of shifted elementwise
+    products — contiguous slices only, no gathers, so XLA fuses it into
+    one bandwidth-bound pass like the matrix-free stencils.  This is the
+    capability-parity replacement for the reference's AIJ matrices
+    (``create_matrix_sparse``, ``src/utils/utils.c:139-155``) on banded
+    problems; use ``ELL`` for genuinely unstructured sparsity.
+    """
+
+    data: jax.Array              # (ndiag, n)
+    offsets: Tuple[int, ...]     # static
+
+    @property
+    def shape(self):
+        n = self.data.shape[1]
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self) -> int:
+        n = self.data.shape[1]
+        return sum(n - abs(o) for o in self.offsets)
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        n = self.data.shape[1]
+        y = jnp.zeros_like(x)
+        for d, off in enumerate(self.offsets):
+            if off == 0:
+                y = y + self.data[d] * x
+            elif off > 0:
+                y = y.at[: n - off].add(self.data[d, : n - off] * x[off:])
+            else:
+                y = y.at[-off:].add(self.data[d, -off:] * x[: n + off])
+        return y
+
+    def rmv(self, x: jax.Array) -> jax.Array:
+        """A.T @ x: the transpose's diagonal at -off holds the same
+        stored values, shifted."""
+        n = self.data.shape[1]
+        y = jnp.zeros_like(x)
+        for d, off in enumerate(self.offsets):
+            if off == 0:
+                y = y + self.data[d] * x
+            elif off > 0:
+                y = y.at[off:].add(self.data[d, : n - off] * x[: n - off])
+            else:
+                y = y.at[: n + off].add(self.data[d, -off:] * x[-off:])
+        return y
+
+    def to_dense(self) -> jax.Array:
+        n = self.data.shape[1]
+        dense = jnp.zeros((n, n), self.dtype)
+        for d, off in enumerate(self.offsets):
+            if off >= 0:
+                rows = jnp.arange(n - off)
+                dense = dense.at[rows, rows + off].add(self.data[d, : n - off])
+            else:
+                rows = jnp.arange(-off, n)
+                dense = dense.at[rows, rows + off].add(self.data[d, -off:])
+        return dense
+
+
+_register(DIA, ["data"], ["offsets"])
+
+
 def as_matvec(op):
     """Return a pure ``x -> A@x`` closure for any operator."""
     return op.mv

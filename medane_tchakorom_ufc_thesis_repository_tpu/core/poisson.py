@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+    DIA,
     ELL,
     Stencil2D,
     Stencil3D,
@@ -150,8 +151,31 @@ def coo_to_ell(rows, cols, vals, shape, width: int | None = None,
     )
 
 
+def coo_to_dia(rows, cols, vals, shape, dtype=jnp.float32) -> DIA:
+    """Pack COO into DIA planes (row-aligned diagonals)."""
+    n, ncols = shape
+    if n != ncols:
+        raise ValueError("DIA requires a square matrix")
+    offs = np.asarray(cols) - np.asarray(rows)
+    uniq = np.unique(offs)
+    data = np.zeros((len(uniq), n))
+    for d, off in enumerate(uniq):
+        mask = offs == off
+        data[d, rows[mask]] = vals[mask]
+    return DIA(data=jnp.asarray(data, dtype=dtype),
+               offsets=tuple(int(o) for o in uniq))
+
+
 def poisson2d_ell(m, n, dtype=jnp.float32) -> ELL:
     return coo_to_ell(*poisson2d_coo(m, n), dtype=dtype)
+
+
+def poisson2d_dia(m, n, dtype=jnp.float32) -> DIA:
+    return coo_to_dia(*poisson2d_coo(m, n), dtype=dtype)
+
+
+def poisson3d_dia(nx, ny, nz, dtype=jnp.float32) -> DIA:
+    return coo_to_dia(*poisson3d_coo(nx, ny, nz), dtype=dtype)
 
 
 def poisson3d_ell(nx, ny, nz, dtype=jnp.float32) -> ELL:

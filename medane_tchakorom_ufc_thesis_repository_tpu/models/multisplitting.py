@@ -242,15 +242,16 @@ def multisplit_solve(
         return jnp.where(done[:, None], x, x_vis)
 
     def sweep_body(i, carry):
-        x, x_vis, rhs, sweeps, inner_total, S = carry
+        x, x_vis, rhs, sweeps, inner_total, S, pub = carry
         res = inner_solve(rhs, x)
         x = res.x
         inner_total = inner_total + jnp.sum(res.iters).astype(jnp.int32)
         sweeps = sweeps + 1
+        pub = jnp.logical_or(pub, (sweeps % stal) == 0)  # (nb,) published?
         x_vis = publish(x, x_vis, sweeps)
         rhs = b - op.coupling_mv(x_vis)
         S = S.at[i].set(x)
-        return (x, x_vis, rhs, sweeps, inner_total, S)
+        return (x, x_vis, rhs, sweeps, inner_total, S, pub)
 
     def minimize(S, x, x_vis, rhs, sweeps):
         """One outer minimization: basis S (s, nb, bs) -> combined x."""
@@ -291,8 +292,9 @@ def multisplit_solve(
          conv_count, rnorm, local_rnorms, outer_rnorm, converged) = carry
 
         S0 = jnp.zeros((s, nb, bs), dtype)
-        x, x_vis, rhs, sweeps, inner_total, S = lax.fori_loop(
-            0, s, sweep_body, (x, x_vis, rhs, sweeps, inner_total, S0)
+        pub0 = jnp.zeros((nb,), bool)
+        x, x_vis, rhs, sweeps, inner_total, S, pub = lax.fori_loop(
+            0, s, sweep_body, (x, x_vis, rhs, sweeps, inner_total, S0, pub0)
         )
 
         if minimization is not None:
@@ -309,8 +311,16 @@ def multisplit_solve(
         cycles = cycles + 1
 
         if is_async:
+            # pseudo-period gate (Alg-5.15): only count an under-threshold
+            # cycle toward termination when every block published fresh
+            # data during it — residuals measured against stale halos are
+            # not evidence of global convergence
             under = local_rnorms <= tol_local
-            conv_count = jnp.where(under, conv_count + 1, 0)
+            all_pub = jnp.all(pub)
+            conv_count = jnp.where(
+                ~under, 0,
+                jnp.where(all_pub, conv_count + 1, conv_count),
+            )
             converged = jnp.all(conv_count >= min_convergence_count)
         elif minimization == "global":
             converged = outer_rnorm <= tol_global

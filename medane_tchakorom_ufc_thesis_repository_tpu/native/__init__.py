@@ -1,0 +1,175 @@
+"""Native (C++) assembly library with ctypes bindings.
+
+Compiled on demand from ``src/assembly.cpp`` (g++ -O3 -fopenmp) into the
+package directory; all entry points fall back to the numpy reference
+implementations in ``core.poisson`` when no compiler is available, so the
+framework never hard-depends on the native path.
+
+This is the rebuild's native runtime component for host-side work — the
+counterpart of the reference's C assembly layer (``poisson2DMatrix``,
+``src/utils/utils.c:247-293``); device compute stays in XLA/Pallas.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "src", "assembly.cpp")
+_SO = os.path.join(_HERE, "_assembly.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_build_error: Optional[str] = None
+
+
+def _build() -> Optional[str]:
+    """Compile the shared library; returns an error string on failure."""
+    cmd = [
+        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        "-o", _SO, _SRC,
+    ]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=120
+        )
+    except (OSError, subprocess.TimeoutExpired) as e:
+        return f"{type(e).__name__}: {e}"
+    if proc.returncode != 0:
+        return proc.stderr[-2000:]
+    return None
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None on failure."""
+    global _lib, _build_error
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if _build_error is not None:
+            return None
+        if not os.path.exists(_SO) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+        ):
+            err = _build()
+            if err is not None:
+                _build_error = err
+                return None
+        lib = ctypes.CDLL(_SO)
+        i64, f64 = ctypes.c_int64, ctypes.c_double
+        p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.poisson2d_ell.argtypes = [i64, i64, f64, f64, p_i32, p_f64]
+        lib.poisson3d_ell.argtypes = [i64, i64, i64, f64, f64, p_i32, p_f64]
+        lib.poisson2d_dia.argtypes = [i64, i64, f64, f64, p_f64]
+        lib.poisson3d_dia.argtypes = [i64, i64, i64, f64, f64, p_f64]
+        lib.coo_to_ell.argtypes = [i64, i64, i64, p_i64, p_i64, p_f64,
+                                   p_i32, p_f64]
+        lib.coo_to_ell.restype = ctypes.c_int32
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def build_error() -> Optional[str]:
+    load()
+    return _build_error
+
+
+# ---------------------------------------------------------------------------
+# numpy-facing builders (native fast path, numpy fallback)
+# ---------------------------------------------------------------------------
+
+def poisson2d_ell_np(m: int, n: int, diag: float = 4.0, off: float = -1.0):
+    """ELL planes (indices int32 (m*n, 5), values f64) for 2D Poisson."""
+    lib = load()
+    size = m * n
+    if lib is not None:
+        indices = np.empty((size, 5), np.int32)
+        values = np.empty((size, 5), np.float64)
+        lib.poisson2d_ell(m, n, diag, off, indices, values)
+        return indices, values
+    from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson as pp
+
+    ell = pp.coo_to_ell(*pp.poisson2d_coo(m, n, diag, off), width=5,
+                        dtype=np.float64)
+    return np.asarray(ell.indices), np.asarray(ell.values, np.float64)
+
+
+def poisson3d_ell_np(nx: int, ny: int, nz: int, diag: float = 6.0,
+                     off: float = -1.0):
+    lib = load()
+    size = nx * ny * nz
+    if lib is not None:
+        indices = np.empty((size, 7), np.int32)
+        values = np.empty((size, 7), np.float64)
+        lib.poisson3d_ell(nx, ny, nz, diag, off, indices, values)
+        return indices, values
+    from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson as pp
+
+    ell = pp.coo_to_ell(*pp.poisson3d_coo(nx, ny, nz, diag, off), width=7,
+                        dtype=np.float64)
+    return np.asarray(ell.indices), np.asarray(ell.values, np.float64)
+
+
+def poisson2d_dia_np(m: int, n: int, diag: float = 4.0, off: float = -1.0):
+    """DIA planes (5, m*n) with offsets (-n, -1, 0, 1, n)."""
+    lib = load()
+    offsets = (-n, -1, 0, 1, n)
+    if lib is not None:
+        data = np.empty((5, m * n), np.float64)
+        lib.poisson2d_dia(m, n, diag, off, data)
+        return data, offsets
+    from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson as pp
+
+    dia = pp.poisson2d_dia(m, n, dtype=np.float64)
+    return np.asarray(dia.data), dia.offsets
+
+
+def poisson3d_dia_np(nx: int, ny: int, nz: int, diag: float = 6.0,
+                     off: float = -1.0):
+    lib = load()
+    sx = ny * nz
+    offsets = (-sx, -nz, -1, 0, 1, nz, sx)
+    if lib is not None:
+        data = np.empty((7, nx * ny * nz), np.float64)
+        lib.poisson3d_dia(nx, ny, nz, diag, off, data)
+        return data, offsets
+    from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson as pp
+
+    dia = pp.poisson3d_dia(nx, ny, nz, dtype=np.float64)
+    return np.asarray(dia.data), dia.offsets
+
+
+def coo_to_ell_np(rows, cols, vals, nrows: int, width: int):
+    """General COO -> ELL packing (entries lexsorted by (row, col))."""
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    vals = np.ascontiguousarray(vals, np.float64)
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    lib = load()
+    if lib is not None:
+        indices = np.empty((nrows, width), np.int32)
+        values = np.empty((nrows, width), np.float64)
+        rc = lib.coo_to_ell(len(rows), nrows, width, rows, cols, vals,
+                            indices, values)
+        if rc != 0:
+            raise ValueError(f"a row exceeds ELL width {width}")
+        return indices, values
+    from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson as pp
+
+    ell = pp.coo_to_ell(rows, cols, vals, (nrows, int(cols.max()) + 1),
+                        width=width, dtype=np.float64)
+    return np.asarray(ell.indices), np.asarray(ell.values, np.float64)

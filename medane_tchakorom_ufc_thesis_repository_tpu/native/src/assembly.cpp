@@ -1,0 +1,151 @@
+// Native assembly kernels: Poisson stencil -> ELL/DIA planes, COO packing.
+//
+// The TPU-native counterpart of the reference's C assembly layer
+// (poisson2DMatrix src/utils/utils.c:247-293, poisson3DMatrix
+// utils.c:30-121, MatSetValues-based AIJ fill).  Host-side problem
+// construction is the one part of this framework that is not device
+// compute; for production-size grids (8192^2 ~ 6.7e7 rows) the Python
+// loop-free numpy path still burns seconds and transient memory, so the
+// builders here fill caller-allocated buffers in one parallel pass.
+//
+// Exposed C ABI (ctypes-friendly):
+//   poisson2d_ell / poisson3d_ell  — direct ELL planes (width 5 / 7)
+//   poisson2d_dia / poisson3d_dia  — direct DIA planes (5 / 7 diagonals)
+//   coo_to_ell                     — general COO -> ELL packing
+//
+// Build: g++ -O3 -march=native -fopenmp -shared -fPIC assembly.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// 2D 5-point: row i*n+j; slots [self, north, south, west, east]
+// (padded slots: index 0, value 0 — same convention as core.poisson)
+// ---------------------------------------------------------------------
+void poisson2d_ell(int64_t m, int64_t n, double diag, double off,
+                   int32_t* indices, double* values) {
+    const int64_t w = 5;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < m; ++i) {
+        for (int64_t j = 0; j < n; ++j) {
+            const int64_t row = i * n + j;
+            int32_t* idx = indices + row * w;
+            double* val = values + row * w;
+            int64_t k = 0;
+            // entries ordered by column index (lexsort parity with
+            // core.poisson.coo_to_ell)
+            if (i > 0)     { idx[k] = (int32_t)(row - n); val[k++] = off; }
+            if (j > 0)     { idx[k] = (int32_t)(row - 1); val[k++] = off; }
+            idx[k] = (int32_t)row; val[k++] = diag;
+            if (j < n - 1) { idx[k] = (int32_t)(row + 1); val[k++] = off; }
+            if (i < m - 1) { idx[k] = (int32_t)(row + n); val[k++] = off; }
+            for (; k < w; ++k) { idx[k] = 0; val[k] = 0.0; }
+        }
+    }
+}
+
+// ---------------------------------------------------------------------
+// 3D 7-point: row ix*ny*nz + iy*nz + iz (x slowest, matching the
+// reference's depth-loop unknown order)
+// ---------------------------------------------------------------------
+void poisson3d_ell(int64_t nx, int64_t ny, int64_t nz, double diag,
+                   double off, int32_t* indices, double* values) {
+    const int64_t w = 7;
+    const int64_t sx = ny * nz;
+#pragma omp parallel for schedule(static)
+    for (int64_t ix = 0; ix < nx; ++ix) {
+        for (int64_t iy = 0; iy < ny; ++iy) {
+            for (int64_t iz = 0; iz < nz; ++iz) {
+                const int64_t row = ix * sx + iy * nz + iz;
+                int32_t* idx = indices + row * w;
+                double* val = values + row * w;
+                int64_t k = 0;
+                if (ix > 0)      { idx[k] = (int32_t)(row - sx); val[k++] = off; }
+                if (iy > 0)      { idx[k] = (int32_t)(row - nz); val[k++] = off; }
+                if (iz > 0)      { idx[k] = (int32_t)(row - 1);  val[k++] = off; }
+                idx[k] = (int32_t)row; val[k++] = diag;
+                if (iz < nz - 1) { idx[k] = (int32_t)(row + 1);  val[k++] = off; }
+                if (iy < ny - 1) { idx[k] = (int32_t)(row + nz); val[k++] = off; }
+                if (ix < nx - 1) { idx[k] = (int32_t)(row + sx); val[k++] = off; }
+                for (; k < w; ++k) { idx[k] = 0; val[k] = 0.0; }
+            }
+        }
+    }
+}
+
+// ---------------------------------------------------------------------
+// DIA builders: offsets fixed-order; data row-aligned (data[d*n + i] =
+// A[i, i+off_d], zero when out of band/boundary-truncated)
+// 2D offsets: [-n, -1, 0, 1, n]; 3D: [-ny*nz, -nz, -1, 0, 1, nz, ny*nz]
+// ---------------------------------------------------------------------
+void poisson2d_dia(int64_t m, int64_t n, double diag, double off,
+                   double* data /* (5, m*n) */) {
+    const int64_t size = m * n;
+    std::memset(data, 0, sizeof(double) * 5 * size);
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < m; ++i) {
+        for (int64_t j = 0; j < n; ++j) {
+            const int64_t row = i * n + j;
+            if (i > 0)     data[0 * size + row] = off;   // -n
+            if (j > 0)     data[1 * size + row] = off;   // -1
+            data[2 * size + row] = diag;                 //  0
+            if (j < n - 1) data[3 * size + row] = off;   // +1
+            if (i < m - 1) data[4 * size + row] = off;   // +n
+        }
+    }
+}
+
+void poisson3d_dia(int64_t nx, int64_t ny, int64_t nz, double diag,
+                   double off, double* data /* (7, nx*ny*nz) */) {
+    const int64_t size = nx * ny * nz;
+    const int64_t sx = ny * nz;
+    std::memset(data, 0, sizeof(double) * 7 * size);
+#pragma omp parallel for schedule(static)
+    for (int64_t ix = 0; ix < nx; ++ix) {
+        for (int64_t iy = 0; iy < ny; ++iy) {
+            for (int64_t iz = 0; iz < nz; ++iz) {
+                const int64_t row = ix * sx + iy * nz + iz;
+                if (ix > 0)      data[0 * size + row] = off;  // -sx
+                if (iy > 0)      data[1 * size + row] = off;  // -nz
+                if (iz > 0)      data[2 * size + row] = off;  // -1
+                data[3 * size + row] = diag;                  //  0
+                if (iz < nz - 1) data[4 * size + row] = off;  // +1
+                if (iy < ny - 1) data[5 * size + row] = off;  // +nz
+                if (ix < nx - 1) data[6 * size + row] = off;  // +sx
+            }
+        }
+    }
+}
+
+// ---------------------------------------------------------------------
+// General COO -> ELL.  Requires entries pre-sorted by (row, col) — the
+// Python wrapper lexsorts.  Returns 0 on success, -1 if a row exceeds
+// the ELL width.
+// ---------------------------------------------------------------------
+int32_t coo_to_ell(int64_t nnz, int64_t nrows, int64_t width,
+                   const int64_t* rows, const int64_t* cols,
+                   const double* vals,
+                   int32_t* indices, double* values) {
+    std::memset(indices, 0, sizeof(int32_t) * nrows * width);
+    std::memset(values, 0, sizeof(double) * nrows * width);
+    int64_t slot = 0;
+    int64_t prev_row = -1;
+    for (int64_t k = 0; k < nnz; ++k) {
+        const int64_t r = rows[k];
+        slot = (r == prev_row) ? slot + 1 : 0;
+        prev_row = r;
+        if (slot >= width) return -1;
+        indices[r * width + slot] = (int32_t)cols[k];
+        values[r * width + slot] = vals[k];
+    }
+    return 0;
+}
+
+}  // extern "C"

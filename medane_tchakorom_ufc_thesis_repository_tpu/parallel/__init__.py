@@ -1,0 +1,19 @@
+"""Distribution layer: device meshes, halo exchange, sharded solvers.
+
+The TPU-native replacement for the reference's entire MPI stack
+(SURVEY.md §2.2/§5.8): communicator topology becomes a
+``jax.sharding.Mesh`` with axes ``('block', 'intra')``, the sync
+``MPI_Sendrecv`` halo becomes ``lax.ppermute``, norm reductions become
+``lax.psum`` over mesh axes, and the two-level communicator hierarchy
+(block sub-communicators + roots-only communicator) becomes reductions
+scoped to ``'intra'`` vs ``('block', 'intra')``.
+"""
+
+from medane_tchakorom_ufc_thesis_repository_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+)
+from medane_tchakorom_ufc_thesis_repository_tpu.parallel.sharded import (  # noqa: F401
+    ShardedPoisson2D,
+    ShardedPoisson3D,
+    sharded_multisplit_solve,
+)

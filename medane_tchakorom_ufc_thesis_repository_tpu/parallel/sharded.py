@@ -1,0 +1,389 @@
+"""Sharded multisplitting: the multi-chip execution path.
+
+The same mathematics as ``models.multisplitting`` laid out over a device
+mesh ``('block', 'intra')`` with ``shard_map``:
+
+* each device owns a contiguous strip of grid rows (2D) / planes (3D);
+* the inner GMRES runs *per block* as an SPMD collective over ``'intra'``
+  (dot products ``psum`` over 'intra') — the analog of the reference's
+  per-block KSPSolve over the block sub-communicator;
+* the diagonal-block matvec exchanges one boundary row between intra
+  neighbors via ``ppermute`` (the analog of PETSc's VecScatter halos);
+* the inter-block coupling term ships the cut rows across the ``'block'``
+  axis via ``ppermute`` — replacing ``comm_sync_send_and_receive``
+  (reference ``src/utils/comm.c:126-141``); bounded-staleness publishing
+  replaces the async ``Isend``/``Iprobe``-drain path (``comm.c:6-77``);
+* norms are two-level psums ('intra' then 'block'), matching the
+  roots-communicator ``MPI_Allreduce`` hierarchy
+  (``computeFinalResidualNorm``, ``utils.c:575-595``);
+* the s-step minimization solves the tall-skinny least-squares via a
+  psum-reduced s x s Gram matrix — replacing the reference's explicit
+  dense-R half exchange (``comm_sync_send_and_receive_minimization``,
+  ``comm.c:252-286``) with one tiny collective.
+
+SPMD lockstep notes: inner solves run ``fixed_cycles`` GMRES (static trip
+count, masked updates) so blocks that converge early cannot desynchronize
+collectives; all outer termination flags are global reductions, so every
+device sees identical loop trip counts.
+
+Canonical local layout: every device's state is ``(rows_local, fdim)``
+where ``fdim`` is the product of the non-split grid dims (n for 2D,
+ny*nz for 3D) — boundary rows are then uniformly ``g[..., 0, :]`` /
+``g[..., -1, :]`` regardless of grid rank.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers import krylov
+from medane_tchakorom_ufc_thesis_repository_tpu.models.multisplitting import (
+    InnerConfig,
+    MultisplitResult,
+    OuterConfig,
+)
+
+
+# ---------------------------------------------------------------------------
+# Sharded stencil configs
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ShardedPoisson2D:
+    """2D 5-point Poisson on ``m x n``, grid rows sharded over devices."""
+
+    m: int
+    n: int
+    diag: float = 4.0
+    off: float = -1.0
+
+    @property
+    def split_extent(self) -> int:
+        return self.m
+
+    @property
+    def fdim(self) -> int:
+        return self.n
+
+    @property
+    def global_shape(self):
+        return (self.m, self.n)
+
+    @property
+    def nnz(self) -> int:
+        return 5 * self.m * self.n - 2 * self.m - 2 * self.n
+
+    def interior_mv(self, g):
+        """Local-strip stencil, zero external halos; ``g`` is
+        ``(..., rows, n)`` (possibly stacked with a leading s axis)."""
+        y = self.diag * g
+        y = y.at[..., 1:, :].add(self.off * g[..., :-1, :])
+        y = y.at[..., :-1, :].add(self.off * g[..., 1:, :])
+        y = y.at[..., :, 1:].add(self.off * g[..., :, :-1])
+        y = y.at[..., :, :-1].add(self.off * g[..., :, 1:])
+        return y
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedPoisson3D:
+    """3D 7-point Poisson on ``nx x ny x nz``, x-planes sharded;
+    canonical local layout ``(planes, ny*nz)``."""
+
+    nx: int
+    ny: int
+    nz: int
+    diag: float = 6.0
+    off: float = -1.0
+
+    @property
+    def split_extent(self) -> int:
+        return self.nx
+
+    @property
+    def fdim(self) -> int:
+        return self.ny * self.nz
+
+    @property
+    def global_shape(self):
+        return (self.nx, self.ny, self.nz)
+
+    @property
+    def nnz(self) -> int:
+        nx, ny, nz = self.nx, self.ny, self.nz
+        return 7 * nx * ny * nz - 2 * (nx * ny + ny * nz + nx * nz)
+
+    def interior_mv(self, g):
+        lead = g.shape[:-1]
+        gg = g.reshape(lead + (self.ny, self.nz))
+        y = self.diag * gg
+        y = y.at[..., 1:, :, :].add(self.off * gg[..., :-1, :, :])
+        y = y.at[..., :-1, :, :].add(self.off * gg[..., 1:, :, :])
+        y = y.at[..., :, 1:, :].add(self.off * gg[..., :, :-1, :])
+        y = y.at[..., :, :-1, :].add(self.off * gg[..., :, 1:, :])
+        y = y.at[..., :, :, 1:].add(self.off * gg[..., :, :, :-1])
+        y = y.at[..., :, :, :-1].add(self.off * gg[..., :, :, 1:])
+        return y.reshape(g.shape)
+
+
+# ---------------------------------------------------------------------------
+# Solver
+# ---------------------------------------------------------------------------
+
+def sharded_multisplit_solve(
+    mesh: Mesh,
+    opcfg,
+    b: jax.Array,
+    *,
+    schedule: str = "sync",
+    staleness: Union[int, Sequence[int]] = 1,
+    minimization: Optional[str] = None,
+    s: int = 4,
+    inner: InnerConfig = InnerConfig(),
+    outer: OuterConfig = OuterConfig(),
+    rtol: float = 1e-3,
+    atol: float = 1e-100,
+    maxiter: int = 10000,
+    min_convergence_count: int = 4,
+) -> MultisplitResult:
+    """Sharded two-stage multisplitting over ``mesh ('block','intra')``.
+
+    ``b`` is the GLOBAL right-hand side in grid shape; it is resharded to
+    ``P(('block','intra'))`` on the leading grid axis internally.  The
+    returned ``MultisplitResult.x`` is the global solution in grid shape.
+    Parameters match ``models.multisplitting.multisplit_solve``.
+    """
+    if schedule not in ("sync", "async"):
+        raise ValueError(f"unknown schedule {schedule!r}")
+    if minimization not in (None, "local", "semi_local", "global"):
+        raise ValueError(f"unknown minimization {minimization!r}")
+    is_async = schedule == "async"
+    if minimization is None:
+        s = 1
+
+    nb = mesh.shape["block"]
+    ni = mesh.shape["intra"]
+    ndev = nb * ni
+    if opcfg.split_extent % ndev:
+        raise ValueError(
+            f"grid extent {opcfg.split_extent} not divisible by {ndev} devices"
+        )
+    gshape = opcfg.global_shape
+    if tuple(b.shape) != tuple(gshape):
+        raise ValueError(f"b must have grid shape {gshape}, got {b.shape}")
+    rows_loc = opcfg.split_extent // ndev
+    fdim = opcfg.fdim
+    lshape = (rows_loc, fdim)
+    lsize = rows_loc * fdim
+    dtype = b.dtype
+    off = opcfg.off
+
+    stal_host = np.broadcast_to(np.asarray(staleness, np.int32), (nb,)).copy()
+    if not is_async and not np.all(stal_host == 1):
+        raise ValueError("sync schedule requires staleness == 1")
+    stal = jnp.asarray(stal_host)
+
+    up_pairs = [(i, i + 1) for i in range(ni - 1)]
+    down_pairs = [(i, i - 1) for i in range(1, ni)]
+    blk_up = [(k, k + 1) for k in range(nb - 1)]
+    blk_down = [(k, k - 1) for k in range(1, nb)]
+
+    def intra_halos(g):
+        """Boundary-row exchange between intra neighbors (same block);
+        zeros arrive at block-internal edges."""
+        top = lax.ppermute(g[..., -1, :], "intra", up_pairs)
+        bot = lax.ppermute(g[..., 0, :], "intra", down_pairs)
+        return top, bot
+
+    def cross_block_halos(g):
+        """Cut rows from neighboring *blocks*: wrap within 'intra', then
+        shift across 'block'; only (intra==0)/(intra==ni-1) devices of
+        interior blocks receive nonzeros, everything else gets ppermute's
+        implicit zeros (incl. the global Dirichlet boundary)."""
+        wrap_top = lax.ppermute(g[..., -1, :], "intra", [(ni - 1, 0)])
+        top = lax.ppermute(wrap_top, "block", blk_up)
+        wrap_bot = lax.ppermute(g[..., 0, :], "intra", [(0, ni - 1)])
+        bot = lax.ppermute(wrap_bot, "block", blk_down)
+        return top, bot
+
+    def diag_mv(g):
+        """A_ii @ x_i on the local strip (intra halos only)."""
+        top, bot = intra_halos(g)
+        y = opcfg.interior_mv(g)
+        y = y.at[..., 0, :].add(off * top)
+        y = y.at[..., -1, :].add(off * bot)
+        return y
+
+    def coupling_mv(g_vis):
+        """A_ij @ x_j from the published peer-block state."""
+        top, bot = cross_block_halos(g_vis)
+        c = jnp.zeros_like(g_vis)
+        c = c.at[..., 0, :].add(off * top)
+        c = c.at[..., -1, :].add(off * bot)
+        return c
+
+    def inner_solve(rhs, x):
+        return krylov.gmres(
+            lambda v: diag_mv(v.reshape(lshape)).reshape(-1),
+            rhs.reshape(-1),
+            x.reshape(-1),
+            restart=inner.restart,
+            maxiter=inner.maxiter,
+            rtol=inner.rtol,
+            atol=inner.atol,
+            orthog=inner.orthog,
+            axis_name="intra",
+            fixed_cycles=True,
+        )
+
+    def solve_gram(G, c):
+        eps = jnp.finfo(dtype).eps
+        jitter = eps * jnp.trace(G) / G.shape[0] + outer.damping
+        G = G + jitter * jnp.eye(G.shape[0], dtype=dtype)
+        ch, low = jax.scipy.linalg.cho_factor(G, lower=True)
+        return jax.scipy.linalg.cho_solve((ch, low), c)
+
+    def body(b_loc):
+        rnorm0 = jnp.sqrt(
+            lax.psum(jnp.sum(b_loc * b_loc), ("block", "intra"))
+        )
+        tol_global = jnp.maximum(rtol * rnorm0, atol)
+        tol_local = jnp.maximum(
+            rtol / jnp.sqrt(jnp.asarray(float(nb), dtype)) * rnorm0, atol
+        )
+        my_stal = stal[lax.axis_index("block")]
+
+        x0 = jnp.zeros(lshape, dtype)
+        rhs0 = b_loc - coupling_mv(x0)
+
+        def publish(x, x_vis, sweeps):
+            return jnp.where((sweeps % my_stal) == 0, x, x_vis)
+
+        def sweep_body(i, carry):
+            x, x_vis, rhs, sweeps, inner_total, S, pub = carry
+            res = inner_solve(rhs, x)
+            x = res.x.reshape(lshape)
+            inner_total = inner_total + lax.psum(res.iters, "block").astype(
+                jnp.int32
+            )
+            sweeps = sweeps + 1
+            pub = jnp.logical_or(pub, (sweeps % my_stal) == 0)
+            x_vis = publish(x, x_vis, sweeps)
+            rhs = b_loc - coupling_mv(x_vis)
+            S = S.at[i].set(x)
+            return (x, x_vis, rhs, sweeps, inner_total, S, pub)
+
+        def minimize(S, x, x_vis, rhs, sweeps):
+            # R columns (reference `...-local.c:256` / `...-global.c:325`)
+            if minimization == "local":
+                Rcols = diag_mv(S)
+                target = rhs
+                axes = ("intra",)
+            else:
+                Rcols = diag_mv(S) + coupling_mv(S)
+                target = b_loc
+                axes = ("intra",) if minimization == "semi_local" else (
+                    "block", "intra"
+                )
+            Rmat = Rcols.reshape(s, lsize).T          # (lsize, s)
+            tgt = target.reshape(-1)
+            G = lax.psum(Rmat.T @ Rmat, axes)         # (s, s)
+            c = lax.psum(Rmat.T @ tgt, axes)
+            alpha = solve_gram(G, c)
+            out_sq = lax.psum(jnp.sum((tgt - Rmat @ alpha) ** 2), axes)
+            outer_rnorm = jnp.sqrt(out_sq)
+            x_new = (S.reshape(s, lsize).T @ alpha).reshape(lshape)
+            x_vis = publish(x_new, x_vis, sweeps)
+            rhs = b_loc - coupling_mv(x_vis)
+            return x_new, x_vis, rhs, outer_rnorm
+
+        def cycle(carry):
+            (x, x_vis, rhs, sweeps, cycles, inner_total,
+             conv_count, rnorm, outer_rnorm, converged) = carry
+
+            S0 = jnp.zeros((s,) + lshape, dtype)
+            pub0 = jnp.zeros((), bool)
+            x, x_vis, rhs, sweeps, inner_total, S, pub = lax.fori_loop(
+                0, s, sweep_body,
+                (x, x_vis, rhs, sweeps, inner_total, S0, pub0),
+            )
+            if minimization is not None:
+                x, x_vis, rhs, outer_rnorm = minimize(S, x, x_vis, rhs, sweeps)
+
+            local_r = rhs - diag_mv(x)
+            block_sq = lax.psum(jnp.sum(local_r * local_r), "intra")
+            block_norm = jnp.sqrt(block_sq)
+            rnorm = jnp.sqrt(lax.psum(block_sq, "block"))
+            cycles = cycles + 1
+
+            if is_async:
+                # pseudo-period gate: count only cycles where every block
+                # published fresh data (see models.multisplitting)
+                under = block_norm <= tol_local
+                all_pub = lax.psum(pub.astype(jnp.int32), "block") == nb
+                conv_count = jnp.where(
+                    ~under, 0,
+                    jnp.where(all_pub, conv_count + 1, conv_count),
+                )
+                ok = (conv_count >= min_convergence_count).astype(jnp.int32)
+                converged = lax.psum(ok, "block") == nb
+            elif minimization == "global":
+                converged = outer_rnorm <= tol_global
+            elif minimization is not None:
+                ok = (block_norm <= tol_local).astype(jnp.int32)
+                converged = lax.psum(ok, "block") == nb
+            else:
+                converged = rnorm <= tol_global
+
+            return (x, x_vis, rhs, sweeps, cycles, inner_total,
+                    conv_count, rnorm, outer_rnorm, converged)
+
+        def cond(carry):
+            sweeps = carry[3]
+            converged = carry[-1]
+            return jnp.logical_and(~converged, sweeps < maxiter)
+
+        init = (
+            x0, x0, rhs0,
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+            rnorm0, jnp.asarray(jnp.inf, dtype),
+            rnorm0 <= tol_global,
+        )
+        (x, _, rhs, sweeps, cycles, inner_total, _, rnorm, outer_rnorm,
+         converged) = lax.while_loop(cond, cycle, init)
+
+        local_r = rhs - diag_mv(x)
+        block_norm = jnp.sqrt(
+            lax.psum(jnp.sum(local_r * local_r), "intra")
+        ).reshape(1)
+        return (x, sweeps, cycles, inner_total, rnorm, rnorm0, block_norm,
+                outer_rnorm, converged)
+
+    shard_spec = P(("block", "intra"), None)
+    scalar = P()
+    run = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(shard_spec,),
+        out_specs=(shard_spec, scalar, scalar, scalar, scalar, scalar,
+                   P("block"), scalar, scalar),
+        check_rep=False,
+    )
+    b_flat = b.reshape(opcfg.split_extent, fdim)
+    b_sh = jax.device_put(b_flat, NamedSharding(mesh, shard_spec))
+    (x, sweeps, cycles, inner_total, rnorm, rnorm0, block_norms, outer_rnorm,
+     converged) = run(b_sh)
+    return MultisplitResult(
+        x=x.reshape(gshape), sweeps=sweeps, cycles=cycles,
+        inner_iters=inner_total, rnorm=rnorm, rnorm0=rnorm0,
+        local_rnorms=block_norms, outer_rnorm=outer_rnorm,
+        converged=converged,
+    )

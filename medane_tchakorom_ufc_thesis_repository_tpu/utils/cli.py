@@ -1,0 +1,215 @@
+"""``isolve``-equivalent CLI: one launcher for the whole algorithm zoo.
+
+Rebuild of the reference's ``iSolve`` bash launcher (SURVEY.md §2.6):
+``./iSolve --alg SMSM_GLOBAL --np 8 --npb 4 --m 200 --n 200 --rtol 1e-3``
+becomes::
+
+    python -m medane_tchakorom_ufc_thesis_repository_tpu.utils.cli \
+        --alg SMSM_GLOBAL --m 200 --n 200 --rtol 1e-3 [--backend sharded
+        --nblocks 2 --intra 4]
+
+Prints the same end-of-run report the reference binaries do
+(``printResidualNorm`` / ``printElapsedTime`` / ``computeError``,
+reference ``src/utils/utils.c:668-729,1045-1059``): initial/final true
+residual norm, sweep + inner-iteration counts, elapsed seconds, and the
+error vs the exact solution u = 1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="isolve",
+        description="TPU-native two-stage multisplitting solver launcher",
+    )
+    p.add_argument("--alg", default="SM",
+                   help="GMRES | SM | AM | SMSM_{LOCAL,SEMI_LOCAL,GLOBAL} | "
+                        "AMAM_{LOCAL,SEMI_LOCAL,GLOBAL}")
+    p.add_argument("--config", default=None,
+                   help="JSON config file (defaults < file < CLI)")
+    p.add_argument("--dim", type=int, default=None, help="2 or 3")
+    p.add_argument("--m", type=int, default=None, help="grid rows (2D) / nx (3D)")
+    p.add_argument("--n", type=int, default=None, help="grid cols (2D) / ny (3D)")
+    p.add_argument("--nz", type=int, default=None, help="nz (3D)")
+    p.add_argument("--s", type=int, default=None, help="basis depth")
+    p.add_argument("--rtol", type=float, default=None)
+    p.add_argument("--maxiter", type=int, default=None, help="sweep budget")
+    p.add_argument("--min-convergence-count", type=int, default=None,
+                   dest="min_convergence_count")
+    p.add_argument("--staleness", type=int, default=None,
+                   help="async publish period (sweeps)")
+    p.add_argument("--nblocks", type=int, default=None,
+                   help="Jacobi blocks (np/npb analog)")
+    p.add_argument("--intra", type=int, default=None,
+                   help="devices per block (sharded backend)")
+    p.add_argument("--backend", default=None, choices=["stacked", "sharded"])
+    p.add_argument("--dtype", default=None, choices=["float32", "float64"])
+    p.add_argument("--inner-restart", type=int, default=None, dest="inner_restart")
+    p.add_argument("--inner-maxiter", type=int, default=None, dest="inner_maxiter")
+    p.add_argument("--inner-rtol", type=float, default=None, dest="inner_rtol")
+    p.add_argument("--outer-method", default=None, dest="outer_method",
+                   choices=["qr", "normal", "lsqr", "cgne"])
+    p.add_argument("--outer-maxiter", type=int, default=None, dest="outer_maxiter")
+    p.add_argument("--outer-rtol", type=float, default=None, dest="outer_rtol")
+    p.add_argument("--json", action="store_true",
+                   help="emit one JSON line instead of the report")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace here")
+    return p
+
+
+def config_from_args(args) -> "RunConfig":
+    from medane_tchakorom_ufc_thesis_repository_tpu.utils.config import (
+        default_config,
+        load_config,
+    )
+
+    overrides = {
+        k: v for k, v in vars(args).items()
+        if v is not None and k not in ("config", "json", "profile_dir")
+    }
+    if args.config:
+        return load_config(args.config, **overrides)
+    return default_config(**overrides)
+
+
+def run(cfg, profile_dir=None):
+    import jax
+    import jax.numpy as jnp
+
+    from medane_tchakorom_ufc_thesis_repository_tpu.models import (
+        blockops,
+        multisplitting as ms,
+    )
+    from medane_tchakorom_ufc_thesis_repository_tpu.utils.profiling import (
+        PhaseTimer,
+        fence,
+        trace,
+    )
+
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    pt = PhaseTimer()
+
+    with pt.phase("Loading"):
+        if cfg.dim == 2:
+            op = blockops.block_poisson2d(cfg.m, cfg.n, cfg.nblocks)
+        else:
+            op = blockops.block_poisson3d(cfg.m, cfg.n, cfg.nz, cfg.nblocks)
+        b = blockops.rhs_ones(op, dtype)
+        fence(b)
+
+    kw = dict(
+        rtol=cfg.rtol, atol=cfg.atol, maxiter=cfg.maxiter,
+        inner=cfg.inner_config(), outer=cfg.outer_config(),
+        min_convergence_count=cfg.min_convergence_count,
+    )
+
+    if cfg.alg == "GMRES":
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import gmres
+
+        flat_b = b.reshape(-1)
+        solve = jax.jit(lambda bb: gmres(
+            op.global_mv, bb, restart=cfg.inner_restart,
+            maxiter=cfg.maxiter, rtol=cfg.rtol,
+        ))
+        with trace(profile_dir), pt.phase("I_Solver"):
+            t0 = time.perf_counter()
+            kres = solve(flat_b)
+            fence(kres.x)
+            elapsed = time.perf_counter() - t0
+        x_flat = kres.x
+        result = dict(sweeps=int(kres.iters), cycles=0,
+                      inner_iters=int(kres.iters),
+                      converged=bool(kres.converged),
+                      rnorm=float(kres.resnorm), rnorm0=float(kres.resnorm0))
+    else:
+        if cfg.backend == "sharded":
+            from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
+                ShardedPoisson2D,
+                ShardedPoisson3D,
+                make_mesh,
+                sharded_multisplit_solve,
+            )
+
+            mesh = make_mesh(nblocks=cfg.nblocks, intra=cfg.intra)
+            opcfg = (ShardedPoisson2D(cfg.m, cfg.n) if cfg.dim == 2
+                     else ShardedPoisson3D(cfg.m, cfg.n, cfg.nz))
+            gshape = opcfg.global_shape
+            b_grid = b.reshape(gshape)
+
+            def solve():
+                return sharded_multisplit_solve(
+                    mesh, opcfg, b_grid,
+                    schedule=cfg.schedule,
+                    staleness=(cfg.staleness if cfg.schedule == "async" else 1),
+                    minimization=cfg.minimization, s=cfg.s, **kw,
+                )
+        else:
+            def solve():
+                return ms.multisplit_solve(
+                    op, b,
+                    schedule=cfg.schedule,
+                    staleness=(cfg.staleness if cfg.schedule == "async" else 1),
+                    minimization=cfg.minimization, s=cfg.s, **kw,
+                )
+
+        with trace(profile_dir), pt.phase("I_Solver"):
+            t0 = time.perf_counter()
+            res = solve()
+            fence(res.x)
+            elapsed = time.perf_counter() - t0
+        x_flat = res.x.reshape(-1)
+        result = dict(sweeps=int(res.sweeps), cycles=int(res.cycles),
+                      inner_iters=int(res.inner_iters),
+                      converged=bool(res.converged),
+                      rnorm=float(res.rnorm), rnorm0=float(res.rnorm0))
+
+    with pt.phase("Last"):
+        r = b.reshape(-1) - op.global_mv(x_flat)
+        final_norm = float(jnp.linalg.norm(r))
+        err = float(jnp.linalg.norm(x_flat - 1.0))
+        fence(r)
+
+    result.update(
+        alg=cfg.alg, backend=cfg.backend, dim=cfg.dim,
+        grid=(f"{cfg.m}x{cfg.n}" if cfg.dim == 2
+              else f"{cfg.m}x{cfg.n}x{cfg.nz}"),
+        elapsed_s=round(elapsed, 4),
+        final_true_rnorm=final_norm,
+        rel_rnorm=final_norm / result["rnorm0"] if result["rnorm0"] else 0.0,
+        error_vs_ones=err,
+    )
+    return result, pt
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    result, pt = run(cfg, profile_dir=args.profile_dir)
+
+    if args.json:
+        print(json.dumps(result))
+    else:
+        print(f"Algorithm          : {result['alg']} ({result['backend']})")
+        print(f"Grid               : {result['grid']} ({result['dim']}D)")
+        print(f"Initial residual   : {result['rnorm0']:.6e}")
+        print(f"Final true residual: {result['final_true_rnorm']:.6e} "
+              f"(rel {result['rel_rnorm']:.3e})")
+        print(f"Sweeps / cycles    : {result['sweeps']} / {result['cycles']}")
+        print(f"Inner iterations   : {result['inner_iters']}")
+        print(f"Converged          : {result['converged']}")
+        print(f"Elapsed            : {result['elapsed_s']:.4f} s")
+        print(f"Error vs u=1       : {result['error_vs_ones']:.6e}")
+        pt.report()
+    return 0 if result["converged"] else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

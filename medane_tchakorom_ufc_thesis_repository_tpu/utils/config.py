@@ -1,0 +1,121 @@
+"""Run configuration: defaults + file + CLI override layering.
+
+Rebuild of the reference's three-tier config system (SURVEY.md §5.6):
+``config/default_run_variables`` (defaults) < ``iSolve`` CLI flags <
+per-block prefixed PETSc options.  Here one frozen dataclass carries the
+whole experiment; overrides layer via ``dataclasses.replace`` from a JSON
+file and CLI args.  Per-block inner-solver differences (the reference's
+``inner1_``/``inner2_`` prefixes) are expressed with per-block override
+dicts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Sequence, Tuple, Union
+
+from medane_tchakorom_ufc_thesis_repository_tpu.models.multisplitting import (
+    InnerConfig,
+    OuterConfig,
+)
+
+ALGORITHMS = (
+    "GMRES",
+    "SM",
+    "AM",
+    "SMSM_LOCAL",
+    "SMSM_SEMI_LOCAL",
+    "SMSM_GLOBAL",
+    "AMAM_LOCAL",
+    "AMAM_SEMI_LOCAL",
+    "AMAM_GLOBAL",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    """One experiment.  Field defaults mirror the reference's
+    ``config/default_run_variables:17-77`` (ALGORITHM=AM, M=N=1024, S=4,
+    RTOL=1e-3, MIN_CONVERGENCE_COUNT=4; inner gmres maxit 20 rtol 1e-3;
+    outer rtol tiny with large iteration budget)."""
+
+    alg: str = "AM"
+    # problem
+    dim: int = 2
+    m: int = 1024
+    n: int = 1024
+    nz: int = 64              # 3D only
+    dtype: str = "float32"
+    # decomposition (np/npb analog: nblocks = np/npb)
+    nblocks: int = 2
+    intra: int = 1            # devices per block (sharded backend)
+    backend: str = "stacked"  # 'stacked' (single-device) | 'sharded'
+    # algorithm
+    s: int = 4
+    rtol: float = 1e-3
+    atol: float = 1e-100
+    maxiter: int = 10000
+    min_convergence_count: int = 4
+    staleness: Union[int, Tuple[int, ...]] = 2
+    # inner / outer solver knobs
+    inner_restart: int = 30
+    inner_maxiter: int = 20
+    inner_rtol: float = 1e-3
+    outer_method: str = "qr"
+    outer_maxiter: int = 100
+    outer_rtol: float = 1e-12
+
+    def inner_config(self) -> InnerConfig:
+        return InnerConfig(
+            restart=self.inner_restart,
+            maxiter=self.inner_maxiter,
+            rtol=self.inner_rtol,
+        )
+
+    def outer_config(self) -> OuterConfig:
+        return OuterConfig(
+            method=self.outer_method,
+            maxiter=self.outer_maxiter,
+            rtol=self.outer_rtol,
+        )
+
+    def validate(self) -> "RunConfig":
+        if self.alg not in ALGORITHMS:
+            raise ValueError(
+                f"unknown algorithm {self.alg!r}; choose from {ALGORITHMS}"
+            )
+        if self.dim not in (2, 3):
+            raise ValueError("dim must be 2 or 3")
+        split = self.m if self.dim == 2 else self.m
+        if split % self.nblocks:
+            raise ValueError(
+                f"m={self.m} must divide by nblocks={self.nblocks}"
+            )
+        return self
+
+    @property
+    def schedule(self) -> str:
+        return "async" if self.alg.startswith("A") else "sync"
+
+    @property
+    def minimization(self) -> Optional[str]:
+        if self.alg.endswith("_LOCAL") and "SEMI" not in self.alg:
+            return "local"
+        if self.alg.endswith("_SEMI_LOCAL"):
+            return "semi_local"
+        if self.alg.endswith("_GLOBAL"):
+            return "global"
+        return None
+
+
+def default_config(**overrides) -> RunConfig:
+    return dataclasses.replace(RunConfig(), **overrides).validate()
+
+
+def load_config(path: str, **overrides) -> RunConfig:
+    """Layer: defaults < JSON file < keyword overrides."""
+    with open(path) as f:
+        file_vals = json.load(f)
+    merged = {**file_vals, **overrides}
+    return default_config(**merged)

@@ -1,0 +1,60 @@
+"""Tests for the host-driven genuinely-asynchronous backend.
+
+This is the analog of the reference's real async execution
+(``asynchronous-multisplitting_prime.c``) — threads racing, drain-to-
+newest mailboxes, Alg-5.15 termination — so assertions are on
+*invariants* (converged => residual under tolerance), not exact counts.
+"""
+
+import jax.numpy as jnp
+import pytest
+
+from medane_tchakorom_ufc_thesis_repository_tpu.models import blockops
+from medane_tchakorom_ufc_thesis_repository_tpu.models.host_async import (
+    host_async_solve,
+)
+
+
+def _problem(m=32, n=32, nblocks=2):
+    op = blockops.block_poisson2d(m, n, nblocks)
+    b = blockops.rhs_ones(op, jnp.float64)
+    return op, b
+
+
+class TestHostAsync:
+    def test_am_converges(self):
+        op, b = _problem()
+        res = host_async_solve(op, b, rtol=1e-3, maxiter=3000)
+        assert res.converged
+        # local tests are rtol/sqrt(nb) per block; global residual lands
+        # under ~rtol with slack for in-flight updates at termination
+        assert res.rnorm / res.rnorm0 <= 2e-3
+
+    def test_heterogeneous_speeds(self):
+        # one block 10x slower — the WAN-emulation scenario; the fast
+        # block iterates with stale data yet the solve still converges
+        op, b = _problem()
+        res = host_async_solve(
+            op, b, rtol=1e-3, maxiter=3000, sweep_delay_s=[0.0, 0.01]
+        )
+        assert res.converged
+        assert res.rnorm / res.rnorm0 <= 2e-3
+
+    def test_amam_local(self):
+        op, b = _problem()
+        res = host_async_solve(
+            op, b, rtol=1e-3, maxiter=3000, minimization="local", s=4
+        )
+        assert res.converged
+        assert res.rnorm / res.rnorm0 <= 2e-3
+
+    def test_maxiter_budget_respected(self):
+        op, b = _problem()
+        res = host_async_solve(op, b, rtol=1e-14, maxiter=10)
+        assert not res.converged
+        assert all(c <= 10 for c in res.sweeps_per_block)
+
+    def test_rejects_global_minimization(self):
+        op, b = _problem()
+        with pytest.raises(ValueError):
+            host_async_solve(op, b, minimization="global")

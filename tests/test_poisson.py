@@ -138,3 +138,38 @@ def test_rhs_for_exact_ones():
     b = poisson.rhs_for_exact_ones(op)
     dense = poisson.poisson2d_dense_np(m, n)
     np.testing.assert_allclose(np.asarray(b), dense @ np.ones(m * n), rtol=1e-6)
+
+
+class TestDIA:
+    def test_dia_matches_dense_2d(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+
+        dia = poisson.poisson2d_dia(6, 5, dtype=jnp.float64)
+        dense = poisson.poisson2d_dense_np(6, 5)
+        np.testing.assert_allclose(np.asarray(dia.to_dense()), dense, rtol=1e-14)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal(30))
+        np.testing.assert_allclose(np.asarray(dia.mv(x)), dense @ np.asarray(x), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(dia.rmv(x)), dense.T @ np.asarray(x), rtol=1e-12)
+
+    def test_dia_matches_dense_3d(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+
+        dia = poisson.poisson3d_dia(3, 4, 3, dtype=jnp.float64)
+        dense = poisson.poisson3d_dense_np(3, 4, 3)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal(36))
+        np.testing.assert_allclose(np.asarray(dia.mv(x)), dense @ np.asarray(x), rtol=1e-12)
+
+    def test_dia_nnz(self):
+        import jax.numpy as jnp
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+
+        dia = poisson.poisson2d_dia(4, 4, dtype=jnp.float64)
+        # 5 diagonals at offsets 0, +-1, +-4; but the +-1 diagonal has
+        # zero entries at row-wrap positions — nnz counts stored band slots
+        assert dia.offsets == (-4, -1, 0, 1, 4)

@@ -1,0 +1,123 @@
+"""Tests for the sharded (shard_map) multisplitting path.
+
+Runs on the virtual 8-device CPU mesh (conftest sets
+``--xla_force_host_platform_device_count=8``), mirroring how the reference
+tests multi-process behavior with 4 local MPI ranks (``makefile:185-188``).
+The key property: the sharded solver must reproduce the stacked
+single-device solver *exactly* (same sweep counts, same iterates up to fp
+roundoff) — it is the same math, different layout.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medane_tchakorom_ufc_thesis_repository_tpu.models import (
+    blockops,
+    multisplitting as ms,
+)
+from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
+    ShardedPoisson2D,
+    ShardedPoisson3D,
+    make_mesh,
+    sharded_multisplit_solve,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh24():
+    return make_mesh(nblocks=2, intra=4)
+
+
+def _setup2d(m=32, n=32):
+    sop = blockops.block_poisson2d(m, n)
+    b_grid = blockops.rhs_ones(sop, jnp.float64).reshape(m, n)
+    return sop, ShardedPoisson2D(m, n), b_grid
+
+
+def _true_rel(sop, b_grid, x_grid):
+    r = b_grid.reshape(-1) - sop.global_mv(x_grid.reshape(-1))
+    return float(jnp.linalg.norm(r) / jnp.linalg.norm(b_grid.reshape(-1)))
+
+
+class TestShardedSM:
+    def test_matches_stacked_exactly(self, mesh24):
+        sop, cfg, b = _setup2d()
+        res_sh = sharded_multisplit_solve(mesh24, cfg, b, rtol=1e-3, maxiter=2000)
+        res_st = ms.sm(sop, blockops.rhs_ones(sop, jnp.float64),
+                       rtol=1e-3, maxiter=2000)
+        assert int(res_sh.sweeps) == int(res_st.sweeps)
+        # psum reduction order differs from single-device sums; identical
+        # math drifts by ~1e-7 over ~40 sweeps
+        np.testing.assert_allclose(
+            np.asarray(res_sh.x.reshape(-1)),
+            np.asarray(res_st.x.reshape(-1)),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_invariant(self, mesh24):
+        sop, cfg, b = _setup2d()
+        res = sharded_multisplit_solve(mesh24, cfg, b, rtol=1e-3, maxiter=2000)
+        assert bool(res.converged)
+        assert _true_rel(sop, b, res.x) <= 1e-3
+
+    def test_3d(self, mesh24):
+        sop = blockops.block_poisson3d(16, 8, 8)
+        b = blockops.rhs_ones(sop, jnp.float64).reshape(16, 8, 8)
+        cfg = ShardedPoisson3D(16, 8, 8)
+        res = sharded_multisplit_solve(mesh24, cfg, b, rtol=1e-3, maxiter=2000)
+        assert bool(res.converged)
+        assert _true_rel(sop, b, res.x) <= 1e-3
+
+
+class TestShardedVariants:
+    @pytest.mark.parametrize("scope", ["local", "semi_local", "global"])
+    def test_smsm(self, mesh24, scope):
+        sop, cfg, b = _setup2d()
+        res = sharded_multisplit_solve(
+            mesh24, cfg, b, minimization=scope, s=4, rtol=1e-3, maxiter=2000
+        )
+        assert bool(res.converged)
+        assert _true_rel(sop, b, res.x) <= 1.5e-3
+
+    def test_smsm_matches_stacked_sweeps(self, mesh24):
+        sop, cfg, b = _setup2d()
+        res_sh = sharded_multisplit_solve(
+            mesh24, cfg, b, minimization="global", s=4, rtol=1e-3, maxiter=2000
+        )
+        res_st = ms.smsm(sop, blockops.rhs_ones(sop, jnp.float64),
+                         scope="global", s=4, rtol=1e-3, maxiter=2000)
+        assert int(res_sh.sweeps) == int(res_st.sweeps)
+
+    def test_async(self, mesh24):
+        sop, cfg, b = _setup2d()
+        res = sharded_multisplit_solve(
+            mesh24, cfg, b, schedule="async", staleness=2, rtol=1e-3,
+            maxiter=4000,
+        )
+        assert bool(res.converged)
+        assert _true_rel(sop, b, res.x) <= 1.5e-3
+
+    def test_amam_global(self, mesh24):
+        sop, cfg, b = _setup2d()
+        res = sharded_multisplit_solve(
+            mesh24, cfg, b, schedule="async", staleness=2,
+            minimization="global", s=4, rtol=1e-3, maxiter=4000,
+        )
+        assert bool(res.converged)
+        assert _true_rel(sop, b, res.x) <= 1.5e-3
+
+    def test_four_blocks(self):
+        mesh = make_mesh(nblocks=4, intra=2)
+        sop, cfg, b = _setup2d()
+        res = sharded_multisplit_solve(
+            mesh, cfg, b, minimization="global", s=4, rtol=1e-3, maxiter=3000
+        )
+        assert bool(res.converged)
+        assert _true_rel(sop, b, res.x) <= 1.5e-3
+
+    def test_local_rnorms_shape(self, mesh24):
+        _, cfg, b = _setup2d()
+        res = sharded_multisplit_solve(mesh24, cfg, b, rtol=1e-3, maxiter=2000)
+        assert res.local_rnorms.shape == (2,)
