@@ -34,17 +34,22 @@ def _fence(arr):
     return float(np.asarray(arr.ravel()[:1])[0])
 
 
-def _time_chained(fn, x, iters=50, warmup=3):
-    """Time ``x = fn(x)`` chained — every call depends on the previous
-    result, so no layer (XLA, runtime, tunnel) can dedupe or overlap
-    identical executions."""
+def _time_ondevice_chain(step, x, iters=200, warmup=1):
+    """Time ``iters`` chained applications of ``step`` inside ONE jitted
+    ``fori_loop`` — a single dispatch, so tunnel/dispatch latency (several
+    ms per call on the axon tunnel) cannot pollute per-op timing, and the
+    chain dependency defeats any result caching."""
+    import jax
+    from jax import lax
+
+    @jax.jit
+    def chain(v):
+        return lax.fori_loop(0, iters, lambda i, s: step(s), v)
+
     for _ in range(warmup):
-        x = fn(x)
-    _fence(x)
+        _fence(chain(x))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        x = fn(x)
-    _fence(x)
+    _fence(chain(x))
     return (time.perf_counter() - t0) / iters
 
 
@@ -62,9 +67,9 @@ def main():
     nx = ny = nz = 256
     op = poisson.poisson3d(nx, ny, nz)
     x = jnp.ones((nx * ny * nz,), jnp.float32)
-    # normalize each application so chained values stay finite
-    mv = jax.jit(lambda v: (lambda y: y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30))(op.mv(v)))
-    dt = _time_chained(mv, x, iters=50)
+    # scale by 1/8 each application (spectral radius < 8) so the chained
+    # values stay bounded; the scalar multiply fuses into the stencil pass
+    dt = _time_ondevice_chain(lambda v: op.mv(v) * jnp.float32(0.125), x)
     nnz_per_s = op.nnz / dt
 
     # --- secondary: SMSM_GLOBAL solve of 3D Poisson to 1e-5 -------------

@@ -89,6 +89,7 @@ def gmres(
     orthog: str = "cgs2",
     axis_name=None,
     fixed_cycles: bool = False,
+    stag_tol: float = 0.0,
 ) -> KrylovResult:
     """Restarted GMRES with classical Gram-Schmidt + Givens least squares.
 
@@ -125,9 +126,18 @@ def gmres(
     tol = _tol(jnp.asarray(rtol, dtype), jnp.asarray(atol, dtype), rnorm0_)
 
     def cycle(carry):
-        x, iters, rnorm, converged = carry
+        x, iters, rnorm, converged, beta_prev = carry
         r = b - matvec(x)
         beta = pnorm(r)
+        if stag_tol > 0.0:
+            # true-residual stagnation between restart cycles — the analog
+            # of the reference's custom KSP test `MyConvergeTest`
+            # (src/utils/utils.c:1130-1140): stop when a full restart cycle
+            # improves the true residual by less than a relative stag_tol
+            # (solver at its precision floor).  Like the reference's test,
+            # stagnation is reported as converged.
+            stagnated = beta > beta_prev * (1.0 - stag_tol)
+            converged = jnp.logical_or(converged, stagnated)
 
         V = jnp.zeros((m + 1, n), dtype)
         V = V.at[0].set(jnp.where(beta > 0, r / beta, r))
@@ -204,25 +214,26 @@ def gmres(
             R, jnp.where(safe, g[:m], 0.0), lower=False
         )
         x_new = x + V[:m].T @ y
-        return x_new, iters, rnorm, converged
+        return x_new, iters, rnorm, converged, beta
 
     def cond(carry):
-        _, iters, rnorm, converged = carry
+        _, iters, rnorm, converged, _ = carry
         return jnp.logical_and(~converged, iters < maxiter)
 
     converged0 = beta0 <= tol
-    init = (x0, jnp.zeros((), jnp.int32), beta0, converged0)
+    init = (x0, jnp.zeros((), jnp.int32), beta0, converged0,
+            jnp.asarray(jnp.inf, dtype))
     if fixed_cycles:
         # SPMD-lockstep mode for shard_map: a data-dependent while_loop trip
         # count would desynchronize collectives between blocks that converge
         # at different sweeps, so run a static number of restart cycles with
         # all updates masked by the converged flag (they already are).
         ncycles = -(-maxiter // m)
-        x, iters, rnorm, converged = lax.fori_loop(
+        x, iters, rnorm, converged, _ = lax.fori_loop(
             0, ncycles, lambda _, c: cycle(c), init
         )
     else:
-        x, iters, rnorm, converged = lax.while_loop(cond, cycle, init)
+        x, iters, rnorm, converged, _ = lax.while_loop(cond, cycle, init)
     return KrylovResult(
         x=x, iters=iters, resnorm=rnorm, resnorm0=rnorm0_, converged=converged
     )

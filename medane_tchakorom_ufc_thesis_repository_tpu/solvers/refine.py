@@ -1,0 +1,109 @@
+"""Mixed-precision iterative refinement.
+
+TPU compute is f32 (bf16/f32 MXU); a single f32 solve bottoms out near
+1e-6..1e-7 relative residual — short of the north-star's 1e-8 target on
+3D Poisson (BASELINE.json).  Classic iterative refinement fixes this
+without giving up f32 device speed:
+
+    repeat:  r = b - A x          (f64, host/numpy — exact to ~1e-16)
+             d = solve(A, r)      (f32, on-TPU, loose tolerance)
+             x = x + d            (f64 accumulation)
+
+Each pass multiplies the residual by roughly the f32 solve's relative
+tolerance, so 2-3 passes reach 1e-8..1e-12 while all heavy compute stays
+on the chip.  The reference needs no such machinery because PETSc runs
+f64 end-to-end on CPU; this module is the TPU-native equivalent of
+"just run to 1e-8".
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class RefineResult:
+    x: np.ndarray            # f64 solution
+    passes: int
+    rel_history: List[float]
+    rnorm: float
+    rnorm0: float
+    converged: bool
+
+
+def iterative_refinement(
+    solve_f32: Callable,      # (b_f32: jax.Array) -> x_f32 approximate solve
+    mv_f64: Callable,         # (x: np.ndarray f64) -> A @ x in f64 (host)
+    b: np.ndarray,            # f64 RHS
+    *,
+    rtol: float = 1e-8,
+    max_passes: int = 6,
+) -> RefineResult:
+    """Drive ``solve_f32`` to f64 accuracy by refinement.
+
+    ``solve_f32`` may be any jitted device solve (GMRES, a multisplitting
+    driver, ...) taking and returning flat f32 arrays; ``mv_f64`` is the
+    exact operator in f64 (numpy; the stencil/DIA operators evaluate
+    exactly in numpy via their ``to_dense``-free formulas).
+    """
+    b = np.asarray(b, np.float64)
+    rnorm0 = float(np.linalg.norm(b))
+    if rnorm0 == 0.0:
+        return RefineResult(np.zeros_like(b), 0, [], 0.0, 0.0, True)
+    x = np.zeros_like(b)
+    history: List[float] = []
+    for p in range(max_passes):
+        r = b - mv_f64(x)
+        rnorm = float(np.linalg.norm(r))
+        rel = rnorm / rnorm0
+        history.append(rel)
+        if rel <= rtol:
+            return RefineResult(x, p, history, rnorm, rnorm0, True)
+        # scale the correction problem to O(1) so f32 dynamic range is
+        # fully available to the inner solve
+        scale = rnorm
+        d32 = solve_f32(jnp.asarray(r / scale, jnp.float32))
+        x = x + scale * np.asarray(d32, np.float64)
+    r = b - mv_f64(x)
+    rnorm = float(np.linalg.norm(r))
+    history.append(rnorm / rnorm0)
+    return RefineResult(
+        x, max_passes, history, rnorm, rnorm0, rnorm / rnorm0 <= rtol
+    )
+
+
+def stencil2d_mv_np(m: int, n: int, diag: float = 4.0, off: float = -1.0):
+    """Exact f64 host matvec for the 2D 5-point operator (refinement use)."""
+
+    def mv(x):
+        g = np.asarray(x, np.float64).reshape(m, n)
+        y = diag * g
+        y[1:, :] += off * g[:-1, :]
+        y[:-1, :] += off * g[1:, :]
+        y[:, 1:] += off * g[:, :-1]
+        y[:, :-1] += off * g[:, 1:]
+        return y.reshape(-1)
+
+    return mv
+
+
+def stencil3d_mv_np(nx: int, ny: int, nz: int, diag: float = 6.0,
+                    off: float = -1.0):
+    """Exact f64 host matvec for the 3D 7-point operator."""
+
+    def mv(x):
+        g = np.asarray(x, np.float64).reshape(nx, ny, nz)
+        y = diag * g
+        y[1:] += off * g[:-1]
+        y[:-1] += off * g[1:]
+        y[:, 1:, :] += off * g[:, :-1, :]
+        y[:, :-1, :] += off * g[:, 1:, :]
+        y[:, :, 1:] += off * g[:, :, :-1]
+        y[:, :, :-1] += off * g[:, :, 1:]
+        return y.reshape(-1)
+
+    return mv
