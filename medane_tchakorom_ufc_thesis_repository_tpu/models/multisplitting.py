@@ -119,13 +119,17 @@ class MultisplitResult:
     local_rnorms: jax.Array  # (nblocks,) last per-block residual norms
     outer_rnorm: jax.Array   # last outer LS residual (global minimization)
     converged: jax.Array     # bool
+    history: Optional[jax.Array] = None  # (max_cycles,) per-cycle rnorms
+                                         # (inf where unreached); the analog
+                                         # of the reference's per-iteration
+                                         # norm printouts
 
 
 jax.tree_util.register_dataclass(
     MultisplitResult,
     data_fields=[
         "x", "sweeps", "cycles", "inner_iters", "rnorm", "rnorm0",
-        "local_rnorms", "outer_rnorm", "converged",
+        "local_rnorms", "outer_rnorm", "converged", "history",
     ],
     meta_fields=[],
 )
@@ -197,6 +201,7 @@ def multisplit_solve(
     atol: float = 1e-100,
     maxiter: int = 10000,
     min_convergence_count: int = 4,
+    record_history: bool = False,
 ) -> MultisplitResult:
     """Solve ``A x = b`` by (a)synchronous two-stage block multisplitting.
 
@@ -289,7 +294,7 @@ def multisplit_solve(
 
     def cycle(carry):
         (x, x_vis, rhs, sweeps, cycles, inner_total,
-         conv_count, rnorm, local_rnorms, outer_rnorm, converged) = carry
+         conv_count, rnorm, local_rnorms, outer_rnorm, converged, hist) = carry
 
         S0 = jnp.zeros((s, nb, bs), dtype)
         pub0 = jnp.zeros((nb,), bool)
@@ -308,6 +313,8 @@ def multisplit_solve(
         local_sq = jnp.sum(local_r * local_r, axis=1)
         local_rnorms = jnp.sqrt(local_sq)
         rnorm = jnp.sqrt(jnp.sum(local_sq))
+        if record_history:
+            hist = hist.at[cycles].set(rnorm)
         cycles = cycles + 1
 
         if is_async:
@@ -330,12 +337,15 @@ def multisplit_solve(
             converged = rnorm <= tol_global
 
         return (x, x_vis, rhs, sweeps, cycles, inner_total,
-                conv_count, rnorm, local_rnorms, outer_rnorm, converged)
+                conv_count, rnorm, local_rnorms, outer_rnorm, converged, hist)
 
     def cond(carry):
-        (_, _, _, sweeps, _, _, _, _, _, _, converged) = carry
+        sweeps = carry[3]
+        converged = carry[10]
         return jnp.logical_and(~converged, sweeps < maxiter)
 
+    max_cycles = -(-maxiter // s) if record_history else 1
+    hist0 = jnp.full((max_cycles,), jnp.inf, dtype)
     init = (
         x0, x_vis0, rhs0,
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
@@ -344,14 +354,16 @@ def multisplit_solve(
         rnorm0, jnp.full((nb,), jnp.inf, dtype),
         jnp.asarray(jnp.inf, dtype),
         rnorm0 <= tol_global,
+        hist0,
     )
     (x, _, _, sweeps, cycles, inner_total, _, rnorm, local_rnorms,
-     outer_rnorm, converged) = lax.while_loop(cond, cycle, init)
+     outer_rnorm, converged, hist) = lax.while_loop(cond, cycle, init)
 
     return MultisplitResult(
         x=x, sweeps=sweeps, cycles=cycles, inner_iters=inner_total,
         rnorm=rnorm, rnorm0=rnorm0, local_rnorms=local_rnorms,
         outer_rnorm=outer_rnorm, converged=converged,
+        history=hist if record_history else None,
     )
 
 

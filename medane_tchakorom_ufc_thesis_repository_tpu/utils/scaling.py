@@ -1,0 +1,127 @@
+"""Weak-scaling harness: fixed per-device load, growing device count.
+
+The north-star (BASELINE.json) asks for >=80% weak-scaling nnz/s
+efficiency at N hosts vs 1.  Real multi-host slices are not available in
+this environment, so the harness runs the SAME sharded program over
+virtual device counts (``--xla_force_host_platform_device_count``) or a
+real slice when one exists: per-device grid rows are fixed, the mesh
+grows, and we time a fixed number of multisplitting sweeps.
+
+Efficiency(N) = T(N_min) / T(N) for fixed per-device work (ideal = 1.0).
+
+Usage::
+
+    python -m medane_tchakorom_ufc_thesis_repository_tpu.utils.scaling \
+        --rows-per-device 128 --n 512 --sweeps 20 --devices 2,4,8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import Dict, List
+
+import numpy as np
+
+
+def run_weak_scaling(
+    rows_per_device: int = 128,
+    n: int = 512,
+    sweeps: int = 20,
+    device_counts: List[int] = (2, 4, 8),
+    inner_maxiter: int = 20,
+) -> List[Dict]:
+    import jax
+    import jax.numpy as jnp
+
+    from medane_tchakorom_ufc_thesis_repository_tpu.models.multisplitting import (
+        InnerConfig,
+    )
+    from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
+        ShardedPoisson2D,
+        make_mesh,
+        sharded_multisplit_solve,
+    )
+
+    def fence(arr):
+        np.asarray(arr.ravel()[:1])
+
+    records = []
+    for nd in device_counts:
+        if nd % 2:
+            raise ValueError("device counts must be even (2 Jacobi blocks)")
+        if nd > len(jax.devices()):
+            print(f"[scaling] skipping {nd} devices (only "
+                  f"{len(jax.devices())} available)")
+            continue
+        mesh = make_mesh(nblocks=2, intra=nd // 2)
+        m = rows_per_device * nd
+        cfg = ShardedPoisson2D(m, n)
+        # b = A @ ones without materializing the stacked operator
+        ones = jnp.ones((m, n), jnp.float32)
+        b = np.zeros((m, n), np.float32)
+        g = np.ones((m, n), np.float32)
+        y = 4.0 * g
+        y[1:, :] -= g[:-1, :]; y[:-1, :] -= g[1:, :]
+        y[:, 1:] -= g[:, :-1]; y[:, :-1] -= g[:, 1:]
+        b = jnp.asarray(y)
+
+        def solve():
+            return sharded_multisplit_solve(
+                mesh, cfg, b, rtol=1e-30, maxiter=sweeps,
+                inner=InnerConfig(maxiter=inner_maxiter, rtol=1e-10),
+            )
+
+        res = solve()          # compile + run
+        fence(res.x)
+        t0 = time.perf_counter()
+        res = solve()
+        fence(res.x)
+        dt = time.perf_counter() - t0
+        nnz = cfg.nnz
+        # each inner GMRES iteration applies A_ii once (plus orthog):
+        # count SpMV-equivalent work for a throughput figure
+        spmv_equiv = int(res.inner_iters) * nnz
+        rec = {
+            "devices": nd,
+            "grid": f"{m}x{n}",
+            "sweeps": int(res.sweeps),
+            "inner_iters": int(res.inner_iters),
+            "wall_s": round(dt, 4),
+            "spmv_equiv_nnz_per_s": round(spmv_equiv / dt / 1e9, 3),
+        }
+        records.append(rec)
+        print(f"[scaling] {json.dumps(rec)}")
+
+    if records:
+        t_base = records[0]["wall_s"]
+        for r in records:
+            r["weak_efficiency"] = round(t_base / r["wall_s"], 3)
+        print(f"[scaling] efficiencies: "
+              f"{[(r['devices'], r['weak_efficiency']) for r in records]}")
+    return records
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="scaling")
+    p.add_argument("--rows-per-device", type=int, default=128)
+    p.add_argument("--n", type=int, default=512)
+    p.add_argument("--sweeps", type=int, default=20)
+    p.add_argument("--devices", default="2,4,8")
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+    recs = run_weak_scaling(
+        args.rows_per_device, args.n, args.sweeps,
+        [int(x) for x in args.devices.split(",")],
+    )
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in recs:
+                f.write(json.dumps(r) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
