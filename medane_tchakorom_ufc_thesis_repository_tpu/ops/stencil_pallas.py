@@ -9,6 +9,13 @@ This is the hand-scheduled version of what XLA emits for the matrix-free
 ``Stencil2D.mv``; it exists to (a) pin the speed-of-light reference for
 the stencil path, (b) serve as the template for fused stencil+reduction
 kernels (residual norm fused into the SpMV pass).
+
+Status: validated in interpreter mode (exact vs the XLA path).  The
+current TPU-tunnel environment cannot compile Pallas (its remote AOT
+compile helper fails libtpu init), so the production SpMV path is the
+XLA pad+slice formulation in ``core.operators`` (measured 163 Gnnz/s on
+v5e vs 31 for the naive form); these kernels are the starting point for
+real-chip runs where Mosaic is available.
 """
 
 from __future__ import annotations
@@ -63,11 +70,15 @@ def _kernel2d(x_hbm, out_ref, scratch, sems, *, tile_m, n, diag, off):
     body.wait()
 
     c = scratch[1:tile_m + 1, :]
-    y = diag * c
-    y = y + off * scratch[0:tile_m, :]          # north
-    y = y + off * scratch[2:tile_m + 2, :]      # south
-    y = y.at[:, 1:].add(off * c[:, :-1])        # west
-    y = y.at[:, :-1].add(off * c[:, 1:])        # east
+    # column shifts via pad+slice (in-kernel .at[].add would lower to an
+    # unsupported scatter-add on the TPU backend)
+    cp = jnp.pad(c, ((0, 0), (1, 1)))
+    y = diag * c + off * (
+        scratch[0:tile_m, :]        # north
+        + scratch[2:tile_m + 2, :]  # south
+        + cp[:, :-2]                # west
+        + cp[:, 2:]                 # east
+    )
     out_ref[:, :] = y
 
 
@@ -140,15 +151,16 @@ def _kernel3d(x_hbm, out_ref, scratch, sems, *, tile_m, ny, nz, diag, off):
 
     body.wait()
 
-    # x-axis neighbors via the halo'd plane stack; y/z via in-plane shifts
+    # x-axis neighbors via the halo'd plane stack; y/z via in-plane
+    # pad+slice shifts (no scatter-add in-kernel)
     c = scratch[1:tile_m + 1, :].reshape(tile_m, ny, nz)
-    y = diag * c
-    y = y + off * scratch[0:tile_m, :].reshape(tile_m, ny, nz)
-    y = y + off * scratch[2:tile_m + 2, :].reshape(tile_m, ny, nz)
-    y = y.at[:, 1:, :].add(off * c[:, :-1, :])
-    y = y.at[:, :-1, :].add(off * c[:, 1:, :])
-    y = y.at[:, :, 1:].add(off * c[:, :, :-1])
-    y = y.at[:, :, :-1].add(off * c[:, :, 1:])
+    cp = jnp.pad(c, ((0, 0), (1, 1), (1, 1)))
+    y = diag * c + off * (
+        scratch[0:tile_m, :].reshape(tile_m, ny, nz)
+        + scratch[2:tile_m + 2, :].reshape(tile_m, ny, nz)
+        + cp[:, :-2, 1:-1] + cp[:, 2:, 1:-1]
+        + cp[:, 1:-1, :-2] + cp[:, 1:-1, 2:]
+    )
     out_ref[:, :] = y.reshape(tile_m, f)
 
 

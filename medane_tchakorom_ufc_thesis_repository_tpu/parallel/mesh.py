@@ -46,3 +46,39 @@ def make_mesh(
         raise ValueError(f"need {need} devices, have {len(devices)}")
     grid = np.array(devices[:need]).reshape(nblocks, intra)
     return Mesh(grid, ("block", "intra"))
+
+
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize the multi-host JAX runtime (``jax.distributed``) — the
+    analog of the reference's ``mpiexec`` fan-out over hostfiles
+    (``iSolve:347-401``, ``hostfiles/default``).  On TPU pods the
+    arguments are auto-detected from the environment; pass them
+    explicitly for CPU/GPU clusters.  Call before any other JAX API.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
+def make_multihost_mesh(nblocks: int = 2, intra: Optional[int] = None) -> Mesh:
+    """Mesh over ALL devices of a multi-host slice, blocks across hosts.
+
+    Jacobi blocks map to the slower DCN/host axis and 'intra' to chips
+    within a host (ICI) — matching the reference's placement of the two
+    blocks on different Grid'5000 sites with npb ranks per site
+    (SURVEY.md §2.5).  ``jax.devices()`` enumerates host-major, so the
+    default ordering achieves this when ``nblocks`` divides the host
+    count.
+    """
+    return make_mesh(nblocks=nblocks, intra=intra)

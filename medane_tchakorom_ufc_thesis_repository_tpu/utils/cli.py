@@ -114,17 +114,39 @@ def run(cfg, profile_dir=None):
     if cfg.alg == "GMRES":
         from medane_tchakorom_ufc_thesis_repository_tpu.solvers import gmres
 
-        flat_b = b.reshape(-1)
-        solve = jax.jit(lambda bb: gmres(
-            op.global_mv, bb, restart=cfg.inner_restart,
-            maxiter=cfg.maxiter, rtol=cfg.rtol,
-        ))
-        with trace(profile_dir), pt.phase("I_Solver"):
-            t0 = time.perf_counter()
-            kres = solve(flat_b)
-            fence(kres.x)
-            elapsed = time.perf_counter() - t0
-        x_flat = kres.x
+        if cfg.backend == "sharded":
+            from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
+                ShardedPoisson2D,
+                ShardedPoisson3D,
+                make_mesh,
+                sharded_gmres_solve,
+            )
+
+            mesh = make_mesh(nblocks=cfg.nblocks, intra=cfg.intra)
+            opcfg = (ShardedPoisson2D(cfg.m, cfg.n) if cfg.dim == 2
+                     else ShardedPoisson3D(cfg.m, cfg.n, cfg.nz))
+            b_grid = b.reshape(opcfg.global_shape)
+            with trace(profile_dir), pt.phase("I_Solver"):
+                t0 = time.perf_counter()
+                kres = sharded_gmres_solve(
+                    mesh, opcfg, b_grid, restart=cfg.inner_restart,
+                    maxiter=cfg.maxiter, rtol=cfg.rtol,
+                )
+                fence(kres.x)
+                elapsed = time.perf_counter() - t0
+            x_flat = kres.x.reshape(-1)
+        else:
+            flat_b = b.reshape(-1)
+            solve = jax.jit(lambda bb: gmres(
+                op.global_mv, bb, restart=cfg.inner_restart,
+                maxiter=cfg.maxiter, rtol=cfg.rtol,
+            ))
+            with trace(profile_dir), pt.phase("I_Solver"):
+                t0 = time.perf_counter()
+                kres = solve(flat_b)
+                fence(kres.x)
+                elapsed = time.perf_counter() - t0
+            x_flat = kres.x
         result = dict(sweeps=int(kres.iters), cycles=0,
                       inner_iters=int(kres.iters),
                       converged=bool(kres.converged),

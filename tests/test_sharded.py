@@ -121,3 +121,41 @@ class TestShardedVariants:
         _, cfg, b = _setup2d()
         res = sharded_multisplit_solve(mesh24, cfg, b, rtol=1e-3, maxiter=2000)
         assert res.local_rnorms.shape == (2,)
+
+
+class TestShardedGMRES:
+    def test_matches_single_device_iterations(self, mesh24):
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+        from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
+            sharded_gmres_solve,
+        )
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import gmres
+
+        m = n = 32
+        op = poisson.poisson2d(m, n)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float64)
+        ref = gmres(op.mv, b, restart=30, maxiter=2000, rtol=1e-6)
+        res = sharded_gmres_solve(
+            mesh24, ShardedPoisson2D(m, n), b.reshape(m, n),
+            restart=30, maxiter=2000, rtol=1e-6,
+        )
+        assert int(res.iters) == int(ref.iters)
+        assert bool(res.converged)
+        r = b - op.mv(res.x.reshape(-1))
+        assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) <= 1e-6
+
+    def test_3d(self, mesh24):
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+        from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
+            sharded_gmres_solve,
+        )
+
+        op = poisson.poisson3d(16, 8, 8)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float64)
+        res = sharded_gmres_solve(
+            mesh24, ShardedPoisson3D(16, 8, 8), b.reshape(16, 8, 8),
+            restart=30, maxiter=2000, rtol=1e-6,
+        )
+        assert bool(res.converged)
+        r = b - op.mv(res.x.reshape(-1))
+        assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) <= 1e-6
