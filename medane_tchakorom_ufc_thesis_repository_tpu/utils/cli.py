@@ -49,7 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Jacobi blocks (np/npb analog)")
     p.add_argument("--intra", type=int, default=None,
                    help="devices per block (sharded backend)")
-    p.add_argument("--backend", default=None, choices=["stacked", "sharded"])
+    p.add_argument("--backend", default=None,
+                   choices=["stacked", "sharded", "host_async"])
     p.add_argument("--dtype", default=None, choices=["float32", "float64"])
     p.add_argument("--inner-restart", type=int, default=None, dest="inner_restart")
     p.add_argument("--inner-maxiter", type=int, default=None, dest="inner_maxiter")
@@ -152,6 +153,46 @@ def run(cfg, profile_dir=None):
                       converged=bool(kres.converged),
                       rnorm=float(kres.resnorm), rnorm0=float(kres.resnorm0))
     else:
+        if cfg.backend == "host_async":
+            from medane_tchakorom_ufc_thesis_repository_tpu.models.host_async import (
+                host_async_solve,
+            )
+
+            if cfg.schedule != "async" or cfg.minimization not in (None, "local"):
+                raise SystemExit(
+                    "host_async backend supports AM and AMAM_LOCAL only"
+                )
+            with trace(profile_dir), pt.phase("I_Solver"):
+                t0 = time.perf_counter()
+                hres = host_async_solve(
+                    op, b, rtol=cfg.rtol, atol=cfg.atol,
+                    maxiter=cfg.maxiter,
+                    min_convergence_count=cfg.min_convergence_count,
+                    inner=cfg.inner_config(),
+                    minimization=cfg.minimization, s=cfg.s,
+                )
+                elapsed = time.perf_counter() - t0
+            x_flat = hres.x.reshape(-1)
+            result = dict(
+                sweeps=sum(hres.sweeps_per_block), cycles=0,
+                inner_iters=0, converged=bool(hres.converged),
+                rnorm=hres.rnorm, rnorm0=hres.rnorm0,
+                sweeps_per_block=hres.sweeps_per_block,
+            )
+            # report and return handled below via the common path
+            r = b.reshape(-1) - op.global_mv(x_flat)
+            final_norm = float(jnp.linalg.norm(r))
+            err = float(jnp.linalg.norm(x_flat - 1.0))
+            result.update(
+                alg=cfg.alg, backend=cfg.backend, dim=cfg.dim,
+                grid=(f"{cfg.m}x{cfg.n}" if cfg.dim == 2
+                      else f"{cfg.m}x{cfg.n}x{cfg.nz}"),
+                elapsed_s=round(elapsed, 4),
+                final_true_rnorm=final_norm,
+                rel_rnorm=final_norm / result["rnorm0"],
+                error_vs_ones=err,
+            )
+            return result, pt
         if cfg.backend == "sharded":
             from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
                 ShardedPoisson2D,
