@@ -1,4 +1,4 @@
-"""Host-driven genuinely-asynchronous multisplitting (AM / AMAM_LOCAL).
+"""Host-driven genuinely-asynchronous multisplitting (AM / AMAM_*).
 
 The SPMD drivers emulate asynchrony with bounded-staleness schedules
 (deterministic, compilable).  This backend reproduces the reference's
@@ -81,7 +81,7 @@ def host_async_solve(
     maxiter: int = 10000,
     min_convergence_count: int = 4,
     inner: InnerConfig = InnerConfig(),
-    minimization: Optional[str] = None,   # None (AM) or 'local' (AMAM_LOCAL)
+    minimization: Optional[str] = None,   # None | 'local' | 'semi_local' | 'global'
     s: int = 4,
     outer: OuterConfig = OuterConfig(),
     devices: Optional[list] = None,
@@ -94,11 +94,8 @@ def host_async_solve(
     experiments (``running_bulk_test_local:322-330``) for testing
     convergence under heterogeneous block speeds.
     """
-    if minimization not in (None, "local"):
-        raise ValueError(
-            "host-async backend supports minimization None or 'local'; "
-            "use the SPMD drivers for semi_local/global scopes"
-        )
+    if minimization not in (None, "local", "semi_local", "global"):
+        raise ValueError(f"unknown minimization {minimization!r}")
     nb, bs = op.nblocks, op.block_size
     dtype = b.dtype
     if devices is None:
@@ -147,7 +144,23 @@ def host_async_solve(
             alpha = lstsq_qr(R, rhs_b)
             return S_cols.T @ alpha
 
-        return sweep, minimize_local
+        @jax.jit
+        def gram_contrib(S_full):
+            # S_full: (s, nb, bs) full-length snapshots (own x + latest
+            # peer x at record time).  This block's rows of R = A S and
+            # their Gram contribution — the payload the reference ships
+            # in its async dense-R exchange (comm_async_*_min,
+            # comm.c:288-351); here the s x s Gram is exchanged instead.
+            R_rows = jax.vmap(op.full_mv)(S_full)[:, k, :]   # (s, bs)
+            G = R_rows @ R_rows.T                            # (s, s)
+            c = R_rows @ b[k]
+            return G, c
+
+        @jax.jit
+        def combine(S_own, alpha):
+            return S_own.T @ alpha
+
+        return sweep, minimize_local, gram_contrib, combine
 
     kernels = [make_sweep(k) for k in range(nb)]
 
@@ -158,6 +171,7 @@ def host_async_solve(
 
     # shared state -------------------------------------------------------
     mailboxes = [_Mailbox() for _ in range(nb)]   # published block iterates
+    gram_boxes = [_Mailbox() for _ in range(nb)]  # published (G, c) panels
     transport = LocalTransport(nb)
     all_ranks = list(range(nb))
     nodes = [
@@ -174,9 +188,16 @@ def host_async_solve(
     stop = threading.Event()
     errors: List[BaseException] = []
 
+    def _solve_gram_np(G, c):
+        # minimum-norm LS solve: early bases can be rank-deficient (near-
+        # parallel iterates, zero peer parts at startup)
+        G = np.asarray(G, np.float64)
+        c = np.asarray(c, np.float64)
+        return np.linalg.lstsq(G, c, rcond=None)[0]
+
     def block_worker(k: int):
         try:
-            sweep, minimize_local = kernels[k]
+            sweep, minimize_local, gram_contrib, combine = kernels[k]
             x = zeros
             node = nodes[k]
             peer_versions = {j: 0 for j in all_ranks if j != k}
@@ -205,6 +226,37 @@ def host_async_solve(
                     S_buf.append(x)
                     if len(S_buf) == s:
                         x = minimize_local(jnp.stack(S_buf), rhs)
+                        S_buf = []
+                elif minimization in ("semi_local", "global"):
+                    # full-length snapshot: own part + latest peer parts
+                    snap = stack_np.copy()
+                    snap[k] = np.asarray(x)
+                    S_buf.append(snap)
+                    if len(S_buf) == s:
+                        S_full = jnp.asarray(np.stack(S_buf))  # (s, nb, bs)
+                        G, c = gram_contrib(S_full)
+                        if minimization == "global":
+                            # async Gram exchange: publish own panel, use
+                            # the newest peer panels available (stale OK —
+                            # the reference's comm_async_*_min semantics)
+                            gram_boxes[k].publish(
+                                (np.asarray(G), np.asarray(c))
+                            )
+                            Gt = np.asarray(G, np.float64).copy()
+                            ct = np.asarray(c, np.float64).copy()
+                            for j in all_ranks:
+                                if j == k:
+                                    continue
+                                val, _ = gram_boxes[j].read()
+                                if val is not None:
+                                    Gt += val[0]
+                                    ct += val[1]
+                            alpha = _solve_gram_np(Gt, ct)
+                        else:
+                            alpha = _solve_gram_np(G, c)
+                        x = combine(
+                            S_full[:, k, :], jnp.asarray(alpha, dtype)
+                        )
                         S_buf = []
 
                 mailboxes[k].publish(np.asarray(x))

@@ -202,6 +202,7 @@ def multisplit_solve(
     maxiter: int = 10000,
     min_convergence_count: int = 4,
     record_history: bool = False,
+    rnorm0: Optional[jax.Array] = None,
 ) -> MultisplitResult:
     """Solve ``A x = b`` by (a)synchronous two-stage block multisplitting.
 
@@ -235,8 +236,14 @@ def multisplit_solve(
     x_vis0 = x0
     rhs0 = b - op.coupling_mv(x_vis0)
 
-    r0_rows = b - op.full_mv(x0)
-    rnorm0 = jnp.sqrt(jnp.sum(r0_rows * r0_rows))
+    if rnorm0 is None:
+        # the reference's UIRNorm semantics: reference norm = initial
+        # residual at entry; pass rnorm0 explicitly to pin it elsewhere
+        # (e.g. ||b|| when resuming from a checkpoint)
+        r0_rows = b - op.full_mv(x0)
+        rnorm0 = jnp.sqrt(jnp.sum(r0_rows * r0_rows))
+    else:
+        rnorm0 = jnp.asarray(rnorm0, dtype)
     tol_global = jnp.maximum(rtol * rnorm0, atol)
     # per-block threshold: rtol/sqrt(nb) * ||r0|| (the reference's
     # rtol/sqrt(2) test, `...-local.c:267`, generalized to nb blocks)

@@ -158,9 +158,9 @@ def run(cfg, profile_dir=None):
                 host_async_solve,
             )
 
-            if cfg.schedule != "async" or cfg.minimization not in (None, "local"):
+            if cfg.schedule != "async":
                 raise SystemExit(
-                    "host_async backend supports AM and AMAM_LOCAL only"
+                    "host_async backend runs the async algorithms (AM/AMAM_*)"
                 )
             with trace(profile_dir), pt.phase("I_Solver"):
                 t0 = time.perf_counter()

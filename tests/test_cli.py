@@ -1,0 +1,137 @@
+"""Tests for the L6 harness: config layering and the isolve-equivalent CLI.
+
+The reference's launcher couples defaults, CLI parsing, and per-block
+solver options (``iSolve:118-194``, ``config/default_run_variables``);
+these tests pin the same layering and drive real (small) solves through
+``cli.main`` for every algorithm family.
+"""
+
+import json
+import os
+
+import pytest
+
+from medane_tchakorom_ufc_thesis_repository_tpu.utils import cli
+from medane_tchakorom_ufc_thesis_repository_tpu.utils.config import (
+    ALGORITHMS,
+    RunConfig,
+    default_config,
+    load_config,
+)
+
+
+class TestConfig:
+    def test_defaults_mirror_reference(self):
+        cfg = RunConfig()
+        assert cfg.alg == "AM"
+        assert cfg.m == cfg.n == 1024
+        assert cfg.s == 4
+        assert cfg.rtol == 1e-3
+        assert cfg.min_convergence_count == 4
+        assert cfg.inner_maxiter == 20
+        assert cfg.inner_rtol == 1e-3
+
+    def test_schedule_and_scope_derivation(self):
+        assert default_config(alg="SM", m=8, n=8).schedule == "sync"
+        assert default_config(alg="AMAM_GLOBAL", m=8, n=8).schedule == "async"
+        assert default_config(alg="SMSM_LOCAL", m=8, n=8).minimization == "local"
+        assert (default_config(alg="SMSM_SEMI_LOCAL", m=8, n=8).minimization
+                == "semi_local")
+        assert default_config(alg="AMAM_GLOBAL", m=8, n=8).minimization == "global"
+        assert default_config(alg="AM", m=8, n=8).minimization is None
+
+    def test_unknown_algorithm_rejected(self):
+        with pytest.raises(ValueError):
+            default_config(alg="NOPE")
+
+    def test_file_layering(self, tmp_path):
+        p = tmp_path / "cfg.json"
+        p.write_text(json.dumps({"alg": "SM", "m": 64, "n": 32}))
+        cfg = load_config(str(p), n=16)   # CLI override wins over file
+        assert cfg.alg == "SM" and cfg.m == 64 and cfg.n == 16
+
+    def test_all_algorithms_enumerated(self):
+        assert len(ALGORITHMS) == 9
+
+
+class TestCLI:
+    def _run(self, *args):
+        import io
+        import contextlib
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main([*args, "--json"])
+        line = buf.getvalue().strip().splitlines()[-1]
+        return rc, json.loads(line)
+
+    @pytest.mark.parametrize("alg", ["SM", "AM", "SMSM_GLOBAL", "AMAM_LOCAL"])
+    def test_algorithms_solve(self, alg):
+        rc, rec = self._run(
+            "--alg", alg, "--m", "16", "--n", "16",
+            "--rtol", "1e-3", "--maxiter", "2000", "--dtype", "float64",
+        )
+        assert rc == 0
+        assert rec["converged"]
+        assert rec["rel_rnorm"] <= 1.5e-3
+
+    def test_gmres_baseline(self):
+        rc, rec = self._run(
+            "--alg", "GMRES", "--m", "16", "--n", "16",
+            "--rtol", "1e-4", "--maxiter", "2000", "--dtype", "float64",
+        )
+        assert rc == 0 and rec["converged"]
+
+    def test_sharded_backend(self):
+        rc, rec = self._run(
+            "--alg", "SM", "--backend", "sharded", "--nblocks", "2",
+            "--intra", "4", "--m", "16", "--n", "16",
+            "--rtol", "1e-3", "--maxiter", "1000", "--dtype", "float64",
+        )
+        assert rc == 0 and rec["converged"]
+
+    def test_3d(self):
+        rc, rec = self._run(
+            "--alg", "SM", "--dim", "3", "--m", "8", "--n", "8", "--nz", "8",
+            "--rtol", "1e-3", "--maxiter", "1000", "--dtype", "float64",
+        )
+        assert rc == 0 and rec["converged"]
+
+    def test_nonconvergence_exit_code(self):
+        rc, rec = self._run(
+            "--alg", "SM", "--m", "16", "--n", "16",
+            "--rtol", "1e-14", "--maxiter", "3", "--dtype", "float64",
+        )
+        assert rc == 2 and not rec["converged"]
+
+
+class TestCheckpoint:
+    def test_roundtrip_and_resume(self, tmp_path):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from medane_tchakorom_ufc_thesis_repository_tpu.models import (
+            blockops,
+            multisplitting as ms,
+        )
+        from medane_tchakorom_ufc_thesis_repository_tpu.utils.checkpoint import (
+            load_state,
+            save_state,
+        )
+
+        op = blockops.block_poisson2d(16, 16)
+        b = blockops.rhs_ones(op, jnp.float64)
+        partial = ms.sm(op, b, rtol=1e-14, maxiter=10)   # stop mid-solve
+        p = str(tmp_path / "ckpt.npz")
+        save_state(p, partial.x, sweeps=int(partial.sweeps))
+        x0, meta = load_state(p)
+        assert meta["sweeps"] == 10
+        # pin the reference norm to ||b|| so the resumed solve targets
+        # the same absolute tolerance as a fresh one
+        rn0 = jnp.linalg.norm(b.reshape(-1))
+        resumed = ms.sm(op, b, x0=jnp.asarray(x0), rtol=1e-3, maxiter=2000,
+                        rnorm0=rn0)
+        fresh = ms.sm(op, b, rtol=1e-3, maxiter=2000)
+        assert bool(resumed.converged)
+        # warm start must cost fewer sweeps than from scratch
+        assert int(resumed.sweeps) < int(fresh.sweeps)
