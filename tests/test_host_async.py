@@ -48,13 +48,30 @@ class TestHostAsync:
         assert res.converged
         assert res.rnorm / res.rnorm0 <= 2e-3
 
+    def test_amam_semi_local(self):
+        op, b = _problem()
+        res = host_async_solve(
+            op, b, rtol=1e-3, maxiter=3000, minimization="semi_local", s=4
+        )
+        assert res.converged
+        assert res.rnorm / res.rnorm0 <= 2e-3
+
+    def test_amam_global(self):
+        # async Gram exchange through mailboxes (stale peer panels OK)
+        op, b = _problem()
+        res = host_async_solve(
+            op, b, rtol=1e-3, maxiter=3000, minimization="global", s=4
+        )
+        assert res.converged
+        assert res.rnorm / res.rnorm0 <= 2e-3
+
     def test_maxiter_budget_respected(self):
         op, b = _problem()
         res = host_async_solve(op, b, rtol=1e-14, maxiter=10)
         assert not res.converged
         assert all(c <= 10 for c in res.sweeps_per_block)
 
-    def test_rejects_global_minimization(self):
+    def test_rejects_unknown_minimization(self):
         op, b = _problem()
         with pytest.raises(ValueError):
-            host_async_solve(op, b, minimization="global")
+            host_async_solve(op, b, minimization="bogus")
