@@ -111,6 +111,11 @@ class StackedStencil2D(BlockOperator):
     def diag_mv_args(self):
         return None  # uniform stencil: every block shares the operator
 
+    def single_diag_vector(self, args, n):
+        """diagonal of A_ii (constant for the Dirichlet stencil) — used by
+        Jacobi preconditioning."""
+        return jnp.full((n,), self.diag)
+
     def single_diag_mv(self, args, xb):
         """``A_ii @ x_i`` for one block (``xb`` of length block_size)."""
         g = xb.reshape(self.rows, self.n)
@@ -203,6 +208,9 @@ class StackedStencil3D(BlockOperator):
     def diag_mv_args(self):
         return None
 
+    def single_diag_vector(self, args, n):
+        return jnp.full((n,), self.diag)
+
     def single_diag_mv(self, args, xb):
         g = xb.reshape(self.rows, self.ny, self.nz)
         p = jnp.pad(g, 1)
@@ -288,6 +296,11 @@ class StackedELLOperator(BlockOperator):
     def single_diag_mv(self, args, xb):
         idx, val = args
         return jnp.sum(val * xb[idx], axis=-1)
+
+    def single_diag_vector(self, args, n):
+        idx, val = args
+        rows = jnp.arange(idx.shape[0])[:, None]
+        return jnp.sum(jnp.where(idx == rows, val, 0.0), axis=-1)
 
     def coupling_mv(self, x):
         x_flat = x.reshape(-1)

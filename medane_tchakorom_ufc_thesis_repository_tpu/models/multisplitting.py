@@ -79,13 +79,22 @@ from medane_tchakorom_ufc_thesis_repository_tpu.solvers.lstsq import (
 class InnerConfig:
     """Inner (per-block) Krylov solve — the analog of the reference's
     ``inner1_``/``inner2_``-prefixed KSP (gmres, maxit 20, rtol 1e-3,
-    pc none; ``config/default_run_variables:36-44``)."""
+    pc none; ``config/default_run_variables:36-44``).
+
+    ``method``: 'gmres' | 'cg' (the iSolve ``--inner-ksp`` choice; A_ii is
+    SPD for Poisson so CG is admissible).
+    ``pc``: 'none' | 'jacobi' — left diagonal preconditioning (the
+    TPU-appropriate subset of PETSc's ``-inner_pc_type``; sequential PCs
+    like ILU/SOR don't map to SPMD hardware).
+    """
 
     restart: int = 30
     maxiter: int = 20
     rtol: float = 1e-3
     atol: float = 0.0
     orthog: str = "cgs2"
+    method: str = "gmres"
+    pc: str = "none"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,12 +149,28 @@ jax.tree_util.register_dataclass(
 # ---------------------------------------------------------------------------
 
 def _make_inner(op: BlockOperator, cfg: InnerConfig):
-    """Batched per-block GMRES: the two (or N) concurrent per-block
+    """Batched per-block Krylov solve: the two (or N) concurrent per-block
     KSPSolves of the reference become one vmapped solve."""
+    if cfg.method not in ("gmres", "cg"):
+        raise ValueError(f"unknown inner method {cfg.method!r}")
+    if cfg.pc not in ("none", "jacobi"):
+        raise ValueError(f"unknown inner pc {cfg.pc!r}")
     args = getattr(op, "diag_mv_args", None)
 
     def solve_one(a, rhs_b, x_b):
         mv = lambda v: op.single_diag_mv(a, v)
+        if cfg.pc == "jacobi":
+            # left diagonal preconditioning: solve (D^-1 A) x = D^-1 b;
+            # convergence tested in the preconditioned norm (PETSc default)
+            dinv = 1.0 / op.single_diag_vector(a, rhs_b.shape[0])
+            base = mv
+            mv = lambda v: dinv * base(v)
+            rhs_b = dinv * rhs_b
+        if cfg.method == "cg":
+            return krylov.cg(
+                mv, rhs_b, x_b,
+                maxiter=cfg.maxiter, rtol=cfg.rtol, atol=cfg.atol,
+            )
         return krylov.gmres(
             mv, rhs_b, x_b,
             restart=cfg.restart, maxiter=cfg.maxiter,

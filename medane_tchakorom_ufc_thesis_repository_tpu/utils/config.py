@@ -62,6 +62,8 @@ class RunConfig:
     inner_restart: int = 30
     inner_maxiter: int = 20
     inner_rtol: float = 1e-3
+    inner_ksp: str = "gmres"       # iSolve --inner-ksp
+    inner_pc: str = "none"         # iSolve --inner-pc-type
     outer_method: str = "qr"
     outer_maxiter: int = 100
     outer_rtol: float = 1e-12
@@ -71,6 +73,8 @@ class RunConfig:
             restart=self.inner_restart,
             maxiter=self.inner_maxiter,
             rtol=self.inner_rtol,
+            method=self.inner_ksp,
+            pc=self.inner_pc,
         )
 
     def outer_config(self) -> OuterConfig:

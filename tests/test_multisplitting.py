@@ -202,3 +202,41 @@ class TestMinimization:
         res = ms.smsm(op, b, scope="global", s=4, rtol=1e-3, maxiter=3000)
         assert bool(res.converged)
         assert _true_rel(op, b, res.x) <= 1.5e-3
+
+
+class TestInnerOptions:
+    def test_inner_cg_converges(self):
+        op, b = _problem2d(16, 16)
+        res = ms.sm(op, b, rtol=1e-3, maxiter=2000,
+                    inner=ms.InnerConfig(method="cg", maxiter=20, rtol=1e-3))
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1e-3
+
+    def test_jacobi_pc_converges(self):
+        op, b = _problem2d(16, 16)
+        res = ms.sm(op, b, rtol=1e-3, maxiter=2000,
+                    inner=ms.InnerConfig(pc="jacobi"))
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1e-3
+
+    def test_jacobi_pc_ell_variable_diag(self):
+        # ELL path with a genuinely non-constant diagonal: scale rows
+        import numpy as np
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson as pp
+
+        rows, cols, vals, shape = pp.poisson2d_coo(16, 16)
+        scale = 1.0 + (np.arange(shape[0]) % 7) * 0.3
+        vals = vals * scale[rows]
+        a_ii, a_ic = pp.block_split_ell(rows, cols, vals, shape, nblocks=2,
+                                        dtype=jnp.float64)
+        op = blockops.StackedELLOperator(a_ii=a_ii, a_ic=a_ic)
+        b = blockops.rhs_ones(op, jnp.float64)
+        res = ms.sm(op, b, rtol=1e-4, maxiter=4000,
+                    inner=ms.InnerConfig(pc="jacobi", maxiter=30))
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1e-4
+
+    def test_unknown_method_rejected(self):
+        op, b = _problem2d(16, 16)
+        with pytest.raises(ValueError):
+            ms.sm(op, b, inner=ms.InnerConfig(method="bicgstab"))
