@@ -142,7 +142,9 @@ def gmres(
         V = jnp.zeros((m + 1, n), dtype)
         V = V.at[0].set(jnp.where(beta > 0, r / beta, r))
         H = jnp.zeros((m + 1, m), dtype)      # Hessenberg (rotated in place)
-        cs = jnp.zeros((m,), dtype)
+        # cs=1/sn=0 makes unapplied rotation slots the identity, so the
+        # rotation chain below can be statically unrolled with no masking
+        cs = jnp.ones((m,), dtype)
         sn = jnp.zeros((m,), dtype)
         g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
 
@@ -165,13 +167,17 @@ def gmres(
 
             hcol = h.at[j + 1].set(hj1)
 
-            # apply the accumulated Givens rotations to the new column
-            def rot(i, col):
-                t1 = cs[i] * col[i] + sn[i] * col[i + 1]
-                t2 = -sn[i] * col[i] + cs[i] * col[i + 1]
-                return col.at[i].set(t1).at[i + 1].set(t2)
-
-            hcol = lax.fori_loop(0, j, rot, hcol)
+            # apply the accumulated Givens rotations to the new column.
+            # Statically unrolled: slots >= j hold the identity rotation
+            # (cs=1, sn=0), so all m-1 steps can run unconditionally as
+            # straight-line fused code — a dynamic fori_loop of tiny
+            # serial ops costs ~100x its FLOPs in per-step loop overhead
+            # on TPU.  Rows j+1.. of hcol are zero, so identity slots
+            # leave the column unchanged.
+            for i in range(m - 1):
+                t1 = cs[i] * hcol[i] + sn[i] * hcol[i + 1]
+                t2 = -sn[i] * hcol[i] + cs[i] * hcol[i + 1]
+                hcol = hcol.at[i].set(t1).at[i + 1].set(t2)
 
             # new rotation annihilating hcol[j+1]
             a_, b_ = hcol[j], hcol[j + 1]
@@ -183,11 +189,14 @@ def gmres(
             g_new = g.at[j].set(c_new * gj).at[j + 1].set(-s_new * gj)
             rnorm_new = jnp.abs(g_new[j + 1])
 
-            # masked commit (freeze once converged / out of budget)
-            V = jnp.where(active, V.at[j + 1].set(vnext), V)
-            H = jnp.where(active, H.at[:, j].set(hcol), H)
-            cs = jnp.where(active, cs.at[j].set(c_new), cs)
-            sn = jnp.where(active, sn.at[j].set(s_new), sn)
+            # masked commit (freeze once converged / out of budget).
+            # Mask only the touched row/column — `where(active, V.set(...),
+            # V)` would select over the whole (m+1, n) basis every
+            # iteration (~64 MB of pure overhead traffic per step).
+            V = V.at[j + 1].set(jnp.where(active, vnext, V[j + 1]))
+            H = H.at[:, j].set(jnp.where(active, hcol, H[:, j]))
+            cs = cs.at[j].set(jnp.where(active, c_new, cs[j]))
+            sn = sn.at[j].set(jnp.where(active, s_new, sn[j]))
             g = jnp.where(active, g_new, g)
             iters = jnp.where(active, iters + 1, iters)
             rnorm = jnp.where(active, rnorm_new, rnorm)
