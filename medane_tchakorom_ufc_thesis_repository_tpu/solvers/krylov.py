@@ -110,7 +110,10 @@ def gmres(
         raise ValueError(f"unknown orthog {orthog!r}")
     n = b.shape[0]
     dtype = b.dtype
-    m = restart
+    # a cycle's Arnoldi steps run unconditionally (masked when done), so a
+    # restart longer than the iteration budget would burn matmuls on
+    # frozen state — clamp (PETSc's dynamic loop has no such waste)
+    m = min(restart, maxiter)
     if x0 is None:
         x0 = jnp.zeros_like(b)
 
