@@ -112,8 +112,10 @@ def gmres(
     dtype = b.dtype
     # a cycle's Arnoldi steps run unconditionally (masked when done), so a
     # restart longer than the iteration budget would burn matmuls on
-    # frozen state — clamp (PETSc's dynamic loop has no such waste)
-    m = min(restart, maxiter)
+    # frozen state — clamp (PETSc's dynamic loop has no such waste).
+    # Floor of 1 keeps maxiter=0 a graceful no-op (zero-width H would
+    # fail to trace).
+    m = max(1, min(restart, maxiter))
     if x0 is None:
         x0 = jnp.zeros_like(b)
 

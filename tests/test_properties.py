@@ -30,12 +30,19 @@ class TestCrossAlgorithmAgreement:
             restart=30, maxiter=5000, rtol=1e-10,
         )
         x_ref = np.asarray(gref.x)
+        tight = ms.InnerConfig(maxiter=30, rtol=1e-10)
         for name, res in [
-            ("SM", ms.sm(op, b, rtol=1e-8, maxiter=8000,
-                         inner=ms.InnerConfig(maxiter=30, rtol=1e-10))),
+            ("SM", ms.sm(op, b, rtol=1e-8, maxiter=8000, inner=tight)),
+            ("AM", ms.am(op, b, staleness=2, rtol=1e-8, maxiter=8000,
+                         inner=tight)),
+            ("SMSM_LOCAL", ms.smsm(op, b, scope="local", s=4, rtol=1e-8,
+                                   maxiter=8000, inner=tight)),
+            ("SMSM_SEMI", ms.smsm(op, b, scope="semi_local", s=4, rtol=1e-8,
+                                  maxiter=8000, inner=tight)),
             ("SMSM_G", ms.smsm(op, b, scope="global", s=4, rtol=1e-8,
-                               maxiter=8000,
-                               inner=ms.InnerConfig(maxiter=30, rtol=1e-10))),
+                               maxiter=8000, inner=tight)),
+            ("AMAM_G", ms.amam(op, b, scope="global", s=4, staleness=2,
+                               rtol=1e-8, maxiter=8000, inner=tight)),
         ]:
             assert bool(res.converged), name
             err = np.max(np.abs(np.asarray(res.x.reshape(-1)) - x_ref))

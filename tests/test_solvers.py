@@ -149,3 +149,17 @@ def test_gmres_f32_still_converges():
     assert bool(res.converged)
     rnorm = float(jnp.linalg.norm(b - op.mv(res.x)))
     assert rnorm <= 1.01e-3 * float(jnp.linalg.norm(b))
+
+
+class TestMaxiterZero:
+    def test_gmres_maxiter_zero_noop(self):
+        import jax.numpy as jnp
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import gmres
+
+        op = poisson.poisson2d(8, 8)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float64)
+        for fixed in (False, True):
+            res = gmres(op.mv, b, restart=30, maxiter=0, fixed_cycles=fixed)
+            assert int(res.iters) == 0
+            assert not bool(res.converged)
