@@ -18,3 +18,7 @@ from medane_tchakorom_ufc_thesis_repository_tpu.parallel.sharded import (  # noq
     sharded_gmres_solve,
     sharded_multisplit_solve,
 )
+from medane_tchakorom_ufc_thesis_repository_tpu.parallel.tiled import (  # noqa: F401
+    make_tiled_mesh,
+    tiled_multisplit_solve,
+)

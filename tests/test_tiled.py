@@ -1,0 +1,78 @@
+"""Tests for the 2D-tiled sharded path (mesh ('block','ir','ic'))."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medane_tchakorom_ufc_thesis_repository_tpu.models import (
+    blockops,
+    multisplitting as ms,
+)
+from medane_tchakorom_ufc_thesis_repository_tpu.parallel.tiled import (
+    make_tiled_mesh,
+    tiled_multisplit_solve,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh222():
+    return make_tiled_mesh(2, 2, 2)
+
+
+def _setup(m=32, n=32):
+    sop = blockops.block_poisson2d(m, n)
+    b = blockops.rhs_ones(sop, jnp.float64).reshape(m, n)
+    return sop, b
+
+
+def _true_rel(sop, b, x):
+    r = b.reshape(-1) - sop.global_mv(x.reshape(-1))
+    return float(jnp.linalg.norm(r) / jnp.linalg.norm(b.reshape(-1)))
+
+
+class TestTiled:
+    def test_sm_matches_stacked(self, mesh222):
+        sop, b = _setup()
+        res = tiled_multisplit_solve(mesh222, 32, 32, b, rtol=1e-3,
+                                     maxiter=2000)
+        st = ms.sm(sop, blockops.rhs_ones(sop, jnp.float64), rtol=1e-3,
+                   maxiter=2000)
+        assert int(res.sweeps) == int(st.sweeps)
+        assert bool(res.converged)
+        assert _true_rel(sop, b, res.x) <= 1e-3
+        np.testing.assert_allclose(
+            np.asarray(res.x.reshape(-1)), np.asarray(st.x.reshape(-1)),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    @pytest.mark.parametrize("scope", ["local", "semi_local", "global"])
+    def test_minimization_scopes(self, mesh222, scope):
+        sop, b = _setup()
+        res = tiled_multisplit_solve(
+            mesh222, 32, 32, b, minimization=scope, s=4, rtol=1e-3,
+            maxiter=2000,
+        )
+        assert bool(res.converged)
+        assert _true_rel(sop, b, res.x) <= 1.5e-3
+
+    def test_async(self, mesh222):
+        sop, b = _setup()
+        res = tiled_multisplit_solve(
+            mesh222, 32, 32, b, schedule="async", staleness=2, rtol=1e-3,
+            maxiter=4000,
+        )
+        assert bool(res.converged)
+        assert _true_rel(sop, b, res.x) <= 1.5e-3
+
+    def test_column_only_tiling(self):
+        # degenerate pr=1: tiles split columns only
+        mesh = make_tiled_mesh(2, 1, 4)
+        sop, b = _setup()
+        res = tiled_multisplit_solve(mesh, 32, 32, b, rtol=1e-3, maxiter=2000)
+        assert bool(res.converged)
+        assert _true_rel(sop, b, res.x) <= 1e-3
+
+    def test_indivisible_rejected(self, mesh222):
+        _, b = _setup()
+        with pytest.raises(ValueError):
+            tiled_multisplit_solve(mesh222, 30, 32, b[:30], rtol=1e-3)
