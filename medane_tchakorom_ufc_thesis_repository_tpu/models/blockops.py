@@ -116,6 +116,15 @@ class StackedStencil2D(BlockOperator):
         Jacobi preconditioning."""
         return jnp.full((n,), self.diag)
 
+    def diag_eig_bounds(self):
+        """Analytic spectral bounds of A_ii (Chebyshev inner solves)."""
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import (
+            poisson_strip_eig_bounds_2d,
+        )
+
+        return poisson_strip_eig_bounds_2d(self.rows, self.n, self.diag,
+                                           self.off)
+
     def single_diag_mv(self, args, xb):
         """``A_ii @ x_i`` for one block (``xb`` of length block_size)."""
         g = xb.reshape(self.rows, self.n)
@@ -210,6 +219,14 @@ class StackedStencil3D(BlockOperator):
 
     def single_diag_vector(self, args, n):
         return jnp.full((n,), self.diag)
+
+    def diag_eig_bounds(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import (
+            poisson_strip_eig_bounds_3d,
+        )
+
+        return poisson_strip_eig_bounds_3d(self.rows, self.ny, self.nz,
+                                           self.diag, self.off)
 
     def single_diag_mv(self, args, xb):
         g = xb.reshape(self.rows, self.ny, self.nz)

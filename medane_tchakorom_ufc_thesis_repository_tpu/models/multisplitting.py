@@ -98,6 +98,10 @@ class InnerConfig:
     basis: str = "native"   # 'native' | 'bf16' Krylov-basis storage;
                             # bf16 halves orthogonalization bandwidth
                             # (measured 1.6x net at 2M unknowns on v5e)
+    # spectral bounds for method='chebyshev' (optional; analytic bounds
+    # are derived for the stencil operators when omitted)
+    eig_min: Optional[float] = None
+    eig_max: Optional[float] = None
 
     def basis_dtype(self):
         if self.basis == "native":
@@ -163,11 +167,26 @@ jax.tree_util.register_dataclass(
 def _make_inner(op: BlockOperator, cfg: InnerConfig):
     """Batched per-block Krylov solve: the two (or N) concurrent per-block
     KSPSolves of the reference become one vmapped solve."""
-    if cfg.method not in ("gmres", "cg"):
+    if cfg.method not in ("gmres", "cg", "chebyshev"):
         raise ValueError(f"unknown inner method {cfg.method!r}")
     if cfg.pc not in ("none", "jacobi"):
         raise ValueError(f"unknown inner pc {cfg.pc!r}")
     args = getattr(op, "diag_mv_args", None)
+
+    cheb_bounds = None
+    if cfg.method == "chebyshev":
+        if cfg.pc != "none":
+            raise ValueError("chebyshev inner solve does not compose with pc")
+        if cfg.eig_min is not None and cfg.eig_max is not None:
+            cheb_bounds = (cfg.eig_min, cfg.eig_max)
+        else:
+            bounds_fn = getattr(op, "diag_eig_bounds", None)
+            if bounds_fn is None:
+                raise ValueError(
+                    "chebyshev needs InnerConfig.eig_min/eig_max or an "
+                    "operator with analytic diag_eig_bounds()"
+                )
+            cheb_bounds = bounds_fn()
 
     def solve_one(a, rhs_b, x_b):
         mv = lambda v: op.single_diag_mv(a, v)
@@ -178,6 +197,16 @@ def _make_inner(op: BlockOperator, cfg: InnerConfig):
             base = mv
             mv = lambda v: dinv * base(v)
             rhs_b = dinv * rhs_b
+        if cfg.method == "chebyshev":
+            from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import (
+                chebyshev,
+            )
+
+            return chebyshev(
+                mv, rhs_b, x_b,
+                lmin=cheb_bounds[0], lmax=cheb_bounds[1],
+                maxiter=cfg.maxiter,
+            )
         if cfg.method == "cg":
             return krylov.cg(
                 mv, rhs_b, x_b,

@@ -310,19 +310,48 @@ def sharded_multisplit_solve(
         c = c.at[..., -1, :].add(off * bot)
         return c
 
-    def inner_solve(rhs, x):
-        return krylov.gmres(
-            lambda v: diag_mv(v.reshape(lshape)).reshape(-1),
-            rhs.reshape(-1),
-            x.reshape(-1),
-            restart=inner.restart,
-            maxiter=inner.maxiter,
-            rtol=inner.rtol,
-            atol=inner.atol,
-            orthog=inner.orthog,
-            axis_name="intra",
-            fixed_cycles=True,
+    if inner.method == "chebyshev":
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import (
+            chebyshev,
+            poisson_strip_eig_bounds_2d,
+            poisson_strip_eig_bounds_3d,
         )
+
+        if inner.eig_min is not None and inner.eig_max is not None:
+            cheb_bounds = (inner.eig_min, inner.eig_max)
+        elif isinstance(opcfg, ShardedPoisson2D):
+            cheb_bounds = poisson_strip_eig_bounds_2d(
+                opcfg.m // nb, opcfg.n, opcfg.diag, opcfg.off
+            )
+        elif isinstance(opcfg, ShardedPoisson3D):
+            cheb_bounds = poisson_strip_eig_bounds_3d(
+                opcfg.nx // nb, opcfg.ny, opcfg.nz, opcfg.diag, opcfg.off
+            )
+        else:
+            raise ValueError("chebyshev needs eig bounds for this operator")
+
+        def inner_solve(rhs, x):
+            return chebyshev(
+                lambda v: diag_mv(v.reshape(lshape)).reshape(-1),
+                rhs.reshape(-1), x.reshape(-1),
+                lmin=cheb_bounds[0], lmax=cheb_bounds[1],
+                maxiter=inner.maxiter, axis_name="intra",
+            )
+    else:
+        def inner_solve(rhs, x):
+            return krylov.gmres(
+                lambda v: diag_mv(v.reshape(lshape)).reshape(-1),
+                rhs.reshape(-1),
+                x.reshape(-1),
+                restart=inner.restart,
+                maxiter=inner.maxiter,
+                rtol=inner.rtol,
+                atol=inner.atol,
+                orthog=inner.orthog,
+                axis_name="intra",
+                fixed_cycles=True,
+                basis_dtype=inner.basis_dtype(),
+            )
 
     def solve_gram(G, c):
         eps = jnp.finfo(dtype).eps

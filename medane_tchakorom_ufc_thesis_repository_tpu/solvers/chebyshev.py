@@ -1,0 +1,125 @@
+"""Chebyshev iteration — the communication-free inner solver.
+
+Classic two-term Chebyshev recurrence for SPD systems with known spectral
+bounds.  Unlike GMRES/CG, each iteration is ONE matvec and a few axpys —
+**no dot products at all** — so on a device mesh the inner sweep has no
+``psum`` on its critical path (the per-iteration all-reduce latency is
+exactly what limits Krylov methods at scale; this is the standard
+smoother choice in multigrid for the same reason).  The trip count is
+inherently static, so it is SPMD-lockstep by construction (no
+``fixed_cycles`` masking needed).
+
+The reference has no Chebyshev option (PETSc has ``-ksp_type chebyshev``
+but the thesis never uses it); this is a TPU-first addition for the
+multi-chip inner solve.
+
+Applicability: with full-interval analytic bounds the method needs
+``O(sqrt(kappa))`` iterations — fine for small/preconditioned blocks
+(e.g. 32^2 strips, kappa ~ 4e2: matches GMRES sweep-for-sweep at a
+fraction of the per-iteration cost), but NOT competitive for large
+ill-conditioned strips (measured: AM 1024^2, kappa ~ 2e5, stalls at
+rel 3e-3 where GMRES(20) converges).  Use for well-conditioned inner
+blocks, as a smoother with tightened ``lmin``, or after Jacobi-class
+preconditioning; keep GMRES as the general default.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.krylov import (
+    KrylovResult,
+    make_reducer,
+)
+
+
+def chebyshev(
+    matvec: Callable,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    lmin: float,
+    lmax: float,
+    maxiter: int = 20,
+    axis_name=None,
+) -> KrylovResult:
+    """Run ``maxiter`` Chebyshev iterations for SPD ``A`` with eigenvalues
+    in ``[lmin, lmax]``.
+
+    The error polynomial is the scaled-and-shifted Chebyshev polynomial —
+    optimal worst-case damping over the bound interval.  Residual norms
+    are computed only at entry/exit (one reduction each), never inside
+    the loop.
+    """
+    dtype = b.dtype
+    psum = make_reducer(axis_name)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    theta = jnp.asarray((lmax + lmin) / 2.0, dtype)
+    delta = jnp.asarray((lmax - lmin) / 2.0, dtype)
+    sigma1 = theta / delta
+
+    r0 = b - matvec(x0)
+    rnorm0 = jnp.sqrt(psum(jnp.sum(r0 * r0)))
+
+    def body(k, carry):
+        x, r, d, rho = carry
+        x = x + d
+        r = r - matvec(d)
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * r
+        return (x, r, d, rho_new)
+
+    d0 = r0 / theta
+    x, r, _, _ = lax.fori_loop(
+        0, maxiter, body, (x0, r0, d0, 1.0 / sigma1)
+    )
+    rnorm = jnp.sqrt(psum(jnp.sum(r * r)))
+    return KrylovResult(
+        x=x, iters=jnp.asarray(maxiter, jnp.int32), resnorm=rnorm,
+        resnorm0=rnorm0, converged=rnorm <= rnorm0,
+    )
+
+
+def poisson_strip_eig_bounds_2d(rows: int, n: int, diag: float = 4.0,
+                                off: float = -1.0):
+    """Analytic spectral bounds of the Dirichlet 5-point strip operator
+    A_ii on a ``rows x n`` grid: eigenvalues are
+    ``diag + 2*off*(cos(i pi/(rows+1)) + cos(j pi/(n+1)))``."""
+    import math
+
+    a = 2.0 * abs(off) * (math.cos(math.pi / (rows + 1))
+                          + math.cos(math.pi / (n + 1)))
+    return diag - a, diag + a
+
+
+def poisson_strip_eig_bounds_3d(rows: int, ny: int, nz: int,
+                                diag: float = 6.0, off: float = -1.0):
+    import math
+
+    a = 2.0 * abs(off) * (math.cos(math.pi / (rows + 1))
+                          + math.cos(math.pi / (ny + 1))
+                          + math.cos(math.pi / (nz + 1)))
+    return diag - a, diag + a
+
+
+def estimate_eig_bounds(matvec: Callable, n: int, dtype=jnp.float32,
+                        iters: int = 30, seed: int = 0,
+                        safety: float = 1.05):
+    """Power-iteration estimate of ``lmax`` (inflated by ``safety``) with
+    ``lmin = lmax / 30`` — the standard smoother heuristic when analytic
+    bounds are unavailable (general DIA/ELL operators)."""
+    key = jax.random.PRNGKey(seed)
+    v = jax.random.normal(key, (n,), dtype)
+
+    def body(k, v):
+        w = matvec(v)
+        return w / jnp.linalg.norm(w)
+
+    v = lax.fori_loop(0, iters, body, v / jnp.linalg.norm(v))
+    lmax = float(jnp.vdot(v, matvec(v)) / jnp.vdot(v, v)) * safety
+    return lmax / 30.0, lmax

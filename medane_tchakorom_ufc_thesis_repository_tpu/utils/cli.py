@@ -56,9 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inner-maxiter", type=int, default=None, dest="inner_maxiter")
     p.add_argument("--inner-rtol", type=float, default=None, dest="inner_rtol")
     p.add_argument("--inner-ksp", default=None, dest="inner_ksp",
-                   choices=["gmres", "cg"])
+                   choices=["gmres", "cg", "chebyshev"])
     p.add_argument("--inner-pc-type", default=None, dest="inner_pc",
                    choices=["none", "jacobi"])
+    p.add_argument("--inner-basis", default=None, dest="inner_basis",
+                   choices=["native", "bf16"],
+                   help="Krylov-basis storage (bf16 halves bandwidth)")
     p.add_argument("--outer-method", default=None, dest="outer_method",
                    choices=["qr", "normal", "lsqr", "cgne"])
     p.add_argument("--outer-maxiter", type=int, default=None, dest="outer_maxiter")

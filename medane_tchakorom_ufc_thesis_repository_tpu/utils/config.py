@@ -64,6 +64,7 @@ class RunConfig:
     inner_rtol: float = 1e-3
     inner_ksp: str = "gmres"       # iSolve --inner-ksp
     inner_pc: str = "none"         # iSolve --inner-pc-type
+    inner_basis: str = "native"    # Krylov-basis storage: native | bf16
     outer_method: str = "qr"
     outer_maxiter: int = 100
     outer_rtol: float = 1e-12
@@ -75,6 +76,7 @@ class RunConfig:
             rtol=self.inner_rtol,
             method=self.inner_ksp,
             pc=self.inner_pc,
+            basis=self.inner_basis,
         )
 
     def outer_config(self) -> OuterConfig:

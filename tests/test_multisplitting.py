@@ -240,3 +240,48 @@ class TestInnerOptions:
         op, b = _problem2d(16, 16)
         with pytest.raises(ValueError):
             ms.sm(op, b, inner=ms.InnerConfig(method="bicgstab"))
+
+
+class TestChebyshevInner:
+    def test_sm_chebyshev_converges(self):
+        op, b = _problem2d()
+        res = ms.sm(op, b, rtol=1e-3, maxiter=2000,
+                    inner=ms.InnerConfig(method="chebyshev", maxiter=20))
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1e-3
+
+    def test_same_sweeps_as_gmres(self):
+        # with equal inner budgets both inner solvers resolve A_ii well
+        # enough that the outer sweep count coincides on this problem
+        op, b = _problem2d()
+        cheb = ms.sm(op, b, rtol=1e-3, maxiter=2000,
+                     inner=ms.InnerConfig(method="chebyshev", maxiter=20))
+        gm = ms.sm(op, b, rtol=1e-3, maxiter=2000)
+        assert int(cheb.sweeps) == int(gm.sweeps)
+
+    def test_3d_analytic_bounds(self):
+        op = blockops.block_poisson3d(8, 6, 6)
+        b = blockops.rhs_ones(op, jnp.float64)
+        res = ms.sm(op, b, rtol=1e-3, maxiter=2000,
+                    inner=ms.InnerConfig(method="chebyshev", maxiter=20))
+        assert bool(res.converged)
+
+    def test_explicit_bounds(self):
+        op, b = _problem2d(16, 16)
+        res = ms.sm(op, b, rtol=1e-3, maxiter=2000,
+                    inner=ms.InnerConfig(method="chebyshev", maxiter=25,
+                                         eig_min=0.05, eig_max=8.0))
+        assert bool(res.converged)
+
+    def test_ell_without_bounds_rejected(self):
+        eop = blockops.block_poisson2d_ell(16, 16, dtype=jnp.float64)
+        b = blockops.rhs_ones(eop, jnp.float64)
+        with pytest.raises(ValueError):
+            ms.sm(eop, b, inner=ms.InnerConfig(method="chebyshev"))
+
+    def test_smsm_chebyshev(self):
+        op, b = _problem2d()
+        res = ms.smsm(op, b, scope="global", s=4, rtol=1e-3, maxiter=2000,
+                      inner=ms.InnerConfig(method="chebyshev", maxiter=20))
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1.5e-3
