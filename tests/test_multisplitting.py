@@ -285,3 +285,19 @@ class TestChebyshevInner:
                       inner=ms.InnerConfig(method="chebyshev", maxiter=20))
         assert bool(res.converged)
         assert _true_rel(op, b, res.x) <= 1.5e-3
+
+
+class TestStalenessScaling:
+    def test_sweeps_grow_linearly_with_staleness(self):
+        """Bounded-staleness theory: convergence rate degrades with the
+        delay, roughly linearly for the stationary iteration."""
+        op, b = _problem2d(64, 64)
+        sweeps = {}
+        for d in (1, 4, 8):
+            res = ms.am(op, b, staleness=d, rtol=1e-4, maxiter=20000)
+            assert bool(res.converged), d
+            sweeps[d] = int(res.sweeps)
+        assert sweeps[4] > 2 * sweeps[1]
+        assert sweeps[8] > 1.5 * sweeps[4]
+        # and bounded: not catastrophically worse than linear
+        assert sweeps[8] < 16 * sweeps[1]
