@@ -19,23 +19,34 @@ from __future__ import annotations
 import argparse
 import itertools
 import json
+import os
 import subprocess
 import sys
 import time
-from typing import Dict, Iterable, List
+from typing import Dict, Iterable, List, Optional
 
 
-def run_one(cfg_args: List[str], timeout_s: float) -> Dict:
-    """Run one CLI config in a subprocess; returns the result record."""
+def run_one(cfg_args: List[str], timeout_s: float,
+            env: Optional[Dict[str, str]] = None) -> Dict:
+    """Run one CLI config in a subprocess; returns the result record.
+
+    ``env`` entries overlay the inherited environment (e.g.
+    ``{"JAX_PLATFORMS": "cpu"}`` to keep a sweep off the TPU).
+    """
     cmd = [
         sys.executable, "-m",
         "medane_tchakorom_ufc_thesis_repository_tpu.utils.cli",
         "--json", *cfg_args,
     ]
+    full_env = None
+    if env:
+        full_env = dict(os.environ)
+        full_env.update(env)
     t0 = time.perf_counter()
     try:
         proc = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=timeout_s
+            cmd, capture_output=True, text=True, timeout=timeout_s,
+            env=full_env,
         )
         wall = time.perf_counter() - t0
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
