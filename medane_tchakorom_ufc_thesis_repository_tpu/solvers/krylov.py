@@ -91,6 +91,7 @@ def gmres(
     fixed_cycles: bool = False,
     stag_tol: float = 0.0,
     basis_dtype=None,
+    divtol: float = 1e5,
 ) -> KrylovResult:
     """Restarted GMRES with classical Gram-Schmidt + Givens least squares.
 
@@ -140,7 +141,7 @@ def gmres(
     tol = _tol(jnp.asarray(rtol, dtype), jnp.asarray(atol, dtype), rnorm0_)
 
     def cycle(carry):
-        x, iters, rnorm, converged, beta_prev = carry
+        x, iters, rnorm, converged, beta_prev, diverged = carry
         r = b - matvec(x)
         beta = pnorm(r)
         if stag_tol > 0.0:
@@ -152,6 +153,11 @@ def gmres(
             # stagnation is reported as converged.
             stagnated = beta > beta_prev * (1.0 - stag_tol)
             converged = jnp.logical_or(converged, stagnated)
+        if divtol > 0.0:
+            # divergence cutoff (PETSc KSPConvergedDefault divtol 1e5):
+            # stop iterating on explosion; reported as NOT converged
+            # (separate flag so the result stays honest)
+            diverged = jnp.logical_or(diverged, beta > divtol * rnorm0_)
 
         V = jnp.zeros((m + 1, n), vdtype)
         V = V.at[0].set(jnp.where(beta > 0, r / beta, r).astype(vdtype))
@@ -256,26 +262,28 @@ def gmres(
             V[:m].T, y.astype(vdtype), (((1,), (0,)), ((), ())),
             preferred_element_type=dtype,
         )
-        return x_new, iters, rnorm, converged, beta
+        return x_new, iters, rnorm, converged, beta, diverged
 
     def cond(carry):
-        _, iters, rnorm, converged, _ = carry
-        return jnp.logical_and(~converged, iters < maxiter)
+        _, iters, rnorm, converged, _, diverged = carry
+        return jnp.logical_and(
+            ~jnp.logical_or(converged, diverged), iters < maxiter
+        )
 
     converged0 = beta0 <= tol
     init = (x0, jnp.zeros((), jnp.int32), beta0, converged0,
-            jnp.asarray(jnp.inf, dtype))
+            jnp.asarray(jnp.inf, dtype), jnp.asarray(False))
     if fixed_cycles:
         # SPMD-lockstep mode for shard_map: a data-dependent while_loop trip
         # count would desynchronize collectives between blocks that converge
         # at different sweeps, so run a static number of restart cycles with
         # all updates masked by the converged flag (they already are).
         ncycles = -(-maxiter // m)
-        x, iters, rnorm, converged, _ = lax.fori_loop(
+        x, iters, rnorm, converged, _, _ = lax.fori_loop(
             0, ncycles, lambda _, c: cycle(c), init
         )
     else:
-        x, iters, rnorm, converged, _ = lax.while_loop(cond, cycle, init)
+        x, iters, rnorm, converged, _, _ = lax.while_loop(cond, cycle, init)
     return KrylovResult(
         x=x, iters=iters, resnorm=rnorm, resnorm0=rnorm0_, converged=converged
     )

@@ -163,3 +163,34 @@ class TestMaxiterZero:
             res = gmres(op.mv, b, restart=30, maxiter=0, fixed_cycles=fixed)
             assert int(res.iters) == 0
             assert not bool(res.converged)
+
+
+class TestDivergence:
+    def test_divtol_stops_without_false_convergence(self):
+        # restarted GMRES has monotone residuals on linear operators, so
+        # a real explosion needs a broken recurrence (e.g. nonfinite
+        # matvec in production).  Exercise the cutoff mechanically with a
+        # sub-1 divtol: the residual trivially exceeds divtol*rnorm0, the
+        # loop must stop immediately and NOT report convergence.
+        import jax.numpy as jnp
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import gmres
+
+        op = poisson.poisson2d(16, 16)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float64)
+        res = gmres(op.mv, b, restart=30, maxiter=10000, rtol=1e-12,
+                    divtol=0.5)
+        # stops at the first cycle boundary (divergence is checked on the
+        # recomputed true residual at each restart), far below the budget
+        assert int(res.iters) <= 30
+        assert not bool(res.converged)
+
+    def test_divtol_disabled(self):
+        import jax.numpy as jnp
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import gmres
+
+        op = poisson.poisson2d(16, 16)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float64)
+        res = gmres(op.mv, b, restart=30, maxiter=500, rtol=1e-8, divtol=0.0)
+        assert bool(res.converged)
