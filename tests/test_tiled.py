@@ -76,3 +76,49 @@ class TestTiled:
         _, b = _setup()
         with pytest.raises(ValueError):
             tiled_multisplit_solve(mesh222, 30, 32, b[:30], rtol=1e-3)
+
+
+class TestTiled3D:
+    def test_3d_matches_stacked(self, mesh222):
+        from medane_tchakorom_ufc_thesis_repository_tpu.parallel.tiled import (
+            tiled_multisplit_solve_3d,
+        )
+
+        sop = blockops.block_poisson3d(16, 8, 8)
+        b = blockops.rhs_ones(sop, jnp.float64).reshape(16, 8, 8)
+        res = tiled_multisplit_solve_3d(mesh222, 16, 8, 8, b, rtol=1e-3,
+                                        maxiter=2000)
+        st = ms.sm(sop, blockops.rhs_ones(sop, jnp.float64), rtol=1e-3,
+                   maxiter=2000)
+        assert int(res.sweeps) == int(st.sweeps)
+        assert bool(res.converged)
+        r = b.reshape(-1) - sop.global_mv(res.x.reshape(-1))
+        assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b.reshape(-1))) <= 1e-3
+
+    def test_3d_minimization(self, mesh222):
+        from medane_tchakorom_ufc_thesis_repository_tpu.parallel.tiled import (
+            tiled_multisplit_solve_3d,
+        )
+
+        sop = blockops.block_poisson3d(16, 8, 8)
+        b = blockops.rhs_ones(sop, jnp.float64).reshape(16, 8, 8)
+        res = tiled_multisplit_solve_3d(
+            mesh222, 16, 8, 8, b, minimization="global", s=4, rtol=1e-3,
+            maxiter=2000,
+        )
+        assert bool(res.converged)
+
+    def test_3d_async(self, mesh222):
+        from medane_tchakorom_ufc_thesis_repository_tpu.parallel.tiled import (
+            tiled_multisplit_solve_3d,
+        )
+
+        sop = blockops.block_poisson3d(16, 8, 8)
+        b = blockops.rhs_ones(sop, jnp.float64).reshape(16, 8, 8)
+        res = tiled_multisplit_solve_3d(
+            mesh222, 16, 8, 8, b, schedule="async", staleness=2, rtol=1e-3,
+            maxiter=4000,
+        )
+        assert bool(res.converged)
+        r = b.reshape(-1) - sop.global_mv(res.x.reshape(-1))
+        assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b.reshape(-1))) <= 1.5e-3
