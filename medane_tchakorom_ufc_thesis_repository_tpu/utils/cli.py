@@ -50,7 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--intra", type=int, default=None,
                    help="devices per block (sharded backend)")
     p.add_argument("--backend", default=None,
-                   choices=["stacked", "sharded", "host_async"])
+                   choices=["stacked", "sharded", "tiled", "host_async"])
+    p.add_argument("--ir", type=int, default=None,
+                   help="row tiles per block (tiled backend)")
+    p.add_argument("--ic", type=int, default=None,
+                   help="column tiles (tiled backend)")
     p.add_argument("--dtype", default=None, choices=["float32", "float64"])
     p.add_argument("--inner-restart", type=int, default=None, dest="inner_restart")
     p.add_argument("--inner-maxiter", type=int, default=None, dest="inner_maxiter")
@@ -102,6 +106,8 @@ def run(cfg, profile_dir=None):
         trace,
     )
 
+    if cfg.dtype == "float64" and not jax.config.read("jax_enable_x64"):
+        jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
     pt = PhaseTimer()
 
@@ -200,7 +206,37 @@ def run(cfg, profile_dir=None):
                 error_vs_ones=err,
             )
             return result, pt
-        if cfg.backend == "sharded":
+        if cfg.backend == "tiled":
+            from medane_tchakorom_ufc_thesis_repository_tpu.parallel.tiled import (
+                make_tiled_mesh,
+                tiled_multisplit_solve,
+                tiled_multisplit_solve_3d,
+            )
+
+            tmesh = make_tiled_mesh(cfg.nblocks, cfg.ir, cfg.ic)
+            if cfg.dim == 2:
+                b_grid = b.reshape(cfg.m, cfg.n)
+
+                def solve():
+                    return tiled_multisplit_solve(
+                        tmesh, cfg.m, cfg.n, b_grid,
+                        schedule=cfg.schedule,
+                        staleness=(cfg.staleness if cfg.schedule == "async"
+                                   else 1),
+                        minimization=cfg.minimization, s=cfg.s, **kw,
+                    )
+            else:
+                b_grid = b.reshape(cfg.m, cfg.n, cfg.nz)
+
+                def solve():
+                    return tiled_multisplit_solve_3d(
+                        tmesh, cfg.m, cfg.n, cfg.nz, b_grid,
+                        schedule=cfg.schedule,
+                        staleness=(cfg.staleness if cfg.schedule == "async"
+                                   else 1),
+                        minimization=cfg.minimization, s=cfg.s, **kw,
+                    )
+        elif cfg.backend == "sharded":
             from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
                 ShardedPoisson2D,
                 ShardedPoisson3D,

@@ -50,7 +50,9 @@ class RunConfig:
     # decomposition (np/npb analog: nblocks = np/npb)
     nblocks: int = 2
     intra: int = 1            # devices per block (sharded backend)
-    backend: str = "stacked"  # 'stacked' (single-device) | 'sharded'
+    ir: int = 1               # row tiles per block (tiled backend)
+    ic: int = 1               # column tiles (tiled backend)
+    backend: str = "stacked"  # stacked | sharded | tiled | host_async
     # algorithm
     s: int = 4
     rtol: float = 1e-3
