@@ -290,6 +290,9 @@ def _pad_w(a, w):
 
 def rhs_for_exact_ones(op) -> jnp.ndarray:
     """b = A @ ones — the reference's RHS so the exact solution is u = 1
-    (``computeTheRightHandSideWithInitialGuess``, ``utils.c:623-650``)."""
+    (``computeTheRightHandSideWithInitialGuess``, ``utils.c:623-650``).
+    Matrix-free stencils have no stored dtype; the session float width
+    applies (f64 under jax_enable_x64)."""
     n = op.shape[1]
-    return op.mv(jnp.ones((n,), getattr(op, "dtype", jnp.float32)))
+    dtype = getattr(op, "dtype", None) or jnp.result_type(float)
+    return op.mv(jnp.ones((n,), dtype))

@@ -90,7 +90,10 @@ class StackedStencil2D(BlockOperator):
 
     @property
     def dtype(self):
-        return jnp.float32
+        # matrix-free: no stored values; follow the session float width
+        # (f64 under jax_enable_x64) so default RHS construction doesn't
+        # silently truncate intended f64 runs
+        return jnp.result_type(float)
 
     def _grid(self, x):
         return x.reshape(self.nblocks, self.rows, self.n)
@@ -358,7 +361,9 @@ def block_poisson2d_ell(m: int, n: int, nblocks: int = 2, dtype=jnp.float32) -> 
 
 def rhs_ones(op: BlockOperator, dtype=None) -> jax.Array:
     """Stacked RHS ``b = A @ 1`` (exact solution u = 1), the analog of
-    ``computeTheRightHandSideWithInitialGuess`` (``utils.c:623-650``)."""
-    dtype = dtype or getattr(op, "dtype", jnp.float32)
+    ``computeTheRightHandSideWithInitialGuess`` (``utils.c:623-650``).
+    Default dtype: the operator's (stored-value dtype for ELL/DIA; the
+    session float width for matrix-free stencils)."""
+    dtype = dtype or getattr(op, "dtype", None) or jnp.result_type(float)
     ones = jnp.ones((op.nblocks, op.block_size), dtype)
     return op.full_mv(ones)

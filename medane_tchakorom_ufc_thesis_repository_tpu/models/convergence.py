@@ -211,8 +211,10 @@ class Alg515Node:
             if prev is not None and msg.iteration >= prev:
                 self.partial_cv[msg.src] = None
         elif msg.kind is MsgKind.VERIFICATION:
-            if msg.phase_tag <= self.phase_tag and self.state is not State.NORMAL:
-                return  # stale verification round
+            if msg.phase_tag <= self.phase_tag:
+                return  # stale verification round (phase tags are monotone
+                        # across resets, so a delayed message from an
+                        # aborted round can never regress our tag)
             self.phase_tag = msg.phase_tag
             self.state = State.WAIT4VERIFICATION
             self.transport.send(

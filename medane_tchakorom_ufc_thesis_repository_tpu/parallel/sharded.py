@@ -143,6 +143,31 @@ class ShardedPoisson3D:
 # Solver
 # ---------------------------------------------------------------------------
 
+def _check_spmd_configs(inner, outer) -> None:
+    """Fail loudly on options the SPMD backends don't implement (silently
+    running a different algorithm than configured corrupts experiments)."""
+    if inner.method not in ("gmres", "chebyshev"):
+        raise ValueError(
+            f"SPMD backends support inner method 'gmres' or 'chebyshev', "
+            f"not {inner.method!r} (use the stacked backend for 'cg')"
+        )
+    if inner.pc != "none":
+        raise ValueError(
+            "SPMD backends do not implement inner preconditioning yet; "
+            "use the stacked backend for pc='jacobi'"
+        )
+    if outer.method not in ("qr", "normal"):
+        raise ValueError(
+            f"SPMD backends solve the outer LS via a psum-reduced Gram "
+            f"system ('normal'; 'qr' is accepted as an alias), not "
+            f"{outer.method!r} — use the stacked backend for lsqr/cgne"
+        )
+    if outer.alpha_average:
+        raise ValueError(
+            "alpha_average is not implemented in the SPMD backends"
+        )
+
+
 def sharded_gmres_solve(
     mesh: Mesh,
     opcfg,
@@ -192,11 +217,15 @@ def sharded_gmres_solve(
         return y
 
     def body(b_loc):
+        # the while_loop is SPMD-safe here: all reductions span the whole
+        # mesh, so every device computes the identical convergence flag
+        # and takes the same trip count.  fixed_cycles is only needed for
+        # per-block solves whose flags differ across 'block'.
         res = krylov.gmres(
             lambda v: full_mv(v.reshape(lshape)).reshape(-1),
             b_loc.reshape(-1),
             restart=restart, maxiter=maxiter, rtol=rtol, atol=atol,
-            orthog=orthog, axis_name=("block", "intra"), fixed_cycles=True,
+            orthog=orthog, axis_name=("block", "intra"),
         )
         return (res.x.reshape(lshape), res.iters, res.resnorm,
                 res.resnorm0, res.converged)
@@ -310,6 +339,7 @@ def sharded_multisplit_solve(
         c = c.at[..., -1, :].add(off * bot)
         return c
 
+    _check_spmd_configs(inner, outer)
     if inner.method == "chebyshev":
         from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import (
             chebyshev,

@@ -45,6 +45,45 @@ from medane_tchakorom_ufc_thesis_repository_tpu.models.multisplitting import (
 from medane_tchakorom_ufc_thesis_repository_tpu.parallel.engine import (
     make_spmd_body,
 )
+from medane_tchakorom_ufc_thesis_repository_tpu.parallel.sharded import (
+    _check_spmd_configs,
+)
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import (
+    chebyshev,
+    poisson_strip_eig_bounds_2d,
+    poisson_strip_eig_bounds_3d,
+)
+
+
+def _make_tiled_inner(inner: InnerConfig, diag_mv, lshape, bounds_fn):
+    """Per-block inner solve over the ('ir','ic') axes; honest dispatch
+    on InnerConfig.method (silently substituting GMRES for a configured
+    method would corrupt experiments)."""
+    if inner.method == "chebyshev":
+        if inner.eig_min is not None and inner.eig_max is not None:
+            lo, hi = inner.eig_min, inner.eig_max
+        else:
+            lo, hi = bounds_fn()
+
+        def inner_solve(rhs, x):
+            return chebyshev(
+                lambda v: diag_mv(v.reshape(lshape)).reshape(-1),
+                rhs.reshape(-1), x.reshape(-1),
+                lmin=lo, lmax=hi, maxiter=inner.maxiter,
+                axis_name=("ir", "ic"),
+            )
+    else:
+        def inner_solve(rhs, x):
+            return krylov.gmres(
+                lambda v: diag_mv(v.reshape(lshape)).reshape(-1),
+                rhs.reshape(-1), x.reshape(-1),
+                restart=inner.restart, maxiter=inner.maxiter,
+                rtol=inner.rtol, atol=inner.atol, orthog=inner.orthog,
+                axis_name=("ir", "ic"), fixed_cycles=True,
+                basis_dtype=inner.basis_dtype(),
+            )
+
+    return inner_solve
 
 
 def make_tiled_mesh(nblocks: int = 2, ir: int = 2, ic: int = 2,
@@ -57,7 +96,8 @@ def make_tiled_mesh(nblocks: int = 2, ir: int = 2, ic: int = 2,
     return Mesh(grid, ("block", "ir", "ic"))
 
 
-def _common(mesh, schedule, staleness, minimization, s):
+def _common(mesh, schedule, staleness, minimization, s, inner, outer):
+    _check_spmd_configs(inner, outer)
     if schedule not in ("sync", "async"):
         raise ValueError(f"unknown schedule {schedule!r}")
     if minimization not in (None, "local", "semi_local", "global"):
@@ -158,7 +198,7 @@ def tiled_multisplit_solve(
     ``b`` is the global RHS in grid shape ``(m, n)``.
     """
     is_async, s, nb, pr, pc, stal = _common(
-        mesh, schedule, staleness, minimization, s
+        mesh, schedule, staleness, minimization, s, inner, outer
     )
     if m % (nb * pr) or n % pc:
         raise ValueError(
@@ -201,15 +241,10 @@ def tiled_multisplit_solve(
         c = c.at[..., -1, :].add(off * sh)
         return c
 
-    def inner_solve(rhs, x):
-        return krylov.gmres(
-            lambda v: diag_mv(v.reshape(lshape)).reshape(-1),
-            rhs.reshape(-1), x.reshape(-1),
-            restart=inner.restart, maxiter=inner.maxiter,
-            rtol=inner.rtol, atol=inner.atol, orthog=inner.orthog,
-            axis_name=("ir", "ic"), fixed_cycles=True,
-            basis_dtype=inner.basis_dtype(),
-        )
+    inner_solve = _make_tiled_inner(
+        inner, diag_mv, lshape,
+        bounds_fn=lambda: poisson_strip_eig_bounds_2d(m // nb, n, diag, off),
+    )
 
     body_scalar = make_spmd_body(
         diag_mv=diag_mv, coupling_mv=coupling_mv, inner_solve=inner_solve,
@@ -245,7 +280,7 @@ def tiled_multisplit_solve_3d(
     """3D Poisson multisplitting: x-planes over ('block','ir'), y over
     'ic', z local.  ``b`` is the global RHS in grid shape (nx, ny, nz)."""
     is_async, s, nb, pr, pc, stal = _common(
-        mesh, schedule, staleness, minimization, s
+        mesh, schedule, staleness, minimization, s, inner, outer
     )
     if nx % (nb * pr) or ny % pc:
         raise ValueError(
@@ -291,15 +326,12 @@ def tiled_multisplit_solve_3d(
         c = c.at[..., -1, :, :].add(off * sh)
         return c
 
-    def inner_solve(rhs, x):
-        return krylov.gmres(
-            lambda v: diag_mv(v.reshape(lshape)).reshape(-1),
-            rhs.reshape(-1), x.reshape(-1),
-            restart=inner.restart, maxiter=inner.maxiter,
-            rtol=inner.rtol, atol=inner.atol, orthog=inner.orthog,
-            axis_name=("ir", "ic"), fixed_cycles=True,
-            basis_dtype=inner.basis_dtype(),
-        )
+    inner_solve = _make_tiled_inner(
+        inner, diag_mv, lshape,
+        bounds_fn=lambda: poisson_strip_eig_bounds_3d(
+            nx // nb, ny, nz, diag, off
+        ),
+    )
 
     body_scalar = make_spmd_body(
         diag_mv=diag_mv, coupling_mv=coupling_mv, inner_solve=inner_solve,

@@ -46,6 +46,7 @@ def chebyshev(
     lmax: float,
     maxiter: int = 20,
     axis_name=None,
+    rtol: float = 0.0,
 ) -> KrylovResult:
     """Run ``maxiter`` Chebyshev iterations for SPD ``A`` with eigenvalues
     in ``[lmin, lmax]``.
@@ -53,7 +54,9 @@ def chebyshev(
     The error polynomial is the scaled-and-shifted Chebyshev polynomial —
     optimal worst-case damping over the bound interval.  Residual norms
     are computed only at entry/exit (one reduction each), never inside
-    the loop.
+    the loop.  ``converged`` reports ``rnorm <= rtol * rnorm0`` (always
+    False at the default rtol=0 — a fixed-iteration smoother makes no
+    convergence claim).
     """
     dtype = b.dtype
     psum = make_reducer(axis_name)
@@ -81,7 +84,7 @@ def chebyshev(
     rnorm = jnp.sqrt(psum(jnp.sum(r * r)))
     return KrylovResult(
         x=x, iters=jnp.asarray(maxiter, jnp.int32), resnorm=rnorm,
-        resnorm0=rnorm0, converged=rnorm <= rnorm0,
+        resnorm0=rnorm0, converged=rnorm <= rtol * rnorm0,
     )
 
 

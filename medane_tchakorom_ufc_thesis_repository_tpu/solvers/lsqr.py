@@ -70,7 +70,7 @@ def lsqr(
     v0 = jnp.where(alpha0 > 0, v0 / jnp.where(alpha0 > 0, alpha0, 1.0), v0)
 
     def body(carry):
-        x, u, v, w, alpha, beta, phibar, rhobar, iters, _ = carry
+        x, u, v, w, alpha, beta, phibar, rhobar, iters, _, _ = carry
         # bidiagonalization step
         u_new = matvec(v) - alpha * u
         beta_new = unorm(u_new)
@@ -92,27 +92,36 @@ def lsqr(
         phibar_new = s * phibar
         x = x + (phi / rho) * w
         w = v_new - (theta / rho) * w
+        # |phibar| estimates ||r||; |phibar * alpha * c| estimates
+        # ||A^T r|| — the least-squares optimality measure (Paige-Saunders
+        # stopping rule 2).  Essential for inconsistent systems, where
+        # ||r|| plateaus at ||r_min|| > 0 and the primary test never fires.
+        arnorm = jnp.abs(phibar_new * alpha_new * c)
         return (
             x, u_new, v_new, w, alpha_new, beta_new,
-            phibar_new, rhobar_new, iters + 1, jnp.abs(phibar_new),
+            phibar_new, rhobar_new, iters + 1, jnp.abs(phibar_new), arnorm,
         )
 
+    arnorm0 = alpha0 * beta0  # ||A^T b||
+    artol = jnp.asarray(rtol, dtype) * arnorm0 + jnp.asarray(atol, dtype)
+
     def cond(carry):
-        *_, alpha, beta, phibar, rhobar, iters, rnorm = carry
-        # |phibar| estimates ||r||; |phibar*alpha*cos| ~ ||A^T r||
-        return jnp.logical_and(rnorm > tol, iters < maxiter)
+        *_, alpha, beta, phibar, rhobar, iters, rnorm, arnorm = carry
+        active = jnp.logical_and(rnorm > tol, arnorm > artol)
+        return jnp.logical_and(active, iters < maxiter)
 
     x_init = jnp.zeros((n,), dtype)
     init = (
         x_init, u, v0, v0, alpha0, beta0, beta0, alpha0,
-        jnp.zeros((), jnp.int32), beta0,
+        jnp.zeros((), jnp.int32), beta0, arnorm0,
     )
     out = lax.while_loop(cond, body, init)
-    x, *_, iters, rnorm = out
+    x, *_, iters, rnorm, arnorm = out
     if x0 is not None:
         x = x0 + x
+    converged = jnp.logical_or(rnorm <= tol, arnorm <= artol)
     return KrylovResult(
-        x=x, iters=iters, resnorm=rnorm, resnorm0=beta0, converged=rnorm <= tol
+        x=x, iters=iters, resnorm=rnorm, resnorm0=beta0, converged=converged
     )
 
 

@@ -31,7 +31,11 @@ def run_one(cfg_args: List[str], timeout_s: float,
     """Run one CLI config in a subprocess; returns the result record.
 
     ``env`` entries overlay the inherited environment (e.g.
-    ``{"JAX_PLATFORMS": "cpu"}`` to keep a sweep off the TPU).
+    ``{"JAX_PLATFORMS": "cpu"}`` to keep a sweep off the TPU); a value of
+    ``None`` removes the variable.  When targeting CPU, also remove
+    ``PALLAS_AXON_POOL_IPS`` — the axon sitecustomize dials the TPU
+    tunnel at interpreter start regardless of JAX_PLATFORMS, and a busy
+    tunnel blocks the subprocess for minutes.
     """
     cmd = [
         sys.executable, "-m",
@@ -41,7 +45,13 @@ def run_one(cfg_args: List[str], timeout_s: float,
     full_env = None
     if env:
         full_env = dict(os.environ)
-        full_env.update(env)
+        for k, v in env.items():
+            if v is None:
+                full_env.pop(k, None)
+            else:
+                full_env[k] = v
+        if full_env.get("JAX_PLATFORMS") == "cpu":
+            full_env.pop("PALLAS_AXON_POOL_IPS", None)
     t0 = time.perf_counter()
     try:
         proc = subprocess.run(

@@ -128,6 +128,11 @@ def run(cfg, profile_dir=None):
     if cfg.alg == "GMRES":
         from medane_tchakorom_ufc_thesis_repository_tpu.solvers import gmres
 
+        if cfg.backend not in ("stacked", "sharded"):
+            raise SystemExit(
+                "the GMRES baseline supports backends 'stacked' and "
+                "'sharded' only"
+            )
         if cfg.backend == "sharded":
             from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
                 ShardedPoisson2D,

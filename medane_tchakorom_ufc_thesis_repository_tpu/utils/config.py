@@ -95,11 +95,23 @@ class RunConfig:
             )
         if self.dim not in (2, 3):
             raise ValueError("dim must be 2 or 3")
-        split = self.m if self.dim == 2 else self.m
-        if split % self.nblocks:
-            raise ValueError(
-                f"m={self.m} must divide by nblocks={self.nblocks}"
+        # the split axis is m (grid rows in 2D, nx planes in 3D)
+        if self.backend == "tiled":
+            if self.m % (self.nblocks * self.ir):
+                raise ValueError(
+                    f"m={self.m} must divide by nblocks*ir="
+                    f"{self.nblocks * self.ir}"
+                )
+            if self.n % self.ic:
+                raise ValueError(f"n={self.n} must divide by ic={self.ic}")
+        else:
+            denom = self.nblocks * (
+                self.intra if self.backend == "sharded" else 1
             )
+            if self.m % denom:
+                raise ValueError(
+                    f"m={self.m} must divide by nblocks*intra={denom}"
+                )
         return self
 
     @property

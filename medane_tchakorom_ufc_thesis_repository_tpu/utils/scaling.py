@@ -59,14 +59,14 @@ def run_weak_scaling(
         mesh = make_mesh(nblocks=2, intra=nd // 2)
         m = rows_per_device * nd
         cfg = ShardedPoisson2D(m, n)
-        # b = A @ ones without materializing the stacked operator
-        ones = jnp.ones((m, n), jnp.float32)
-        b = np.zeros((m, n), np.float32)
-        g = np.ones((m, n), np.float32)
-        y = 4.0 * g
-        y[1:, :] -= g[:-1, :]; y[:-1, :] -= g[1:, :]
-        y[:, 1:] -= g[:, :-1]; y[:, :-1] -= g[:, 1:]
-        b = jnp.asarray(y)
+        # b = A @ ones via the canonical host-side operator
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.refine import (
+            stencil2d_mv_np,
+        )
+
+        b = jnp.asarray(
+            stencil2d_mv_np(m, n)(np.ones(m * n)).reshape(m, n), jnp.float32
+        )
 
         def solve():
             return sharded_multisplit_solve(
