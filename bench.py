@@ -109,11 +109,35 @@ def main():
     _fence(gres.x)
     gmres_s = time.perf_counter() - t0
 
+    # measured CPU reference on this host: scipy CSR SpMV (the PETSc-AIJ
+    # class of kernel the reference runs), single thread
+    cpu_nnz_per_s = None
+    try:
+        import numpy as _np
+        import scipy.sparse as _sp
+
+        rows, cols, vals, shape = poisson.poisson3d_coo(128, 128, 128)
+        A = _sp.csr_matrix((vals, (rows, cols)), shape=shape)
+        xc = _np.ones(shape[0])
+        xc = A @ xc
+        t0 = time.perf_counter()
+        for _ in range(10):
+            xc = A @ xc * 0.125
+        cpu_nnz_per_s = A.nnz / ((time.perf_counter() - t0) / 10)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "3d_poisson_spmv_throughput_per_chip",
         "value": round(nnz_per_s / 1e9, 3),
         "unit": "Gnnz/s",
         "vs_baseline": round(nnz_per_s / REFERENCE_SPMV_NNZ_PER_S, 2),
+        "measured_cpu_csr_gnnz_per_s": (
+            round(cpu_nnz_per_s / 1e9, 3) if cpu_nnz_per_s else None
+        ),
+        "vs_measured_cpu_core": (
+            round(nnz_per_s / cpu_nnz_per_s, 1) if cpu_nnz_per_s else None
+        ),
         "spmv_grid": f"{nx}x{ny}x{nz}",
         "spmv_ms": round(dt * 1e3, 4),
         "smsm_global_3d_64_solve_s": round(solve_s, 3),

@@ -301,3 +301,29 @@ class TestStalenessScaling:
         assert sweeps[8] > 1.5 * sweeps[4]
         # and bounded: not catastrophically worse than linear
         assert sweeps[8] < 16 * sweeps[1]
+
+
+class TestOptionCombinations:
+    def test_bf16_basis_sm(self):
+        # f32 problem with bf16 basis storage: converges at rtol 1e-3
+        op, _ = _problem2d()
+        b32 = blockops.rhs_ones(op, jnp.float32)
+        res = ms.sm(op, b32, rtol=1e-3, maxiter=2000,
+                    inner=ms.InnerConfig(basis="bf16"))
+        assert bool(res.converged)
+        assert _true_rel(op, b32, res.x) <= 1.5e-3
+
+    def test_bf16_basis_async_minimization(self):
+        op, _ = _problem2d()
+        b32 = blockops.rhs_ones(op, jnp.float32)
+        res = ms.amam(op, b32, scope="global", s=4, staleness=2, rtol=1e-3,
+                      maxiter=4000, inner=ms.InnerConfig(basis="bf16"))
+        assert bool(res.converged)
+        assert _true_rel(op, b32, res.x) <= 2e-3
+
+    def test_chebyshev_async(self):
+        op, b = _problem2d()
+        res = ms.am(op, b, staleness=2, rtol=1e-3, maxiter=4000,
+                    inner=ms.InnerConfig(method="chebyshev", maxiter=20))
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1.5e-3

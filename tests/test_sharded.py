@@ -159,3 +159,36 @@ class TestShardedGMRES:
         assert bool(res.converged)
         r = b - op.mv(res.x.reshape(-1))
         assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) <= 1e-6
+
+
+class TestShardedOptionGuards:
+    def test_cg_inner_rejected(self, mesh24):
+        _, cfg, b = _setup2d()
+        with pytest.raises(ValueError):
+            sharded_multisplit_solve(
+                mesh24, cfg, b, inner=ms.InnerConfig(method="cg")
+            )
+
+    def test_jacobi_pc_rejected(self, mesh24):
+        _, cfg, b = _setup2d()
+        with pytest.raises(ValueError):
+            sharded_multisplit_solve(
+                mesh24, cfg, b, inner=ms.InnerConfig(pc="jacobi")
+            )
+
+    def test_lsqr_outer_rejected(self, mesh24):
+        _, cfg, b = _setup2d()
+        with pytest.raises(ValueError):
+            sharded_multisplit_solve(
+                mesh24, cfg, b, minimization="global",
+                outer=ms.OuterConfig(method="lsqr"),
+            )
+
+    def test_bf16_basis_works(self, mesh24):
+        sop, cfg, _ = _setup2d()
+        b32 = blockops.rhs_ones(sop, jnp.float32).reshape(32, 32)
+        res = sharded_multisplit_solve(
+            mesh24, cfg, b32, rtol=1e-3, maxiter=2000,
+            inner=ms.InnerConfig(basis="bf16"),
+        )
+        assert bool(res.converged)
