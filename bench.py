@@ -109,6 +109,26 @@ def main():
     _fence(gres.x)
     gmres_s = time.perf_counter() - t0
 
+    # --- north-star: 3D Poisson to 1e-8 relative residual --------------
+    # (BASELINE.json: "wall-time + iters to 1e-8 residual on 3D Poisson")
+    # f32 device solves + f64 host residuals via iterative refinement
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers.refine import (
+        iterative_refinement,
+        stencil3d_mv_np,
+    )
+    import numpy as _np
+
+    mv64 = stencil3d_mv_np(64, 64, 64)
+    b64 = mv64(_np.ones(64 ** 3))
+    refine_solve = jax.jit(
+        lambda rr: gmres(gop.mv, rr, restart=30, maxiter=3000, rtol=1e-5).x
+    )
+    _ = refine_solve(jnp.asarray(b64 / _np.linalg.norm(b64), jnp.float32))
+    _fence(_)
+    t0 = time.perf_counter()
+    rres = iterative_refinement(refine_solve, mv64, b64, rtol=1e-8)
+    refine_s = time.perf_counter() - t0
+
     # measured CPU reference on this host: scipy CSR SpMV (the PETSc-AIJ
     # class of kernel the reference runs), single thread
     cpu_nnz_per_s = None
@@ -146,6 +166,10 @@ def main():
         "smsm_global_3d_64_converged": bool(res.converged),
         "gmres_3d_64_solve_s": round(gmres_s, 3),
         "gmres_3d_64_iters": int(gres.iters),
+        "northstar_3d_64_to_1e8_s": round(refine_s, 3),
+        "northstar_3d_64_rel_residual": f"{rres.rnorm / rres.rnorm0:.2e}",
+        "northstar_3d_64_refine_passes": rres.passes,
+        "northstar_3d_64_converged": bool(rres.converged),
     }))
 
 
