@@ -21,3 +21,24 @@ from medane_tchakorom_ufc_thesis_repository_tpu.core import (  # noqa: F401
     operators,
     poisson,
 )
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers import (  # noqa: F401
+    cg,
+    cgne,
+    gmres,
+    lsqr,
+    lstsq_normal,
+    lstsq_qr,
+)
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.castep import (  # noqa: F401
+    ca_gmres,
+)
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import (  # noqa: F401
+    chebyshev,
+)
+from medane_tchakorom_ufc_thesis_repository_tpu.models import (  # noqa: F401
+    am,
+    amam,
+    multisplit_solve,
+    sm,
+    smsm,
+)

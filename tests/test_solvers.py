@@ -194,3 +194,52 @@ class TestDivergence:
         b = poisson.rhs_for_exact_ones(op).astype(jnp.float64)
         res = gmres(op.mv, b, restart=30, maxiter=500, rtol=1e-8, divtol=0.0)
         assert bool(res.converged)
+
+
+class TestCAGMRES:
+    def test_matches_gmres_restart_counts(self):
+        import jax.numpy as jnp
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import gmres
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.castep import (
+            ca_gmres,
+        )
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import (
+            poisson_strip_eig_bounds_2d,
+        )
+
+        m = n = 32
+        op = poisson.poisson2d(m, n)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float64)
+        lmin, lmax = poisson_strip_eig_bounds_2d(m, n)
+        rc = ca_gmres(op.mv, b, s=8, maxiter=20000, rtol=1e-6,
+                      lmin=lmin, lmax=lmax)
+        rg = gmres(op.mv, b, restart=8, maxiter=20000, rtol=1e-6)
+        assert bool(rc.converged)
+        # same Krylov subspace per cycle -> iteration counts agree to
+        # within one restart cycle
+        assert abs(int(rc.iters) - int(rg.iters)) <= 8
+        rel = float(jnp.linalg.norm(b - op.mv(rc.x)) / rc.resnorm0)
+        assert rel <= 1.5e-6
+
+    def test_monomial_small_s(self):
+        import jax.numpy as jnp
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.castep import (
+            ca_gmres,
+        )
+
+        op = poisson.poisson2d(16, 16)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float64)
+        res = ca_gmres(op.mv, b, s=4, maxiter=10000, rtol=1e-6)
+        assert bool(res.converged)
+
+    def test_leja_shifts_cover_interval(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.castep import (
+            chebyshev_shifts,
+        )
+
+        sh = chebyshev_shifts(0.1, 7.9, 8)
+        assert len(sh) == 8
+        assert all(0.1 <= p <= 7.9 for p in sh)
+        assert len(set(round(p, 12) for p in sh)) == 8  # distinct
