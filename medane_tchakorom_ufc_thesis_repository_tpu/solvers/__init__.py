@@ -11,3 +11,12 @@ from medane_tchakorom_ufc_thesis_repository_tpu.solvers.lstsq import (  # noqa: 
     lstsq_normal,
     lstsq_qr,
 )
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.castep import (  # noqa: F401
+    ca_gmres,
+)
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import (  # noqa: F401
+    chebyshev,
+)
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.refine import (  # noqa: F401
+    iterative_refinement,
+)
