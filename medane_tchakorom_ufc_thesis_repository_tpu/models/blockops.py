@@ -359,6 +359,29 @@ def block_poisson2d_ell(m: int, n: int, nblocks: int = 2, dtype=jnp.float32) -> 
     return StackedELLOperator(a_ii=a_ii, a_ic=a_ic)
 
 
+def final_residual_norm(op: BlockOperator, xs, bs) -> jax.Array:
+    """Global true residual norm with PER-BLOCK full-length iterates —
+    parity with ``computeFinalResidualNorm_new`` (reference
+    ``src/utils/utils.c:597-620``): block ``i`` applies its row strip
+    ``A_i`` to its OWN full-length vector ``xs[i]`` (each block holds a
+    private copy of the merged x in the reference drivers), computes
+    ``r_i = bs[i] - A_i xs[i]``, and the global norm is
+    ``sqrt(sum_i ||r_i||^2)`` (the roots-communicator Allreduce).
+
+    ``xs``: ``(nblocks, nblocks * block_size)`` per-block merged iterates;
+    ``bs``: ``(nblocks, block_size)`` per-block RHS strips.
+    """
+    nb = op.nblocks
+    xs = jnp.asarray(xs)
+    bs = jnp.asarray(bs)
+    rs = [
+        bs[i] - op.full_mv(xs[i].reshape(nb, op.block_size))[i]
+        for i in range(nb)
+    ]
+    r = jnp.stack(rs)
+    return jnp.sqrt(jnp.sum(r * r))
+
+
 def rhs_ones(op: BlockOperator, dtype=None) -> jax.Array:
     """Stacked RHS ``b = A @ 1`` (exact solution u = 1), the analog of
     ``computeTheRightHandSideWithInitialGuess`` (``utils.c:623-650``).

@@ -76,22 +76,39 @@ class TestHandWrittenStencilRows:
 class TestGoldenResidualNorm:
     """The reference pins ``computeFinalResidualNorm_new`` to 2.54567588
     for hardcoded per-block x/b on a 2x2 mesh with 2 blocks
-    (``utils_test.c:225-228,285-325``): per block, r_i = b_i - A_i x with
-    A the 2x2-grid Poisson matrix split into 2 row strips; the global
-    norm is sqrt(||r_0||^2 + ||r_1||^2)."""
+    (``utils_test.c:225-228,285-325``): each block holds its OWN
+    full-length x and computes r_i = b_i - A_i x^(i) with A the 2x2-grid
+    Poisson matrix split into 2 row strips; the global norm is
+    sqrt(||r_0||^2 + ||r_1||^2) (Allreduce over the block roots)."""
 
     def test_golden_value(self):
-        # Reproduce the reference fixture: mesh 2x2 (4 unknowns), 2 blocks
-        # of 2 rows.  x = [0.5, 0.5, 0.5, 0.5], b_0 = [1.0, 1.0] (block 0),
-        # b_1 = [2.0, 2.0] (block 1) — values from utils_test.c:285-325.
+        # The exact reference fixture (utils_test.c:285-325): mesh 2x2
+        # (4 unknowns), 2 blocks of 2 rows; block 0's merged iterate is
+        # x^(0) = [0.1234, 0.5678, 0.9101, 0.1121] with b_0 =
+        # [0.3141, 0.5926]; block 1's is x^(1) = [0.8765, 0.4321,
+        # 0.5432, 0.6789] with b_1 = [0.2468, 0.1357].
+        op = blockops.block_poisson2d(2, 2, nblocks=2)
+        xs = jnp.asarray(
+            [[0.1234, 0.5678, 0.9101, 0.1121],
+             [0.8765, 0.4321, 0.5432, 0.6789]], jnp.float64
+        )
+        bs = jnp.asarray([[0.3141, 0.5926], [0.2468, 0.1357]], jnp.float64)
+        norm = float(blockops.final_residual_norm(op, xs, bs))
+        # TEST_ASSERT_EQUAL_FLOAT(2.54567588, ...) — utils_test.c:227
+        np.testing.assert_allclose(norm, 2.54567588, rtol=1e-8)
+
+    def test_shared_iterate_invariant(self):
+        # When every block holds the SAME merged x, the per-block-x norm
+        # collapses to the plain global residual norm ||b - A x||.
         op = blockops.block_poisson2d(2, 2, nblocks=2)
         x = jnp.full((2, 2), 0.5, jnp.float64)
         b = jnp.asarray([[1.0, 1.0], [2.0, 2.0]], jnp.float64)
         r = b - op.full_mv(x)
         norm = float(jnp.sqrt(jnp.sum(r * r)))
-        # A @ x: each row of the 2x2-grid Poisson has diag 4 and two -1
-        # neighbors => (4 - 2) * 0.5 = 1.0 per row.
-        # r_0 = [0, 0], r_1 = [1, 1] => norm = sqrt(2) = 1.41421356.
+        xs = jnp.stack([x.reshape(-1), x.reshape(-1)])
+        np.testing.assert_allclose(
+            float(blockops.final_residual_norm(op, xs, b)), norm, rtol=1e-12
+        )
         np.testing.assert_allclose(norm, np.sqrt(2.0), rtol=1e-12)
 
     def test_reference_formula_shape(self):
