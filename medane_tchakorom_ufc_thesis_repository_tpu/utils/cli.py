@@ -74,7 +74,45 @@ def build_parser() -> argparse.ArgumentParser:
                    help="emit one JSON line instead of the report")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace here")
+    p.add_argument("--multihost", type=int, default=None, metavar="NPROCS",
+                   help="fan out NPROCS OS processes over jax.distributed "
+                        "(the reference's mpiexec analog, iSolve:347-401); "
+                        "CPU transport is Gloo, each process gets "
+                        "--devices-per-process virtual devices")
+    p.add_argument("--devices-per-process", type=int, default=4,
+                   dest="devices_per_process",
+                   help="virtual CPU devices per multihost process")
     return p
+
+
+_MULTIHOST_PASSTHROUGH = {
+    "alg": "--alg", "dim": "--dim", "m": "--m", "n": "--n", "nz": "--nz",
+    "nblocks": "--nblocks", "s": "--s", "rtol": "--rtol",
+    "maxiter": "--maxiter", "staleness": "--staleness",
+    "inner_maxiter": "--inner-maxiter", "inner_restart": "--inner-restart",
+    "inner_rtol": "--inner-rtol", "outer_method": "--outer-method",
+    "min_convergence_count": "--min-convergence-count", "dtype": "--dtype",
+}
+
+
+def run_multihost(args) -> dict:
+    """Parent side of a multi-process run: fan out worker ranks and
+    return rank 0's result (all ranks' replicated scalars agree)."""
+    from medane_tchakorom_ufc_thesis_repository_tpu.utils import multihost
+
+    wargs = []
+    for field, flag in _MULTIHOST_PASSTHROUGH.items():
+        v = getattr(args, field, None)
+        if v is not None:
+            wargs += [flag, str(v)]
+    results = multihost.launch(
+        wargs,
+        num_processes=args.multihost,
+        devices_per_process=args.devices_per_process,
+    )
+    out = dict(results[0])
+    out["backend"] = f"multihost({args.multihost}proc)"
+    return out
 
 
 def config_from_args(args) -> "RunConfig":
@@ -302,6 +340,21 @@ def run(cfg, profile_dir=None):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.multihost:
+        result = run_multihost(args)
+        if args.json:
+            print(json.dumps(result))
+        else:
+            print(f"Algorithm          : {result['alg']} ({result['backend']})")
+            print(f"Processes/devices  : {result['num_processes']} x "
+                  f"{result['local_devices']} = {result['global_devices']}")
+            print(f"Initial residual   : {result['rnorm0']:.6e}")
+            print(f"Final residual     : {result['rnorm']:.6e}")
+            print(f"Sweeps / cycles    : {result['sweeps']} / {result['cycles']}")
+            print(f"Converged          : {result['converged']}")
+            print(f"Elapsed            : {result['elapsed_s']:.4f} s")
+            print(f"Error vs u=1       : {result['err_vs_ones']:.6e}")
+        return 0 if result["converged"] else 2
     cfg = config_from_args(args)
     result, pt = run(cfg, profile_dir=args.profile_dir)
 

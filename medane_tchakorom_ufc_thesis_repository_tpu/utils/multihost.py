@@ -1,0 +1,266 @@
+"""Multi-process (multi-host) execution.
+
+The analog of the reference's ``mpiexec`` fan-out: ``iSolve`` assembles a
+``petscmpiexec -n $np`` command over a hostfile and every rank runs the
+same binary (reference ``iSolve:347-401``, ``hostfiles/default:1-2``).
+Here the same structure is:
+
+* ``launch(...)``          — parent-side fan-out: spawn N OS processes of
+  ``python -m ...utils.multihost`` with a shared coordinator address
+  (the mpiexec analog; on a real cluster each host runs the worker
+  command itself with its own ``--process-id``).
+* ``worker_main(argv)``    — one rank: ``jax.distributed.initialize``,
+  build the global ``('block', 'intra')`` mesh over ALL processes'
+  devices (``make_multihost_mesh``), run the requested algorithm through
+  the standard sharded entry points, print ONE JSON result line.
+
+Every collective inside the solve (intra-block psum, cross-block
+ppermute halos, global Gram psum) then really crosses the process
+boundary — on CPU via Gloo, on TPU pods via ICI/DCN.
+
+CPU testing (the analog of the reference's 4-rank localhost MPI tests,
+``makefile:185-188``): each process gets
+``--xla_force_host_platform_device_count=K`` virtual devices, so
+2 processes x 4 devices exercises the same 8-device mesh as the
+single-process test suite, now with real inter-process transport.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+from typing import List, Optional, Sequence
+
+
+def free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def scrubbed_env(devices_per_process: int) -> dict:
+    """Environment for a CPU worker process: force the CPU platform with
+    K virtual devices and drop ``PALLAS_AXON_POOL_IPS`` so the process
+    does not dial the TPU tunnel at interpreter start (CLAUDE.md)."""
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    flags = " ".join(
+        f for f in flags.split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    env["XLA_FLAGS"] = (
+        f"{flags} --xla_force_host_platform_device_count={devices_per_process}"
+    ).strip()
+    return env
+
+
+def launch(
+    worker_args: Sequence[str],
+    *,
+    num_processes: int = 2,
+    devices_per_process: int = 4,
+    timeout_s: float = 600.0,
+    port: Optional[int] = None,
+) -> List[dict]:
+    """Spawn ``num_processes`` CPU workers running ``worker_main`` with
+    the given solve flags; return each worker's parsed JSON result.
+
+    Raises ``RuntimeError`` with the combined output if any rank fails —
+    the analog of mpiexec's nonzero exit on any-rank failure.
+    """
+    port = port or free_port()
+    env = scrubbed_env(devices_per_process)
+    procs = []
+    for pid in range(num_processes):
+        cmd = [
+            sys.executable, "-m",
+            "medane_tchakorom_ufc_thesis_repository_tpu.utils.multihost",
+            "--coordinator", f"localhost:{port}",
+            "--num-processes", str(num_processes),
+            "--process-id", str(pid),
+            *worker_args,
+        ]
+        procs.append(
+            subprocess.Popen(
+                cmd, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))),
+            )
+        )
+    outs, rcs = [], []
+    deadline = time.monotonic() + timeout_s
+    for p in procs:
+        left = max(1.0, deadline - time.monotonic())
+        try:
+            out, _ = p.communicate(timeout=left)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+            out += "\n[parent] TIMEOUT"
+        outs.append(out)
+        rcs.append(p.returncode)
+    if any(rc != 0 for rc in rcs):
+        blob = "\n".join(
+            f"--- rank {i} rc={rc}\n{o}" for i, (rc, o) in enumerate(zip(rcs, outs))
+        )
+        raise RuntimeError(f"multihost launch failed:\n{blob}")
+    results = []
+    for i, out in enumerate(outs):
+        line = [l for l in out.splitlines() if l.startswith("{")]
+        if not line:
+            raise RuntimeError(f"rank {i} produced no JSON:\n{out}")
+        results.append(json.loads(line[-1]))
+    return results
+
+
+# ---------------------------------------------------------------------------
+# Worker
+# ---------------------------------------------------------------------------
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="multihost",
+        description="One rank of a multi-process multisplitting solve",
+    )
+    p.add_argument("--coordinator", required=True)
+    p.add_argument("--num-processes", type=int, required=True)
+    p.add_argument("--process-id", type=int, required=True)
+    p.add_argument("--alg", default="SMSM_GLOBAL")
+    p.add_argument("--dim", type=int, default=2)
+    p.add_argument("--m", type=int, default=32)
+    p.add_argument("--n", type=int, default=32)
+    p.add_argument("--nz", type=int, default=16)
+    p.add_argument("--nblocks", type=int, default=2)
+    p.add_argument("--s", type=int, default=4)
+    p.add_argument("--rtol", type=float, default=1e-4)
+    p.add_argument("--maxiter", type=int, default=2000)
+    p.add_argument("--staleness", type=int, default=2)
+    p.add_argument("--inner-maxiter", type=int, default=8)
+    p.add_argument("--inner-restart", type=int, default=8)
+    p.add_argument("--inner-rtol", type=float, default=1e-6)
+    p.add_argument("--outer-method", default="qr")
+    p.add_argument("--min-convergence-count", type=int, default=4)
+    p.add_argument("--dtype", default="float64")
+    return p
+
+
+def worker_main(argv: Optional[Sequence[str]] = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    from medane_tchakorom_ufc_thesis_repository_tpu.parallel import mesh as meshmod
+
+    meshmod.init_multihost(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from medane_tchakorom_ufc_thesis_repository_tpu.models.multisplitting import (
+        InnerConfig,
+        OuterConfig,
+    )
+    from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
+        ShardedPoisson2D,
+        ShardedPoisson3D,
+        sharded_gmres_solve,
+        sharded_multisplit_solve,
+    )
+
+    mesh = meshmod.make_multihost_mesh(nblocks=args.nblocks)
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+
+    if args.dim == 2:
+        opcfg = ShardedPoisson2D(args.m, args.n)
+    else:
+        opcfg = ShardedPoisson3D(args.m, args.n, args.nz)
+
+    # b = A @ 1 (exact solution u = 1) built redundantly on every process
+    # from the global stencil — identical across ranks, so device_put can
+    # shard it onto the global mesh.
+    ones = jnp.ones(opcfg.global_shape, dtype)
+    b = np.asarray(_global_stencil_apply(opcfg, ones))
+
+    alg = args.alg.upper()
+    t0 = time.perf_counter()
+    if alg == "GMRES":
+        res = sharded_gmres_solve(
+            mesh, opcfg, jnp.asarray(b),
+            restart=30, maxiter=args.maxiter, rtol=args.rtol,
+        )
+        sweeps, cycles, inner_iters = int(res.iters), 0, int(res.iters)
+        rnorm, rnorm0 = float(res.resnorm), float(res.resnorm0)
+    else:
+        schedule = "async" if alg.startswith("A") else "sync"
+        minim = (
+            None if alg in ("SM", "AM")
+            else {"L": "local", "S": "semi_local", "G": "global"}[
+                alg.split("_", 1)[1][0]
+            ]
+        )
+        res = sharded_multisplit_solve(
+            mesh, opcfg, jnp.asarray(b),
+            schedule=schedule,
+            staleness=args.staleness if schedule == "async" else 1,
+            minimization=minim, s=args.s,
+            inner=InnerConfig(
+                restart=args.inner_restart, maxiter=args.inner_maxiter,
+                rtol=args.inner_rtol,
+            ),
+            outer=OuterConfig(method=args.outer_method),
+            rtol=args.rtol, maxiter=args.maxiter,
+            min_convergence_count=args.min_convergence_count,
+        )
+        sweeps, cycles = int(res.sweeps), int(res.cycles)
+        inner_iters = int(res.inner_iters)
+        rnorm, rnorm0 = float(res.rnorm), float(res.rnorm0)
+    elapsed = time.perf_counter() - t0
+
+    # error vs the exact solution u = 1, reduced over the GLOBAL
+    # (cross-process) array under jit
+    err = float(jax.jit(lambda x: jnp.max(jnp.abs(x - 1.0)))(res.x))
+
+    out = {
+        "alg": alg,
+        "process_id": args.process_id,
+        "num_processes": args.num_processes,
+        "global_devices": len(jax.devices()),
+        "local_devices": len(jax.local_devices()),
+        "sweeps": sweeps,
+        "cycles": cycles,
+        "inner_iters": inner_iters,
+        "rnorm": rnorm,
+        "rnorm0": rnorm0,
+        "converged": bool(res.converged),
+        "err_vs_ones": err,
+        "elapsed_s": round(elapsed, 3),
+    }
+    print(json.dumps(out), flush=True)
+    return 0
+
+
+def _global_stencil_apply(opcfg, g):
+    """Full-grid stencil apply on a replicated array (for b = A @ 1)."""
+    y = opcfg.interior_mv(g.reshape(opcfg.split_extent, opcfg.fdim))
+    return y.reshape(g.shape)
+
+
+if __name__ == "__main__":
+    sys.exit(worker_main())

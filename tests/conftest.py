@@ -31,6 +31,12 @@ jax.config.update("jax_enable_x64", True)
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running tests (multi-process spawns)"
+    )
+
+
 @pytest.fixture(scope="session")
 def mesh8():
     import numpy as np

@@ -1,0 +1,87 @@
+"""Real multi-PROCESS execution tests.
+
+The reference's entire deployment story is multi-node MPI
+(``iSolve:347-401`` mpiexec fan-out, ``hostfiles/default``); its test
+binary runs under ``mpirun -n 4`` on one machine (``makefile:185-188``).
+The analog here: spawn 2 OS processes x 4 virtual CPU devices each via
+``jax.distributed`` (Gloo transport between processes), build the global
+8-device ``('block','intra')`` mesh with ``make_multihost_mesh``, and run
+the standard sharded solvers — then check the runs match the
+single-process 8-device results sweep-for-sweep.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medane_tchakorom_ufc_thesis_repository_tpu.models.multisplitting import (
+    InnerConfig,
+)
+from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
+    ShardedPoisson2D,
+    sharded_gmres_solve,
+    sharded_multisplit_solve,
+)
+from medane_tchakorom_ufc_thesis_repository_tpu.utils import multihost
+
+
+def _b_ones(cfg, dtype=jnp.float64):
+    ones = jnp.ones(cfg.global_shape, dtype)
+    return np.asarray(multihost._global_stencil_apply(cfg, ones))
+
+
+@pytest.mark.slow
+class TestMultihostMatchesSingleProcess:
+    M = N = 32
+    RTOL = 1e-4
+
+    def test_smsm_global(self, mesh8):
+        cfg = ShardedPoisson2D(self.M, self.N)
+        b = jnp.asarray(_b_ones(cfg))
+        ref = sharded_multisplit_solve(
+            mesh8, cfg, b,
+            schedule="sync", minimization="global", s=4,
+            inner=InnerConfig(restart=8, maxiter=8, rtol=1e-6),
+            rtol=self.RTOL, maxiter=2000,
+        )
+        results = multihost.launch(
+            [
+                "--alg", "SMSM_GLOBAL", "--m", str(self.M), "--n", str(self.N),
+                "--s", "4", "--rtol", str(self.RTOL),
+                "--inner-maxiter", "8", "--inner-restart", "8",
+                "--inner-rtol", "1e-6",
+            ],
+            num_processes=2, devices_per_process=4, timeout_s=420,
+        )
+        assert len(results) == 2
+        for r in results:
+            assert r["global_devices"] == 8
+            assert r["local_devices"] == 4
+            assert r["converged"]
+            # sweep-for-sweep match with the single-process 8-device run
+            assert r["sweeps"] == int(ref.sweeps)
+            assert r["cycles"] == int(ref.cycles)
+            np.testing.assert_allclose(
+                r["rnorm"], float(ref.rnorm), rtol=1e-6
+            )
+            assert r["err_vs_ones"] < 0.1
+
+    def test_gmres_baseline(self, mesh8):
+        cfg = ShardedPoisson2D(self.M, self.N)
+        b = jnp.asarray(_b_ones(cfg))
+        ref = sharded_gmres_solve(
+            mesh8, cfg, b, restart=30, maxiter=2000, rtol=self.RTOL
+        )
+        results = multihost.launch(
+            [
+                "--alg", "GMRES", "--m", str(self.M), "--n", str(self.N),
+                "--rtol", str(self.RTOL),
+            ],
+            num_processes=2, devices_per_process=4, timeout_s=420,
+        )
+        for r in results:
+            assert r["converged"]
+            assert r["sweeps"] == int(ref.iters)  # iteration-for-iteration
+            np.testing.assert_allclose(
+                r["rnorm"], float(ref.resnorm), rtol=1e-6
+            )
