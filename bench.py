@@ -53,6 +53,45 @@ def _time_ondevice_chain(step, x, iters=200, warmup=1):
     return (time.perf_counter() - t0) / iters
 
 
+def _slope_time(step, x, i1=100, i2=300, reps=3):
+    """Honest per-apply cost: slope between two chained-loop lengths.
+
+    Subtracts every fixed cost (dispatch, tunnel round-trip, fence) by
+    construction.  ``lax.optimization_barrier`` between iterations stops
+    XLA fusing consecutive applies into one pass (measured: an unbarriered
+    axpy chain reports an impossible 7 TB/s because the unrolled chain
+    collapses to one read+write).  The loop carry stays on-chip — at
+    256^3 f32 (67 MB) it is VMEM-resident, which is exactly how the
+    solvers run (whole solve = one jit), so this is the solver-realistic
+    SpMV number.
+    """
+    import jax
+    from jax import lax
+
+    def make(iters):
+        @jax.jit
+        def chain(v):
+            return lax.fori_loop(
+                0, iters,
+                lambda i, s: lax.optimization_barrier(step(s)), v
+            )
+        return chain
+
+    c1, c2 = make(i1), make(i2)
+    _fence(c1(x))
+    _fence(c2(x))
+
+    def best(c):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _fence(c(x))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return (best(c2) - best(c1)) / (i2 - i1)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -64,13 +103,39 @@ def main():
     )
 
     # --- primary: 3D Poisson stencil SpMV nnz/s per chip ----------------
+    # Grid-shaped state (no flat<->tiled relayout: measured 2x at 256^3),
+    # barriered-slope timing (see _slope_time).  A 2026-08 formulation
+    # shootout (pad+slice vs concat/roll/conv/reduce_window/chunked-DUS/
+    # tridiag-matmul, BENCHMARKS.md) confirmed pad+slice is the fastest
+    # XLA formulation on this chip.
     nx = ny = nz = 256
     op = poisson.poisson3d(nx, ny, nz)
-    x = jnp.ones((nx * ny * nz,), jnp.float32)
+    x = jnp.ones((nx, ny, nz), jnp.float32)
     # scale by 1/8 each application (spectral radius < 8) so the chained
     # values stay bounded; the scalar multiply fuses into the stencil pass
-    dt = _time_ondevice_chain(lambda v: op.mv(v) * jnp.float32(0.125), x)
+    dt = _slope_time(lambda v: op.mv(v) * jnp.float32(0.125), x)
     nnz_per_s = op.nnz / dt
+
+    # --- empirical roofline calibration ---------------------------------
+    # A pure r1w1 axpy over the same array is the cheapest possible
+    # kernel; under the same barriered-slope methodology it is the
+    # measured "speed of light" SpMV could reach with zero extra halo
+    # traffic, so SpMV efficiency is reported against it.
+    dt_axpy = _slope_time(
+        lambda v: v * jnp.float32(1.0001) + jnp.float32(0.5), x
+    )
+    nbytes = x.size * x.dtype.itemsize
+    stream_gb_s = 2 * nbytes / dt_axpy / 1e9
+    spmv_pct = 100.0 * dt_axpy / dt
+
+    # HBM-resident variant: 512^3 (537 MB/vector) cannot sit in VMEM, so
+    # this is the large-problem (weak-scaling) SpMV rate per chip.
+    op512 = poisson.poisson3d(512, 512, 512)
+    x512 = jnp.ones((512, 512, 512), jnp.float32)
+    dt512 = _slope_time(
+        lambda v: op512.mv(v) * jnp.float32(0.125), x512, i1=20, i2=60
+    )
+    nnz512_per_s = op512.nnz / dt512
 
     # --- secondary: SMSM_GLOBAL solve of 3D Poisson to 1e-5 -------------
     sop = blockops.block_poisson3d(64, 64, 64)
@@ -129,6 +194,32 @@ def main():
     rres = iterative_refinement(refine_solve, mv64, b64, rtol=1e-8)
     refine_s = time.perf_counter() - t0
 
+    # --- north-star at scale: 3D 256^3 (16.8M unknowns) to 1e-8 ---------
+    # f32 CG on-chip (SPD Poisson; ~10x cheaper per pass than GMRES(30)
+    # because no Krylov-basis re-reads), f64 residuals ALSO on-chip
+    # (emulated f64 is one bandwidth pass; only scalars cross the
+    # tunnel).  Grid-shaped state throughout — no relayouts.
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers.krylov import cg
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers.refine import (
+        device_iterative_refinement,
+    )
+
+    jax.config.update("jax_enable_x64", True)
+    ones256 = jnp.ones((nx, ny, nz), jnp.float64)
+    b256 = op.mv(ones256)  # f64 on device
+    cg_solve = jax.jit(
+        lambda rr: cg(
+            op.mv, rr, jnp.zeros_like(rr), maxiter=1200, rtol=1e-5
+        ).x
+    )
+    _ = cg_solve(jnp.zeros((nx, ny, nz), jnp.float32))
+    _fence(_)
+    t0 = time.perf_counter()
+    rres256 = device_iterative_refinement(
+        op.mv, b256, cg_solve, rtol=1e-8
+    )
+    refine256_s = time.perf_counter() - t0
+
     # measured CPU reference on this host: scipy CSR SpMV (the PETSc-AIJ
     # class of kernel the reference runs), single thread
     cpu_nnz_per_s = None
@@ -160,6 +251,11 @@ def main():
         ),
         "spmv_grid": f"{nx}x{ny}x{nz}",
         "spmv_ms": round(dt * 1e3, 4),
+        "stream_axpy_ms": round(dt_axpy * 1e3, 4),
+        "stream_ceiling_gb_s": round(stream_gb_s, 1),
+        "spmv_pct_of_measured_stream_roofline": round(spmv_pct, 1),
+        "spmv_hbm_512_ms": round(dt512 * 1e3, 4),
+        "spmv_hbm_512_gnnz_per_s": round(nnz512_per_s / 1e9, 3),
         "smsm_global_3d_64_solve_s": round(solve_s, 3),
         "smsm_global_3d_64_sweeps": int(res.sweeps),
         "smsm_global_3d_64_rel_residual": f"{rel:.2e}",
@@ -170,6 +266,12 @@ def main():
         "northstar_3d_64_rel_residual": f"{rres.rnorm / rres.rnorm0:.2e}",
         "northstar_3d_64_refine_passes": rres.passes,
         "northstar_3d_64_converged": bool(rres.converged),
+        "northstar_3d_256_to_1e8_s": round(refine256_s, 3),
+        "northstar_3d_256_rel_residual": (
+            f"{rres256.rnorm / rres256.rnorm0:.2e}"
+        ),
+        "northstar_3d_256_refine_passes": rres256.passes,
+        "northstar_3d_256_converged": bool(rres256.converged),
     }))
 
 

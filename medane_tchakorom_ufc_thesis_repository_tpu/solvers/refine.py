@@ -76,6 +76,61 @@ def iterative_refinement(
     )
 
 
+def device_iterative_refinement(
+    matvec: Callable,         # dtype-generic operator apply (f32 AND f64)
+    b64,                      # f64 RHS (any shape the matvec accepts)
+    solve_f32: Callable,      # (r32) -> d32 approximate device solve
+    *,
+    rtol: float = 1e-8,
+    max_passes: int = 6,
+) -> RefineResult:
+    """Refinement with the f64 residual computed ON DEVICE.
+
+    TPU f64 is emulated but the residual is one bandwidth-bound pass, so
+    keeping it on-chip beats shipping 2x the state over PCIe/host each
+    pass (on the axon tunnel this cut the 256^3 north-star from ~14 s to
+    ~solve-only time; only scalars cross the host boundary).  Requires a
+    ``matvec`` that evaluates in the dtype of its argument — true for the
+    matrix-free stencil operators.
+    """
+    import jax
+
+    b64 = jnp.asarray(b64, jnp.float64)
+
+    @jax.jit
+    def residual_pass(x64):
+        r = b64 - matvec(x64)
+        return r, jnp.sqrt(jnp.sum(r * r))
+
+    @jax.jit
+    def apply_correction(x64, d32, scale):
+        return x64 + scale * d32.astype(jnp.float64)
+
+    rnorm0 = float(jnp.sqrt(jnp.sum(b64 * b64)))
+    if rnorm0 == 0.0:
+        z = np.zeros(np.shape(b64))
+        return RefineResult(z, 0, [], 0.0, 0.0, True)
+    x64 = jnp.zeros_like(b64)
+    history: List[float] = []
+    for p in range(max_passes):
+        r64, rn = residual_pass(x64)
+        rnorm = float(rn)
+        rel = rnorm / rnorm0
+        history.append(rel)
+        if rel <= rtol:
+            return RefineResult(np.asarray(x64), p, history, rnorm,
+                                rnorm0, True)
+        d32 = solve_f32((r64 / rnorm).astype(jnp.float32))
+        x64 = apply_correction(x64, d32, rnorm)
+    r64, rn = residual_pass(x64)
+    rnorm = float(rn)
+    history.append(rnorm / rnorm0)
+    return RefineResult(
+        np.asarray(x64), max_passes, history, rnorm, rnorm0,
+        rnorm / rnorm0 <= rtol,
+    )
+
+
 def stencil2d_mv_np(m: int, n: int, diag: float = 4.0, off: float = -1.0):
     """Exact f64 host matvec for the 2D 5-point operator (refinement use)."""
 

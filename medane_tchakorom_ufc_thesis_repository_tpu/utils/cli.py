@@ -123,7 +123,10 @@ def config_from_args(args) -> "RunConfig":
 
     overrides = {
         k: v for k, v in vars(args).items()
-        if v is not None and k not in ("config", "json", "profile_dir")
+        if v is not None and k not in (
+            "config", "json", "profile_dir", "multihost",
+            "devices_per_process",
+        )
     }
     if args.config:
         return load_config(args.config, **overrides)
