@@ -164,14 +164,65 @@ jax.tree_util.register_dataclass(
 # Inner solve (vmapped per-block GMRES)
 # ---------------------------------------------------------------------------
 
-def _make_inner(op: BlockOperator, cfg: InnerConfig):
+def _per_block(cfg, nb: int, what: str):
+    """Normalize a config that may be uniform or per-block.
+
+    Returns ``(uniform_cfg, None)`` when one config applies to every
+    block, or ``(None, tuple_of_nb_configs)`` when blocks differ — the
+    analog of the reference's ``inner1_``/``inner2_`` (and
+    ``outer1_``/``outer2_``) per-rank KSP prefixes
+    (``utils.c:512-541``, ``iSolve:118-194``)."""
+    if isinstance(cfg, (list, tuple)):
+        if len(cfg) != nb:
+            raise ValueError(
+                f"per-block {what} needs {nb} entries, got {len(cfg)}"
+            )
+        if all(c == cfg[0] for c in cfg[1:]):
+            return cfg[0], None
+        return None, tuple(cfg)
+    return cfg, None
+
+
+def _make_inner(op: BlockOperator, cfg):
     """Batched per-block Krylov solve: the two (or N) concurrent per-block
-    KSPSolves of the reference become one vmapped solve."""
+    KSPSolves of the reference become one vmapped solve.
+
+    ``cfg`` may be a single ``InnerConfig`` (vmapped batched solve) or a
+    length-``nblocks`` sequence of them (per-block ``inner1_``/``inner2_``
+    parity): differing configs unroll into one compiled solve per block —
+    each block gets its own trip counts/method, exactly like the
+    reference's independently-configured per-rank KSPs."""
+    uniform, per_block = _per_block(cfg, op.nblocks, "InnerConfig")
+    if per_block is not None:
+        solves = [_make_single_inner(op, c) for c in per_block]
+        args = getattr(op, "diag_mv_args", None)
+
+        def run(rhs, x):
+            results = []
+            for bidx, solve_one in enumerate(solves):
+                a = (None if args is None
+                     else jax.tree_util.tree_map(lambda t: t[bidx], args))
+                results.append(solve_one(a, rhs[bidx], x[bidx]))
+            return jax.tree_util.tree_map(
+                lambda *leaves: jnp.stack(leaves), *results
+            )
+
+        return run
+    solve_one = _make_single_inner(op, uniform)
+    args = getattr(op, "diag_mv_args", None)
+    in_axes = (None if args is None else 0, 0, 0)
+    vsolve = jax.vmap(solve_one, in_axes=in_axes)
+    return lambda rhs, x: vsolve(args, rhs, x)
+
+
+def _make_single_inner(op: BlockOperator, cfg: InnerConfig):
+    """Build the one-block solve ``(args_b, rhs_b, x_b) -> KrylovResult``
+    for one ``InnerConfig`` (vmapped for the uniform path, called
+    directly per block for ``inner1_``/``inner2_``-style configs)."""
     if cfg.method not in ("gmres", "cg", "chebyshev"):
         raise ValueError(f"unknown inner method {cfg.method!r}")
     if cfg.pc not in ("none", "jacobi"):
         raise ValueError(f"unknown inner pc {cfg.pc!r}")
-    args = getattr(op, "diag_mv_args", None)
 
     cheb_bounds = None
     if cfg.method == "chebyshev":
@@ -219,9 +270,7 @@ def _make_inner(op: BlockOperator, cfg: InnerConfig):
             basis_dtype=cfg.basis_dtype(),
         )
 
-    in_axes = (None if args is None else 0, 0, 0)
-    vsolve = jax.vmap(solve_one, in_axes=in_axes)
-    return lambda rhs, x: vsolve(args, rhs, x)
+    return solve_one
 
 
 # ---------------------------------------------------------------------------
@@ -297,6 +346,18 @@ def multisplit_solve(
         raise ValueError("sync schedule requires staleness == 1")
 
     inner_solve = _make_inner(op, inner)
+    outer_u, outer_pb = _per_block(outer, nb, "OuterConfig")
+    if outer_pb is not None:
+        if minimization == "global":
+            raise ValueError(
+                "per-block OuterConfig applies to 'local'/'semi_local' "
+                "scopes (the global minimization is one shared LS solve)"
+            )
+        if len({c.alpha_average for c in outer_pb}) != 1:
+            raise ValueError(
+                "alpha_average must agree across per-block OuterConfigs"
+            )
+    outer = outer_u if outer_pb is None else outer_pb[0]
 
     if x0 is None:
         x0 = jnp.zeros((nb, bs), dtype)
@@ -353,7 +414,16 @@ def multisplit_solve(
             outer_rnorm = jnp.sqrt(jnp.sum(out_r * out_r))
             x_new = jnp.einsum("bns,s->bn", Sb, alpha)
         else:
-            alpha = jax.vmap(lambda Rr, t: _solve_ls(Rr, t, outer))(Rb, target)
+            if outer_pb is not None:
+                # inner1_/outer2_-style per-block LS solvers, unrolled
+                alpha = jnp.stack([
+                    _solve_ls(Rb[i], target[i], outer_pb[i])
+                    for i in range(nb)
+                ])
+            else:
+                alpha = jax.vmap(
+                    lambda Rr, t: _solve_ls(Rr, t, outer)
+                )(Rb, target)
             if outer.alpha_average:
                 alpha = jnp.broadcast_to(
                     jnp.mean(alpha, axis=0, keepdims=True), alpha.shape

@@ -38,7 +38,7 @@ def make_spmd_body(
     stal: jax.Array,           # (nb,) int32 publish periods
     minimization: Optional[str],
     s: int,
-    outer_damping: float,
+    outer,                     # OuterConfig (method/maxiter/rtol/damping)
     rtol: float,
     atol: float,
     maxiter: int,
@@ -49,10 +49,69 @@ def make_spmd_body(
 
     def solve_gram(G, c):
         eps = jnp.finfo(dtype).eps
-        jitter = eps * jnp.trace(G) / G.shape[0] + outer_damping
+        jitter = eps * jnp.trace(G) / G.shape[0] + outer.damping
         G = G + jitter * jnp.eye(G.shape[0], dtype=dtype)
         ch, low = jax.scipy.linalg.cho_factor(G, lower=True)
         return jax.scipy.linalg.cho_solve((ch, low), c)
+
+    def alpha_normal(Rmat, tgt, axes):
+        """Gram normal equations (reference ``outer_solver_cholesky``,
+        ``utils.c:972-996``): one s x s psum.  Cheapest collective; loses
+        ~half the working digits (kappa^2) — fatal in f32 beyond s~6."""
+        G = lax.psum(Rmat.T @ Rmat, axes)
+        c = lax.psum(Rmat.T @ tgt, axes)
+        return solve_gram(G, c)
+
+    def alpha_tsqr(Rmat, tgt, axes):
+        """Distributed tall-skinny QR least-squares (Householder-stable,
+        no normal equations anywhere — safe for f32 at s=20, the g5k
+        production config ``running_bulk_test_g5k``; reference
+        ``outer_solver_qr`` ``utils.c:998-1020``).
+
+        Two-level TSQR: local reduced QR of the (lsize, s) panel, project
+        the target through Q0 locally, then all_gather the tiny (s, s)
+        R factors + projected targets and finish with one replicated QR
+        of the (P*s, s) stack.  Communication = one all_gather of
+        s*(s+1) scalars per device — same order as the Gram psum."""
+        Q0, R0 = jnp.linalg.qr(Rmat, mode="reduced")
+        t0 = Q0.T @ tgt
+        Rs = lax.all_gather(R0, axes)          # (P, s, s)
+        ts = lax.all_gather(t0, axes)          # (P, s)
+        Q1, R1 = jnp.linalg.qr(
+            Rs.reshape(-1, s), mode="reduced"
+        )
+        t1 = Q1.T @ ts.reshape(-1)
+        return jax.scipy.linalg.solve_triangular(R1, t1, lower=False)
+
+    def alpha_lsqr(Rmat, tgt, axes):
+        """Iterative LSQR on the row-sharded panel (reference
+        ``outer_solver_lsqr`` ``utils.c:998-1020``; the active g5k bulk
+        config runs outer lsqr with s=20).  matvec is local; rmatvec
+        psum-reduces to a replicated s-vector.  ``lockstep_axis='block'``
+        keeps trip counts identical across blocks when the minimization
+        scope is local/semi-local (SPMD invariant: no device-divergent
+        collectives)."""
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.lsqr import (
+            lsqr,
+        )
+
+        lockstep = None if "block" in axes else "block"
+        res = lsqr(
+            lambda a: Rmat @ a,
+            lambda u: lax.psum(Rmat.T @ u, axes),
+            tgt,
+            n=s,
+            maxiter=outer.maxiter,
+            rtol=outer.rtol,
+            atol=outer.atol,
+            axis_name=axes,
+            lockstep_axis=lockstep,
+        )
+        return res.x
+
+    solve_alpha = {
+        "normal": alpha_normal, "qr": alpha_tsqr, "lsqr": alpha_lsqr,
+    }[outer.method]
 
     def body(b_loc):
         rnorm0 = jnp.sqrt(lax.psum(jnp.sum(b_loc * b_loc), all_axes))
@@ -93,9 +152,7 @@ def make_spmd_body(
                 axes = intra_axes if minimization == "semi_local" else all_axes
             Rmat = Rcols.reshape(s, lsize).T
             tgt = target.reshape(-1)
-            G = lax.psum(Rmat.T @ Rmat, axes)
-            c = lax.psum(Rmat.T @ tgt, axes)
-            alpha = solve_gram(G, c)
+            alpha = solve_alpha(Rmat, tgt, axes)
             out_sq = lax.psum(jnp.sum((tgt - Rmat @ alpha) ** 2), axes)
             outer_rnorm = jnp.sqrt(out_sq)
             x_new = (S.reshape(s, lsize).T @ alpha).reshape(lshape)

@@ -156,11 +156,12 @@ def _check_spmd_configs(inner, outer) -> None:
             "SPMD backends do not implement inner preconditioning yet; "
             "use the stacked backend for pc='jacobi'"
         )
-    if outer.method not in ("qr", "normal"):
+    if outer.method not in ("qr", "normal", "lsqr"):
         raise ValueError(
-            f"SPMD backends solve the outer LS via a psum-reduced Gram "
-            f"system ('normal'; 'qr' is accepted as an alias), not "
-            f"{outer.method!r} — use the stacked backend for lsqr/cgne"
+            f"SPMD backends implement outer methods 'qr' (distributed "
+            f"TSQR), 'normal' (psum-reduced Gram), and 'lsqr' (sharded "
+            f"Paige-Saunders), not {outer.method!r} — use the stacked "
+            f"backend for cgne"
         )
     if outer.alpha_average:
         raise ValueError(
@@ -392,7 +393,7 @@ def sharded_multisplit_solve(
         diag_mv=diag_mv, coupling_mv=coupling_mv, inner_solve=inner_solve,
         lshape=lshape, nb=nb, intra_axes=("intra",),
         all_axes=("block", "intra"), is_async=is_async, stal=stal,
-        minimization=minimization, s=s, outer_damping=outer.damping,
+        minimization=minimization, s=s, outer=outer,
         rtol=rtol, atol=atol, maxiter=maxiter,
         min_convergence_count=min_convergence_count, dtype=dtype,
     )

@@ -250,7 +250,7 @@ def tiled_multisplit_solve(
         diag_mv=diag_mv, coupling_mv=coupling_mv, inner_solve=inner_solve,
         lshape=lshape, nb=nb, intra_axes=("ir", "ic"),
         all_axes=("block", "ir", "ic"), is_async=is_async, stal=stal,
-        minimization=minimization, s=s, outer_damping=outer.damping,
+        minimization=minimization, s=s, outer=outer,
         rtol=rtol, atol=atol, maxiter=maxiter,
         min_convergence_count=min_convergence_count, dtype=dtype,
     )
@@ -337,7 +337,7 @@ def tiled_multisplit_solve_3d(
         diag_mv=diag_mv, coupling_mv=coupling_mv, inner_solve=inner_solve,
         lshape=lshape, nb=nb, intra_axes=("ir", "ic"),
         all_axes=("block", "ir", "ic"), is_async=is_async, stal=stal,
-        minimization=minimization, s=s, outer_damping=outer.damping,
+        minimization=minimization, s=s, outer=outer,
         rtol=rtol, atol=atol, maxiter=maxiter,
         min_convergence_count=min_convergence_count, dtype=dtype,
     )

@@ -36,6 +36,7 @@ def lsqr(
     rtol: float = 1e-8,
     atol: float = 0.0,
     axis_name=None,
+    lockstep_axis=None,
 ) -> KrylovResult:
     """Paige-Saunders LSQR for ``min ||b - A x||_2``.
 
@@ -46,6 +47,13 @@ def lsqr(
     ``axis_name`` shards the ROW space of A (``b``/``u`` sharded, ``x``/``v``
     replicated): row-space norms are ``psum``-reduced over it, and the
     caller's ``rmatvec`` must itself reduce (return a replicated vector).
+
+    ``lockstep_axis``: an extra mesh axis whose devices run *independent*
+    LSQR instances but must take identical while_loop trip counts (the
+    SPMD invariant — no device-divergent collectives).  The loop
+    continues while ANY instance along that axis is still active;
+    converged instances keep iterating harmlessly (divisions are
+    guarded, updates stay finite as phibar -> 0).
     """
     dtype = b.dtype
     rpsum = make_reducer(axis_name)
@@ -82,8 +90,10 @@ def lsqr(
         v_new = jnp.where(
             alpha_new > 0, v_new / jnp.where(alpha_new > 0, alpha_new, 1.0), v_new
         )
-        # orthogonal transformation
+        # orthogonal transformation (rho guarded: a fully-converged
+        # lockstep instance can reach rhobar = beta = 0 exactly)
         rho = jnp.sqrt(rhobar * rhobar + beta_new * beta_new)
+        rho = jnp.where(rho > 0, rho, 1.0)
         c = rhobar / rho
         s = beta_new / rho
         theta = s * alpha_new
@@ -108,6 +118,8 @@ def lsqr(
     def cond(carry):
         *_, alpha, beta, phibar, rhobar, iters, rnorm, arnorm = carry
         active = jnp.logical_and(rnorm > tol, arnorm > artol)
+        if lockstep_axis is not None:
+            active = lax.psum(active.astype(jnp.int32), lockstep_axis) > 0
         return jnp.logical_and(active, iters < maxiter)
 
     x_init = jnp.zeros((n,), dtype)

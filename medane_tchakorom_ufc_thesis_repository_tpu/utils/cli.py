@@ -70,6 +70,29 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["qr", "normal", "lsqr", "cgne"])
     p.add_argument("--outer-maxiter", type=int, default=None, dest="outer_maxiter")
     p.add_argument("--outer-rtol", type=float, default=None, dest="outer_rtol")
+    # per-block prefixed KSP options — the reference's inner1_/inner2_/
+    # outer1_/outer2_ PETSc prefixes (utils.c:512-541, iSolve:118-194);
+    # each flag overrides the shared --inner-*/--outer-* base for that
+    # block only (stacked backend)
+    for blk in (1, 2):
+        p.add_argument(f"--inner{blk}-ksp", default=None,
+                       dest=f"inner{blk}_ksp",
+                       choices=["gmres", "cg", "chebyshev"])
+        p.add_argument(f"--inner{blk}-restart", type=int, default=None,
+                       dest=f"inner{blk}_restart")
+        p.add_argument(f"--inner{blk}-maxiter", type=int, default=None,
+                       dest=f"inner{blk}_maxiter")
+        p.add_argument(f"--inner{blk}-rtol", type=float, default=None,
+                       dest=f"inner{blk}_rtol")
+        p.add_argument(f"--inner{blk}-pc-type", default=None,
+                       dest=f"inner{blk}_pc", choices=["none", "jacobi"])
+        p.add_argument(f"--outer{blk}-method", default=None,
+                       dest=f"outer{blk}_method",
+                       choices=["qr", "normal", "lsqr", "cgne"])
+        p.add_argument(f"--outer{blk}-maxiter", type=int, default=None,
+                       dest=f"outer{blk}_maxiter")
+        p.add_argument(f"--outer{blk}-rtol", type=float, default=None,
+                       dest=f"outer{blk}_rtol")
     p.add_argument("--json", action="store_true",
                    help="emit one JSON line instead of the report")
     p.add_argument("--profile-dir", default=None,
@@ -115,22 +138,63 @@ def run_multihost(args) -> dict:
     return out
 
 
+_PER_BLOCK_KEYS = ("ksp", "restart", "maxiter", "rtol", "pc")
+_PER_BLOCK_OUTER_KEYS = ("method", "maxiter", "rtol")
+
+
+def _collect_per_block(args):
+    """--inner1-*/--outer2-*-style flags -> override dict lists."""
+    inner, outer = [], []
+    for blk in (1, 2):
+        inner.append({
+            k: v for k in _PER_BLOCK_KEYS
+            if (v := getattr(args, f"inner{blk}_{k}", None)) is not None
+        })
+        outer.append({
+            k: v for k in _PER_BLOCK_OUTER_KEYS
+            if (v := getattr(args, f"outer{blk}_{k}", None)) is not None
+        })
+    return inner, outer
+
+
 def config_from_args(args) -> "RunConfig":
+    import dataclasses as _dc
+
     from medane_tchakorom_ufc_thesis_repository_tpu.utils.config import (
         default_config,
         load_config,
     )
 
+    inner_pb, outer_pb = _collect_per_block(args)
+    pb_keys = {
+        f"{kind}{blk}_{k}"
+        for blk in (1, 2)
+        for kind, keys in (("inner", _PER_BLOCK_KEYS),
+                           ("outer", _PER_BLOCK_OUTER_KEYS))
+        for k in keys
+    }
     overrides = {
         k: v for k, v in vars(args).items()
         if v is not None and k not in (
-            "config", "json", "profile_dir", "multihost",
-            "devices_per_process",
+            {"config", "json", "profile_dir", "multihost",
+             "devices_per_process"} | pb_keys
         )
     }
     if args.config:
-        return load_config(args.config, **overrides)
-    return default_config(**overrides)
+        cfg = load_config(args.config, **overrides)
+    else:
+        cfg = default_config(**overrides)
+    if any(inner_pb) or any(outer_pb):
+        # pad the 1/2-indexed flag dicts to nblocks entries ({} = keep base)
+        pad = [{} for _ in range(max(0, cfg.nblocks - 2))]
+        cfg = _dc.replace(
+            cfg,
+            inner_overrides=(tuple(inner_pb[:cfg.nblocks] + pad)
+                             if any(inner_pb) else None),
+            outer_overrides=(tuple(outer_pb[:cfg.nblocks] + pad)
+                             if any(outer_pb) else None),
+        ).validate()
+    return cfg
 
 
 def run(cfg, profile_dir=None):

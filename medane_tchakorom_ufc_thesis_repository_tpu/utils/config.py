@@ -4,9 +4,13 @@ Rebuild of the reference's three-tier config system (SURVEY.md §5.6):
 ``config/default_run_variables`` (defaults) < ``iSolve`` CLI flags <
 per-block prefixed PETSc options.  Here one frozen dataclass carries the
 whole experiment; overrides layer via ``dataclasses.replace`` from a JSON
-file and CLI args.  Per-block inner-solver differences (the reference's
-``inner1_``/``inner2_`` prefixes) are expressed with per-block override
-dicts.
+file and CLI args.  Per-block inner/outer-solver differences (the
+reference's ``inner1_``/``inner2_``/``outer1_``/``outer2_`` prefixes,
+``utils.c:512-541``) are ``inner_overrides``/``outer_overrides``: a
+length-``nblocks`` list of field-override dicts (JSON:
+``"inner_overrides": [{"maxiter": 30}, {"ksp": "cg"}]``; CLI:
+``--inner1-maxiter 30 --inner2-ksp cg``), layered on top of the shared
+``inner_*``/``outer_*`` base fields.
 """
 
 from __future__ import annotations
@@ -70,8 +74,21 @@ class RunConfig:
     outer_method: str = "qr"
     outer_maxiter: int = 100
     outer_rtol: float = 1e-12
+    # per-block prefixed overrides (inner1_/inner2_/outer1_/outer2_
+    # parity): None, or a length-nblocks sequence of field dicts; an
+    # empty dict keeps the base config for that block.  Dict keys are
+    # the un-prefixed knob names: ksp/restart/maxiter/rtol/pc/basis for
+    # inner, method/maxiter/rtol for outer.
+    inner_overrides: Optional[Tuple[dict, ...]] = None
+    outer_overrides: Optional[Tuple[dict, ...]] = None
 
-    def inner_config(self) -> InnerConfig:
+    _INNER_KEYS = {
+        "restart": "restart", "maxiter": "maxiter", "rtol": "rtol",
+        "ksp": "method", "method": "method", "pc": "pc", "basis": "basis",
+    }
+    _OUTER_KEYS = {"method": "method", "maxiter": "maxiter", "rtol": "rtol"}
+
+    def _base_inner(self) -> InnerConfig:
         return InnerConfig(
             restart=self.inner_restart,
             maxiter=self.inner_maxiter,
@@ -81,14 +98,58 @@ class RunConfig:
             basis=self.inner_basis,
         )
 
-    def outer_config(self) -> OuterConfig:
+    def _base_outer(self) -> OuterConfig:
         return OuterConfig(
             method=self.outer_method,
             maxiter=self.outer_maxiter,
             rtol=self.outer_rtol,
         )
 
+    @staticmethod
+    def _apply_overrides(base, overrides, keymap, nblocks, what):
+        if overrides is None:
+            return base
+        if len(overrides) != nblocks:
+            raise ValueError(
+                f"{what} needs {nblocks} entries, got {len(overrides)}"
+            )
+        out = []
+        for ov in overrides:
+            bad = set(ov) - set(keymap)
+            if bad:
+                raise ValueError(
+                    f"unknown {what} keys {sorted(bad)}; "
+                    f"choose from {sorted(keymap)}"
+                )
+            out.append(dataclasses.replace(
+                base, **{keymap[k]: v for k, v in ov.items()}
+            ))
+        return tuple(out)
+
+    def inner_config(self):
+        """One ``InnerConfig`` (uniform) or a per-block tuple of them."""
+        return self._apply_overrides(
+            self._base_inner(), self.inner_overrides, self._INNER_KEYS,
+            self.nblocks, "inner_overrides",
+        )
+
+    def outer_config(self):
+        return self._apply_overrides(
+            self._base_outer(), self.outer_overrides, self._OUTER_KEYS,
+            self.nblocks, "outer_overrides",
+        )
+
     def validate(self) -> "RunConfig":
+        if (self.inner_overrides is not None
+                or self.outer_overrides is not None):
+            if self.backend != "stacked":
+                raise ValueError(
+                    "per-block inner/outer overrides run on the stacked "
+                    "backend (SPMD backends need uniform static trip "
+                    "counts for lockstep collectives)"
+                )
+            self.inner_config()   # fail loudly on bad keys/length now
+            self.outer_config()
         if self.alg not in ALGORITHMS:
             raise ValueError(
                 f"unknown algorithm {self.alg!r}; choose from {ALGORITHMS}"

@@ -242,6 +242,109 @@ class TestInnerOptions:
             ms.sm(op, b, inner=ms.InnerConfig(method="bicgstab"))
 
 
+class TestPerBlockConfigs:
+    """The reference's inner1_/inner2_/outer1_/outer2_ per-rank KSP
+    prefixes (utils.c:512-541, iSolve:118-194): each block's inner and
+    outer solver is configured independently."""
+
+    def test_identical_per_block_equals_uniform(self):
+        op, b = _problem2d(16, 16)
+        uni = ms.sm(op, b, rtol=1e-3, maxiter=2000)
+        per = ms.sm(op, b, rtol=1e-3, maxiter=2000,
+                    inner=(ms.InnerConfig(), ms.InnerConfig()))
+        assert int(per.sweeps) == int(uni.sweeps)
+        np.testing.assert_array_equal(np.asarray(per.x), np.asarray(uni.x))
+
+    def test_mixed_inner_methods_converge(self):
+        # block 1: GMRES, block 2: CG with a different budget
+        op, b = _problem2d(16, 16)
+        res = ms.sm(op, b, rtol=1e-3, maxiter=2000, inner=(
+            ms.InnerConfig(method="gmres", maxiter=20),
+            ms.InnerConfig(method="cg", maxiter=30),
+        ))
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1e-3
+
+    def test_mixed_inner_budgets_differ_from_uniform(self):
+        # a genuinely weaker block-2 inner solve must change the iterate
+        op, b = _problem2d(16, 16)
+        res = ms.sm(op, b, rtol=1e-3, maxiter=2000, inner=(
+            ms.InnerConfig(maxiter=20), ms.InnerConfig(maxiter=2),
+        ))
+        uni = ms.sm(op, b, rtol=1e-3, maxiter=2000)
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1e-3
+        assert int(res.sweeps) != int(uni.sweeps) or not np.allclose(
+            np.asarray(res.x), np.asarray(uni.x)
+        )
+
+    def test_per_block_outer_methods(self):
+        op, b = _problem2d(16, 16)
+        res = ms.smsm(op, b, scope="local", s=4, rtol=1e-3, maxiter=2000,
+                      outer=(ms.OuterConfig(method="qr"),
+                             ms.OuterConfig(method="lsqr")))
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1.5e-3
+
+    def test_per_block_outer_rejected_for_global(self):
+        op, b = _problem2d(16, 16)
+        with pytest.raises(ValueError, match="global"):
+            ms.smsm(op, b, scope="global", s=4,
+                    outer=(ms.OuterConfig(), ms.OuterConfig(method="lsqr")))
+
+    def test_wrong_length_rejected(self):
+        op, b = _problem2d(16, 16)
+        with pytest.raises(ValueError, match="entries"):
+            ms.sm(op, b, inner=(ms.InnerConfig(),) * 3)
+
+    def test_runconfig_overrides(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.utils.config import (
+            default_config,
+        )
+
+        cfg = default_config(
+            alg="SM", m=16, n=16,
+            inner_overrides=({"maxiter": 25}, {"ksp": "cg"}),
+        )
+        inners = cfg.inner_config()
+        assert inners[0].maxiter == 25 and inners[0].method == "gmres"
+        assert inners[1].method == "cg" and inners[1].maxiter == 20
+
+    def test_runconfig_overrides_bad_key(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.utils.config import (
+            default_config,
+        )
+
+        with pytest.raises(ValueError, match="unknown"):
+            default_config(alg="SM", inner_overrides=({"nope": 1}, {}))
+
+    def test_runconfig_overrides_need_stacked(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.utils.config import (
+            default_config,
+        )
+
+        with pytest.raises(ValueError, match="stacked"):
+            default_config(
+                alg="SM", backend="sharded", m=16, n=16,
+                inner_overrides=({"maxiter": 25}, {}),
+            )
+
+    def test_cli_flags_build_overrides(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.utils.cli import (
+            build_parser,
+            config_from_args,
+        )
+
+        args = build_parser().parse_args([
+            "--alg", "SM", "--m", "16", "--n", "16",
+            "--inner1-maxiter", "25", "--inner2-ksp", "cg",
+        ])
+        cfg = config_from_args(args)
+        inners = cfg.inner_config()
+        assert inners[0].maxiter == 25
+        assert inners[1].method == "cg"
+
+
 class TestChebyshevInner:
     def test_sm_chebyshev_converges(self):
         op, b = _problem2d()

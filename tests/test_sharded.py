@@ -117,6 +117,65 @@ class TestShardedVariants:
         assert bool(res.converged)
         assert _true_rel(sop, b, res.x) <= 1.5e-3
 
+    @pytest.mark.parametrize("method", ["normal", "qr", "lsqr"])
+    def test_outer_methods_agree(self, mesh24, method):
+        """All three SPMD outer LS solvers (Gram-Cholesky, distributed
+        TSQR, sharded LSQR) produce the same global minimization — same
+        sweep counts as the stacked f64 reference and the same solution
+        (reference outer_solver_* family, utils.c:972-1043)."""
+        sop, cfg, b = _setup2d()
+        res = sharded_multisplit_solve(
+            mesh24, cfg, b, minimization="global", s=4, rtol=1e-3,
+            maxiter=2000, outer=ms.OuterConfig(method=method),
+        )
+        res_st = ms.smsm(sop, blockops.rhs_ones(sop, jnp.float64),
+                         scope="global", s=4, rtol=1e-3, maxiter=2000)
+        assert bool(res.converged)
+        assert int(res.sweeps) == int(res_st.sweeps)
+        np.testing.assert_allclose(
+            np.asarray(res.x.reshape(-1)),
+            np.asarray(res_st.x.reshape(-1)), rtol=1e-4, atol=1e-6,
+        )
+
+    @pytest.mark.parametrize("method", ["qr", "lsqr"])
+    @pytest.mark.parametrize("scope", ["local", "semi_local"])
+    def test_outer_methods_blockwise_scopes(self, mesh24, method, scope):
+        """Per-block minimization scopes exercise the lockstep path:
+        LSQR trip counts must agree across 'block' (lockstep_axis) and
+        TSQR all_gathers run over 'intra' only."""
+        sop, cfg, b = _setup2d()
+        res = sharded_multisplit_solve(
+            mesh24, cfg, b, minimization=scope, s=4, rtol=1e-3,
+            maxiter=2000, outer=ms.OuterConfig(method=method),
+        )
+        assert bool(res.converged)
+        assert _true_rel(sop, b, res.x) <= 1.5e-3
+
+    @pytest.mark.parametrize("method", ["qr", "lsqr"])
+    def test_f32_s20_g5k_config(self, mesh24, method):
+        """The g5k production config (outer lsqr, s=20, f32 — reference
+        running_bulk_test_g5k active block): the Gram normal equations
+        lose ~half the f32 digits at s=20; TSQR/LSQR must stay accurate
+        against the stacked f64 result."""
+        sop, cfg, _ = _setup2d()
+        b32 = blockops.rhs_ones(sop, jnp.float32).reshape(32, 32)
+        res = sharded_multisplit_solve(
+            mesh24, cfg, b32, minimization="global", s=20, rtol=1e-3,
+            maxiter=2000, outer=ms.OuterConfig(method=method),
+            inner=ms.InnerConfig(maxiter=30),
+        )
+        res64 = ms.smsm(
+            sop, blockops.rhs_ones(sop, jnp.float64), scope="global",
+            s=20, rtol=1e-3, maxiter=2000,
+            inner=ms.InnerConfig(maxiter=30),
+        )
+        assert bool(res.converged)
+        assert _true_rel(sop, b32.astype(jnp.float64), res.x) <= 1.5e-3
+        np.testing.assert_allclose(
+            np.asarray(res.x.reshape(-1), np.float64),
+            np.asarray(res64.x.reshape(-1)), rtol=5e-3, atol=5e-4,
+        )
+
     def test_local_rnorms_shape(self, mesh24):
         _, cfg, b = _setup2d()
         res = sharded_multisplit_solve(mesh24, cfg, b, rtol=1e-3, maxiter=2000)
@@ -176,12 +235,12 @@ class TestShardedOptionGuards:
                 mesh24, cfg, b, inner=ms.InnerConfig(pc="jacobi")
             )
 
-    def test_lsqr_outer_rejected(self, mesh24):
+    def test_cgne_outer_rejected(self, mesh24):
         _, cfg, b = _setup2d()
         with pytest.raises(ValueError):
             sharded_multisplit_solve(
                 mesh24, cfg, b, minimization="global",
-                outer=ms.OuterConfig(method="lsqr"),
+                outer=ms.OuterConfig(method="cgne"),
             )
 
     def test_bf16_basis_works(self, mesh24):
