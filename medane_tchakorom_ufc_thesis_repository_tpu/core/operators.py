@@ -399,29 +399,30 @@ class DIA:
         return sum(n - abs(o) for o in self.offsets)
 
     def mv(self, x: jax.Array) -> jax.Array:
+        # pad+slice formulation (NOT .at[].add slice chains, which lower
+        # to poorly-fused dynamic-update-slices on TPU — measured 5.5x
+        # slower for the stencils): one padded copy, then every diagonal
+        # is a contiguous slice * elementwise multiply, all fused by XLA
+        # into one bandwidth-bound pass.  Out-of-range x reads hit the
+        # zero padding, so padded data slots need no masking.
         n = self.data.shape[1]
+        maxo = max((abs(o) for o in self.offsets), default=0)
+        xp = jnp.pad(x, (maxo, maxo))
         y = jnp.zeros_like(x)
         for d, off in enumerate(self.offsets):
-            if off == 0:
-                y = y + self.data[d] * x
-            elif off > 0:
-                y = y.at[: n - off].add(self.data[d, : n - off] * x[off:])
-            else:
-                y = y.at[-off:].add(self.data[d, -off:] * x[: n + off])
+            y = y + self.data[d] * xp[maxo + off: maxo + off + n]
         return y
 
     def rmv(self, x: jax.Array) -> jax.Array:
-        """A.T @ x: the transpose's diagonal at -off holds the same
-        stored values, shifted."""
+        """A.T @ x: each stored diagonal contributes ``data[d] * x``
+        shifted by ``+off`` — realized as slices of one padded product
+        (same no-scatter rationale as ``mv``)."""
         n = self.data.shape[1]
+        maxo = max((abs(o) for o in self.offsets), default=0)
         y = jnp.zeros_like(x)
         for d, off in enumerate(self.offsets):
-            if off == 0:
-                y = y + self.data[d] * x
-            elif off > 0:
-                y = y.at[off:].add(self.data[d, : n - off] * x[: n - off])
-            else:
-                y = y.at[: n + off].add(self.data[d, -off:] * x[-off:])
+            zp = jnp.pad(self.data[d] * x, (maxo, maxo))
+            y = y + zp[maxo - off: maxo - off + n]
         return y
 
     def to_dense(self) -> jax.Array:

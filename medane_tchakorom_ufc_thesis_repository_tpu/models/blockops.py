@@ -26,8 +26,9 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import ELL
+from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import DIA, ELL
 from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson as _poisson
 
 
@@ -342,6 +343,148 @@ class StackedELLOperator(BlockOperator):
 jax.tree_util.register_dataclass(
     StackedELLOperator, data_fields=["a_ii", "a_ic"], meta_fields=[]
 )
+
+
+@dataclasses.dataclass(frozen=True)
+class StackedDIAOperator(BlockOperator):
+    """Banded general-sparse path: diagonal-plane storage, no gathers.
+
+    The ELL gather SpMV is two orders of magnitude off the slice-based
+    paths on TPU (measured 139x, BENCHMARKS.md) — for banded systems
+    (every constant-stencil PDE discretization, the reference's
+    ``create_matrix_sparse`` AIJ use case, ``utils.c:139-155``) the same
+    matrix is a handful of diagonal planes, and the matvec becomes a sum
+    of shifted contiguous slices that XLA fuses into one bandwidth-bound
+    pass.
+
+    ``dia_ii``/``dia_ic`` are GLOBAL row-aligned ``DIA`` planes over the
+    merged ``(nb*bs,)`` vector — ``dia_ii`` holds entries whose column
+    lies in the row's own block (the A_ii blocks; identical offsets in
+    every block since the split is uniform), ``dia_ic`` the cross-block
+    coupling.  Build from an ELL split with ``from_stacked_ell``.
+    """
+
+    dia_ii: DIA
+    dia_ic: DIA
+    nblocks: int
+
+    @property
+    def block_size(self) -> int:
+        return self.dia_ii.shape[0] // self.nblocks
+
+    @property
+    def shape(self):
+        return self.dia_ii.shape
+
+    @property
+    def nnz(self) -> int:
+        return int((np.asarray(self.dia_ii.data) != 0).sum()
+                   + (np.asarray(self.dia_ic.data) != 0).sum())
+
+    @property
+    def dtype(self):
+        return self.dia_ii.dtype
+
+    def diag_mv(self, x):
+        return self.dia_ii.mv(x.reshape(-1)).reshape(x.shape)
+
+    def coupling_mv(self, x):
+        return self.dia_ic.mv(x.reshape(-1)).reshape(x.shape)
+
+    # per-block hooks for the vmapped inner solves -----------------------
+    @property
+    def diag_mv_args(self):
+        # A_ii rows/cols shift together across blocks, so each block's
+        # local DIA shares the global offsets with data plane slice
+        # data[:, i*bs:(i+1)*bs]
+        nd = self.dia_ii.data.shape[0]
+        bs = self.block_size
+        return self.dia_ii.data.reshape(nd, self.nblocks, bs).transpose(1, 0, 2)
+
+    def single_diag_mv(self, args, xb):
+        data = args                      # (ndiag, bs)
+        bs = xb.shape[0]
+        offs = self.dia_ii.offsets
+        maxo = max((abs(o) for o in offs), default=0)
+        xp = jnp.pad(xb, (maxo, maxo))
+        y = jnp.zeros_like(xb)
+        for d, off in enumerate(offs):
+            y = y + data[d] * xp[maxo + off: maxo + off + bs]
+        return y
+
+    def single_diag_vector(self, args, n):
+        data = args
+        for d, off in enumerate(self.dia_ii.offsets):
+            if off == 0:
+                return data[d]
+        return jnp.zeros((n,), self.dtype)
+
+    def to_dense(self):
+        return self.dia_ii.to_dense() + self.dia_ic.to_dense()
+
+
+jax.tree_util.register_dataclass(
+    StackedDIAOperator, data_fields=["dia_ii", "dia_ic"],
+    meta_fields=["nblocks"],
+)
+
+
+def from_stacked_ell(op: StackedELLOperator,
+                     max_diags: int = 64):
+    """Convert a banded ``StackedELLOperator`` to ``StackedDIAOperator``.
+
+    Host-side one-time repack (numpy): every nonzero ``A[g, c]`` lands on
+    diagonal ``c - g`` of a global row-aligned plane.  Returns the input
+    unchanged when either part has more than ``max_diags`` distinct
+    diagonals (genuinely unstructured sparsity stays on the ELL path).
+    """
+    nb, bs = op.nblocks, op.block_size
+    n = nb * bs
+    dtype = np.asarray(op.a_ii.values).dtype
+
+    def planes(idx, val, local):
+        rows_g = (np.arange(nb)[:, None, None] * bs
+                  + np.arange(bs)[None, :, None])      # (nb, bs, 1)
+        if local:
+            # a_ii column ids are block-local: globalize by block offset
+            cols_g = idx + np.arange(nb)[:, None, None] * bs
+        else:
+            cols_g = idx
+        nzmask = val != 0
+        offs = np.unique((cols_g - rows_g)[nzmask])
+        if offs.size > max_diags:
+            return None, None
+        data = np.zeros((offs.size, n), dtype)
+        omap = {int(o): d for d, o in enumerate(offs)}
+        g = np.broadcast_to(rows_g, idx.shape)[nzmask]
+        c = cols_g[nzmask]
+        v = val[nzmask]
+        d_idx = np.array([omap[int(o)] for o in (c - g)])
+        np.add.at(data, (d_idx, g), v)
+        return data, tuple(int(o) for o in offs)
+
+    ii_idx = np.asarray(op.a_ii.indices)
+    ii_val = np.asarray(op.a_ii.values)
+    ic_idx = np.asarray(op.a_ic.indices)
+    ic_val = np.asarray(op.a_ic.values)
+    data_ii, offs_ii = planes(ii_idx, ii_val, local=True)
+    data_ic, offs_ic = planes(ic_idx, ic_val, local=False)
+    if data_ii is None or data_ic is None:
+        return op
+    return StackedDIAOperator(
+        dia_ii=DIA(data=jnp.asarray(data_ii), offsets=offs_ii),
+        dia_ic=DIA(data=jnp.asarray(data_ic), offsets=offs_ic),
+        nblocks=nb,
+    )
+
+
+def as_stacked_tpu_operator(op, max_diags: int = 64):
+    """Pick the TPU-efficient stacked representation (the blockwise
+    analog of ``core.operators.as_tpu_operator``): banded ELL splits
+    become DIA planes, everything else passes through."""
+    if isinstance(op, StackedELLOperator):
+        return from_stacked_ell(op, max_diags=max_diags)
+    return op
 
 
 def block_poisson2d(m: int, n: int, nblocks: int = 2) -> StackedStencil2D:

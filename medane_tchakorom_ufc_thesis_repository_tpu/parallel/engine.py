@@ -44,8 +44,14 @@ def make_spmd_body(
     maxiter: int,
     min_convergence_count: int,
     dtype,
+    record_history: bool = False,
 ):
     lsize = int(np.prod(lshape))
+    # per-cycle residual-norm history (the SPMD analog of the stacked
+    # driver's record_history and the reference's per-iteration norm
+    # printouts, asynchronous-multisplitting_prime.c:345); rnorm is
+    # replicated so the history array is too
+    max_cycles = -(-maxiter // max(s, 1)) if record_history else 1
 
     def solve_gram(G, c):
         eps = jnp.finfo(dtype).eps
@@ -162,7 +168,7 @@ def make_spmd_body(
 
         def cycle(carry):
             (x, x_vis, rhs, sweeps, cycles, inner_total,
-             conv_count, rnorm, outer_rnorm, converged) = carry
+             conv_count, rnorm, outer_rnorm, converged, hist) = carry
             S0 = jnp.zeros((s,) + lshape, dtype)
             pub0 = jnp.zeros((), bool)
             x, x_vis, rhs, sweeps, inner_total, S, pub = lax.fori_loop(
@@ -176,6 +182,8 @@ def make_spmd_body(
             block_sq = lax.psum(jnp.sum(local_r * local_r), intra_axes)
             block_norm = jnp.sqrt(block_sq)
             rnorm = jnp.sqrt(lax.psum(block_sq, "block"))
+            if record_history:
+                hist = hist.at[cycles].set(rnorm)
             cycles = cycles + 1
 
             if is_async:
@@ -197,10 +205,10 @@ def make_spmd_body(
                 converged = rnorm <= tol_global
 
             return (x, x_vis, rhs, sweeps, cycles, inner_total,
-                    conv_count, rnorm, outer_rnorm, converged)
+                    conv_count, rnorm, outer_rnorm, converged, hist)
 
         def cond(carry):
-            return jnp.logical_and(~carry[-1], carry[3] < maxiter)
+            return jnp.logical_and(~carry[-2], carry[3] < maxiter)
 
         init = (
             x0, x0, rhs0,
@@ -208,15 +216,16 @@ def make_spmd_body(
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
             rnorm0, jnp.asarray(jnp.inf, dtype),
             rnorm0 <= tol_global,
+            jnp.full((max_cycles,), jnp.inf, dtype),
         )
         (x, _, rhs, sweeps, cycles, inner_total, _, rnorm, outer_rnorm,
-         converged) = lax.while_loop(cond, cycle, init)
+         converged, hist) = lax.while_loop(cond, cycle, init)
 
         local_r = rhs - diag_mv(x)
         block_norm = jnp.sqrt(
             lax.psum(jnp.sum(local_r * local_r), intra_axes)
         )
         return (x, sweeps, cycles, inner_total, rnorm, rnorm0, block_norm,
-                outer_rnorm, converged)
+                outer_rnorm, converged, hist)
 
     return body

@@ -263,6 +263,7 @@ def sharded_multisplit_solve(
     atol: float = 1e-100,
     maxiter: int = 10000,
     min_convergence_count: int = 4,
+    record_history: bool = False,
 ) -> MultisplitResult:
     """Sharded two-stage multisplitting over ``mesh ('block','intra')``.
 
@@ -396,13 +397,14 @@ def sharded_multisplit_solve(
         minimization=minimization, s=s, outer=outer,
         rtol=rtol, atol=atol, maxiter=maxiter,
         min_convergence_count=min_convergence_count, dtype=dtype,
+        record_history=record_history,
     )
 
     def body(b_loc):
         (x, sweeps, cycles, inner_total, rnorm, rnorm0, block_norm,
-         outer_rnorm, converged) = body_scalar(b_loc)
+         outer_rnorm, converged, hist) = body_scalar(b_loc)
         return (x, sweeps, cycles, inner_total, rnorm, rnorm0,
-                block_norm.reshape(1), outer_rnorm, converged)
+                block_norm.reshape(1), outer_rnorm, converged, hist)
 
     shard_spec = P(("block", "intra"), None)
     scalar = P()
@@ -411,16 +413,17 @@ def sharded_multisplit_solve(
         mesh=mesh,
         in_specs=(shard_spec,),
         out_specs=(shard_spec, scalar, scalar, scalar, scalar, scalar,
-                   P("block"), scalar, scalar),
+                   P("block"), scalar, scalar, scalar),
         check_rep=False,
     )
     b_flat = b.reshape(opcfg.split_extent, fdim)
     b_sh = jax.device_put(b_flat, NamedSharding(mesh, shard_spec))
     (x, sweeps, cycles, inner_total, rnorm, rnorm0, block_norms, outer_rnorm,
-     converged) = run(b_sh)
+     converged, hist) = run(b_sh)
     return MultisplitResult(
         x=x.reshape(gshape), sweeps=sweeps, cycles=cycles,
         inner_iters=inner_total, rnorm=rnorm, rnorm0=rnorm0,
         local_rnorms=block_norms, outer_rnorm=outer_rnorm,
         converged=converged,
+        history=hist if record_history else None,
     )

@@ -143,14 +143,15 @@ def _halo_fns(nb, pr, pc, lead_edge, second_edge):
     return intra, cross
 
 
-def _run(mesh, body_scalar, b, split0, split1, lshape, gshape, nb, dtype):
+def _run(mesh, body_scalar, b, split0, split1, lshape, gshape, nb, dtype,
+         record_history=False):
     """shard_map launch + result assembly shared by 2D/3D."""
     def body(b_loc):
         (x, sweeps, cycles, inner_total, rnorm, rnorm0, block_norm,
-         outer_rnorm, converged) = body_scalar(b_loc)
+         outer_rnorm, converged, hist) = body_scalar(b_loc)
         return (x, sweeps, cycles, inner_total, rnorm, rnorm0,
                 block_norm.reshape((1,) * len(gshape)), outer_rnorm,
-                converged)
+                converged, hist)
 
     grid_rank = len(gshape)
     shard_spec = P(("block", "ir"), "ic", *([None] * (grid_rank - 2)))
@@ -160,17 +161,18 @@ def _run(mesh, body_scalar, b, split0, split1, lshape, gshape, nb, dtype):
         body, mesh=mesh,
         in_specs=(shard_spec,),
         out_specs=(shard_spec, scalar, scalar, scalar, scalar, scalar,
-                   block_spec, scalar, scalar),
+                   block_spec, scalar, scalar, scalar),
         check_rep=False,
     )
     b_sh = jax.device_put(b, NamedSharding(mesh, shard_spec))
     (x, sweeps, cycles, inner_total, rnorm, rnorm0, block_norms, outer_rnorm,
-     converged) = run(b_sh)
+     converged, hist) = run(b_sh)
     return MultisplitResult(
         x=x, sweeps=sweeps, cycles=cycles, inner_iters=inner_total,
         rnorm=rnorm, rnorm0=rnorm0,
         local_rnorms=block_norms.reshape(-1)[:nb],
         outer_rnorm=outer_rnorm, converged=converged,
+        history=hist if record_history else None,
     )
 
 
@@ -192,6 +194,7 @@ def tiled_multisplit_solve(
     atol: float = 1e-100,
     maxiter: int = 10000,
     min_convergence_count: int = 4,
+    record_history: bool = False,
 ) -> MultisplitResult:
     """2D Poisson multisplitting over a ``('block','ir','ic')`` mesh.
 
@@ -253,8 +256,10 @@ def tiled_multisplit_solve(
         minimization=minimization, s=s, outer=outer,
         rtol=rtol, atol=atol, maxiter=maxiter,
         min_convergence_count=min_convergence_count, dtype=dtype,
+        record_history=record_history,
     )
-    return _run(mesh, body_scalar, b, None, None, lshape, (m, n), nb, dtype)
+    return _run(mesh, body_scalar, b, None, None, lshape, (m, n), nb, dtype,
+                record_history=record_history)
 
 
 def tiled_multisplit_solve_3d(
@@ -276,6 +281,7 @@ def tiled_multisplit_solve_3d(
     atol: float = 1e-100,
     maxiter: int = 10000,
     min_convergence_count: int = 4,
+    record_history: bool = False,
 ) -> MultisplitResult:
     """3D Poisson multisplitting: x-planes over ('block','ir'), y over
     'ic', z local.  ``b`` is the global RHS in grid shape (nx, ny, nz)."""
@@ -340,6 +346,7 @@ def tiled_multisplit_solve_3d(
         minimization=minimization, s=s, outer=outer,
         rtol=rtol, atol=atol, maxiter=maxiter,
         min_convergence_count=min_convergence_count, dtype=dtype,
+        record_history=record_history,
     )
     return _run(mesh, body_scalar, b, None, None, lshape, (nx, ny, nz), nb,
-                dtype)
+                dtype, record_history=record_history)

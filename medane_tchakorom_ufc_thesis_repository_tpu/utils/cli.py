@@ -97,6 +97,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="emit one JSON line instead of the report")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace here")
+    p.add_argument("--stage-timers", action="store_true", dest="stage_timers",
+                   help="host-stepped solve with per-stage wall timers "
+                        "(I_Solver/Exchange/O_Solver/Convergence — the "
+                        "PetscLog-stage analog; stacked backend)")
+    p.add_argument("--record-history", action="store_true",
+                   dest="record_history",
+                   help="record + report per-cycle residual norms (the "
+                        "reference's per-iteration norm printouts)")
     p.add_argument("--multihost", type=int, default=None, metavar="NPROCS",
                    help="fan out NPROCS OS processes over jax.distributed "
                         "(the reference's mpiexec analog, iSolve:347-401); "
@@ -177,7 +185,8 @@ def config_from_args(args) -> "RunConfig":
         k: v for k, v in vars(args).items()
         if v is not None and k not in (
             {"config", "json", "profile_dir", "multihost",
-             "devices_per_process"} | pb_keys
+             "devices_per_process", "stage_timers", "record_history"}
+            | pb_keys
         )
     }
     if args.config:
@@ -197,7 +206,7 @@ def config_from_args(args) -> "RunConfig":
     return cfg
 
 
-def run(cfg, profile_dir=None):
+def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
     import jax
     import jax.numpy as jnp
 
@@ -211,6 +220,11 @@ def run(cfg, profile_dir=None):
         trace,
     )
 
+    if stage_timers and (cfg.backend != "stacked" or cfg.alg == "GMRES"):
+        raise SystemExit(
+            "--stage-timers runs the host-stepped profiling driver "
+            "(stacked backend, multisplitting algorithms)"
+        )
     if cfg.dtype == "float64" and not jax.config.read("jax_enable_x64"):
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
@@ -333,7 +347,8 @@ def run(cfg, profile_dir=None):
                         schedule=cfg.schedule,
                         staleness=(cfg.staleness if cfg.schedule == "async"
                                    else 1),
-                        minimization=cfg.minimization, s=cfg.s, **kw,
+                        minimization=cfg.minimization, s=cfg.s,
+                        record_history=record_history, **kw,
                     )
             else:
                 b_grid = b.reshape(cfg.m, cfg.n, cfg.nz)
@@ -344,7 +359,8 @@ def run(cfg, profile_dir=None):
                         schedule=cfg.schedule,
                         staleness=(cfg.staleness if cfg.schedule == "async"
                                    else 1),
-                        minimization=cfg.minimization, s=cfg.s, **kw,
+                        minimization=cfg.minimization, s=cfg.s,
+                        record_history=record_history, **kw,
                     )
         elif cfg.backend == "sharded":
             from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
@@ -365,7 +381,20 @@ def run(cfg, profile_dir=None):
                     mesh, opcfg, b_grid,
                     schedule=cfg.schedule,
                     staleness=(cfg.staleness if cfg.schedule == "async" else 1),
-                    minimization=cfg.minimization, s=cfg.s, **kw,
+                    minimization=cfg.minimization, s=cfg.s,
+                    record_history=record_history, **kw,
+                )
+        elif stage_timers:
+            from medane_tchakorom_ufc_thesis_repository_tpu.models.staged import (
+                staged_multisplit_solve,
+            )
+
+            def solve():
+                return staged_multisplit_solve(
+                    op, b,
+                    schedule=cfg.schedule,
+                    staleness=(cfg.staleness if cfg.schedule == "async" else 1),
+                    minimization=cfg.minimization, s=cfg.s, timer=pt, **kw,
                 )
         else:
             def solve():
@@ -373,7 +402,8 @@ def run(cfg, profile_dir=None):
                     op, b,
                     schedule=cfg.schedule,
                     staleness=(cfg.staleness if cfg.schedule == "async" else 1),
-                    minimization=cfg.minimization, s=cfg.s, **kw,
+                    minimization=cfg.minimization, s=cfg.s,
+                    record_history=record_history, **kw,
                 )
 
         with trace(profile_dir), pt.phase("I_Solver"):
@@ -386,6 +416,11 @@ def run(cfg, profile_dir=None):
                       inner_iters=int(res.inner_iters),
                       converged=bool(res.converged),
                       rnorm=float(res.rnorm), rnorm0=float(res.rnorm0))
+        if res.history is not None:
+            # per-cycle residual norms (the reference prints one per
+            # iteration, asynchronous-multisplitting_prime.c:345)
+            hist = [float(h) for h in res.history[:int(res.cycles)]]
+            result["residual_history"] = hist
 
     with pt.phase("Last"):
         r = b.reshape(-1) - op.global_mv(x_flat)
@@ -423,7 +458,11 @@ def main(argv=None) -> int:
             print(f"Error vs u=1       : {result['err_vs_ones']:.6e}")
         return 0 if result["converged"] else 2
     cfg = config_from_args(args)
-    result, pt = run(cfg, profile_dir=args.profile_dir)
+    result, pt = run(
+        cfg, profile_dir=args.profile_dir,
+        stage_timers=args.stage_timers,
+        record_history=args.record_history or args.stage_timers,
+    )
 
     if args.json:
         print(json.dumps(result))
@@ -438,6 +477,10 @@ def main(argv=None) -> int:
         print(f"Converged          : {result['converged']}")
         print(f"Elapsed            : {result['elapsed_s']:.4f} s")
         print(f"Error vs u=1       : {result['error_vs_ones']:.6e}")
+        if "residual_history" in result:
+            print("Residual norms     :")
+            for i, h in enumerate(result["residual_history"]):
+                print(f"  cycle {i:>4d}: {h:.6e}")
         pt.report()
     return 0 if result["converged"] else 2
 

@@ -80,6 +80,89 @@ class TestBlockOps:
         )
 
 
+class TestStackedDIA:
+    """Banded general-sparse routing: StackedELLOperator -> DIA planes
+    (kills the 139x ELL gather penalty on TPU; the reference's
+    create_matrix_sparse AIJ capability, utils.c:139-155)."""
+
+    def _variable_coeff_ell(self, m=16, n=16, nblocks=2):
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import (
+            poisson as pp,
+        )
+
+        rows, cols, vals, shape = pp.poisson2d_coo(m, n)
+        scale = 1.0 + (np.arange(shape[0]) % 7) * 0.3
+        vals = vals * scale[rows]
+        a_ii, a_ic = pp.block_split_ell(
+            rows, cols, vals, shape, nblocks=nblocks, dtype=jnp.float64
+        )
+        return blockops.StackedELLOperator(a_ii=a_ii, a_ic=a_ic)
+
+    def test_dia_matches_ell_matvecs(self):
+        eop = self._variable_coeff_ell()
+        dop = blockops.as_stacked_tpu_operator(eop)
+        assert isinstance(dop, blockops.StackedDIAOperator)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal(
+                (eop.nblocks, eop.block_size)
+            )
+        )
+        np.testing.assert_allclose(
+            np.asarray(dop.diag_mv(x)), np.asarray(eop.diag_mv(x)),
+            rtol=1e-12, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dop.coupling_mv(x)), np.asarray(eop.coupling_mv(x)),
+            rtol=1e-12, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dop.to_dense()), np.asarray(eop.to_dense()),
+            rtol=1e-12, atol=1e-12,
+        )
+
+    def test_single_diag_mv_matches(self):
+        eop = self._variable_coeff_ell()
+        dop = blockops.as_stacked_tpu_operator(eop)
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal(
+                (eop.nblocks, eop.block_size)
+            )
+        )
+        args = dop.diag_mv_args
+        per_block = jnp.stack([
+            dop.single_diag_mv(args[i], x[i]) for i in range(dop.nblocks)
+        ])
+        np.testing.assert_allclose(
+            np.asarray(per_block), np.asarray(dop.diag_mv(x)),
+            rtol=1e-12, atol=1e-12,
+        )
+        # jacobi diagonal extraction agrees with the ELL path
+        dvec = dop.single_diag_vector(args[0], dop.block_size)
+        evec = eop.single_diag_vector(
+            (eop.a_ii.indices[0], eop.a_ii.values[0]), eop.block_size
+        )
+        np.testing.assert_allclose(np.asarray(dvec), np.asarray(evec))
+
+    def test_solve_agrees_with_ell(self):
+        eop = self._variable_coeff_ell()
+        dop = blockops.as_stacked_tpu_operator(eop)
+        b = blockops.rhs_ones(eop, jnp.float64)
+        res_e = ms.sm(eop, b, rtol=1e-4, maxiter=4000,
+                      inner=ms.InnerConfig(maxiter=30))
+        res_d = ms.sm(dop, b, rtol=1e-4, maxiter=4000,
+                      inner=ms.InnerConfig(maxiter=30))
+        assert bool(res_d.converged)
+        assert int(res_d.sweeps) == int(res_e.sweeps)
+        np.testing.assert_allclose(
+            np.asarray(res_d.x), np.asarray(res_e.x), rtol=1e-8, atol=1e-10
+        )
+
+    def test_unstructured_stays_ell(self):
+        eop = self._variable_coeff_ell()
+        out = blockops.as_stacked_tpu_operator(eop, max_diags=2)
+        assert out is eop
+
+
 class TestSM:
     def test_converges_to_invariant(self):
         op, b = _problem2d()
