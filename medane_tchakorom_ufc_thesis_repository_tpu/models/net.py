@@ -1,0 +1,198 @@
+"""TCP transport for the Alg-5.15 protocol + async iterate exchange.
+
+The reference's convergence-detection protocol runs over MPI between
+hosts (``conv_detection_prime.c:11-249``); its data path drains
+``MPI_Iprobe``/``MPI_Recv`` to the newest message (``comm.c:6-77``).
+This module is the socket equivalent for OS-process deployments:
+
+* protocol messages (PartialCV/CancelCV/Verification/Response/Verdict)
+  are 24-byte packed headers delivered into a drain queue — the
+  ``models.convergence.Transport`` interface, so ``Alg515Node`` runs
+  unchanged over the wire;
+* iterate payloads ride the same sockets as DATA frames into per-sender
+  latest-wins mailboxes (drain-to-newest: a slow reader skips straight
+  to the freshest iterate, exactly the reference's receive semantics).
+
+Wire format per frame: ``!6i`` header
+``(kind, src, phase_tag, iteration, positive, payload_len)`` followed by
+``payload_len`` raw bytes.  Protocol frames use ``kind = MsgKind`` index;
+DATA frames use ``kind = 255``.
+
+Topology: rank ``i`` listens on ``addrs[i]``; every send opens (and
+caches) one outgoing connection per destination — 2 simplex connections
+per pair, no handshake ordering constraints (connects retry until the
+peer's listener is up).
+"""
+
+from __future__ import annotations
+
+import queue
+import socket
+import struct
+import threading
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from medane_tchakorom_ufc_thesis_repository_tpu.models.convergence import (
+    Msg,
+    MsgKind,
+    Transport,
+)
+
+_HDR = struct.Struct("!6i")
+_KINDS = list(MsgKind)
+_KIND_INDEX = {k: i for i, k in enumerate(_KINDS)}
+_DATA_KIND = 255
+
+
+def _recvall(conn: socket.socket, n: int) -> Optional[bytes]:
+    buf = b""
+    while len(buf) < n:
+        chunk = conn.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+class TcpTransport(Transport):
+    """Socket-backed ``Transport`` + latest-wins DATA mailboxes.
+
+    ``addrs``: one ``(host, port)`` per rank; this rank listens on
+    ``addrs[rank]``.  Thread-safe; call ``close()`` when done.
+    """
+
+    def __init__(self, rank: int, addrs: Sequence[Tuple[str, int]],
+                 connect_timeout: float = 60.0):
+        self.rank = rank
+        self.addrs = [tuple(a) for a in addrs]
+        self.connect_timeout = connect_timeout
+        self._q: "queue.SimpleQueue[Msg]" = queue.SimpleQueue()
+        self._data: Dict[int, Tuple[bytes, int, int]] = {}
+        self._dlock = threading.Lock()
+        self._out: Dict[int, socket.socket] = {}
+        self._olocks: Dict[int, threading.Lock] = {}
+        self._olock = threading.Lock()
+        self._stop = threading.Event()
+        self._server = socket.create_server(
+            self.addrs[rank], reuse_port=False
+        )
+        self._server.settimeout(0.2)
+        self._accept_thread = threading.Thread(
+            target=self._accept_loop, daemon=True
+        )
+        self._accept_thread.start()
+
+    # -- receive side ----------------------------------------------------
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._server.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            threading.Thread(
+                target=self._reader, args=(conn,), daemon=True
+            ).start()
+
+    def _reader(self, conn: socket.socket) -> None:
+        try:
+            while not self._stop.is_set():
+                hdr = _recvall(conn, _HDR.size)
+                if hdr is None:
+                    return
+                kind, src, tag, it, pos, plen = _HDR.unpack(hdr)
+                payload = _recvall(conn, plen) if plen else b""
+                if plen and payload is None:
+                    return
+                if kind == _DATA_KIND:
+                    with self._dlock:
+                        _, _, ver = self._data.get(src, (b"", 0, 0))
+                        self._data[src] = (payload, it, ver + 1)
+                else:
+                    self._q.put(Msg(
+                        kind=_KINDS[kind], src=src, phase_tag=tag,
+                        iteration=it, positive=bool(pos),
+                    ))
+        except OSError:
+            return
+        finally:
+            conn.close()
+
+    # -- send side -------------------------------------------------------
+    def _conn(self, dst: int) -> socket.socket:
+        with self._olock:
+            sock = self._out.get(dst)
+            lock = self._olocks.setdefault(dst, threading.Lock())
+        if sock is not None:
+            return sock
+        deadline = time.monotonic() + self.connect_timeout
+        last_err: Optional[Exception] = None
+        while time.monotonic() < deadline and not self._stop.is_set():
+            try:
+                sock = socket.create_connection(self.addrs[dst], timeout=5.0)
+                sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                with self._olock:
+                    self._out[dst] = sock
+                return sock
+            except OSError as e:   # peer listener not up yet: retry
+                last_err = e
+                time.sleep(0.05)
+        raise ConnectionError(
+            f"rank {self.rank} could not reach rank {dst} at "
+            f"{self.addrs[dst]}: {last_err}"
+        )
+
+    def _sendall(self, dst: int, frame: bytes) -> None:
+        sock = self._conn(dst)
+        with self._olocks[dst]:
+            sock.sendall(frame)
+
+    def send(self, dst: int, msg: Msg) -> None:
+        self._sendall(dst, _HDR.pack(
+            _KIND_INDEX[msg.kind], msg.src, msg.phase_tag,
+            msg.iteration, int(msg.positive), 0,
+        ))
+
+    def send_data(self, dst: int, iteration: int, arr: np.ndarray) -> None:
+        """Publish an iterate to ``dst`` (latest-wins on the receiver)."""
+        payload = np.ascontiguousarray(arr).tobytes()
+        self._sendall(dst, _HDR.pack(
+            _DATA_KIND, self.rank, 0, iteration, 0, len(payload),
+        ) + payload)
+
+    def read_data(self, src: int, dtype, shape):
+        """Newest iterate published by ``src``: ``(array|None, version)``."""
+        with self._dlock:
+            entry = self._data.get(src)
+        if entry is None:
+            return None, 0
+        payload, _it, ver = entry
+        arr = np.frombuffer(payload, dtype=dtype).reshape(shape).copy()
+        return arr, ver
+
+    def drain(self, rank: Optional[int] = None) -> List[Msg]:
+        out = []
+        while True:
+            try:
+                out.append(self._q.get_nowait())
+            except queue.Empty:
+                return out
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            self._server.close()
+        except OSError:
+            pass
+        with self._olock:
+            for sock in self._out.values():
+                try:
+                    sock.close()
+                except OSError:
+                    pass
+            self._out.clear()

@@ -1,0 +1,276 @@
+"""Multi-process asynchronous multisplitting over TCP (AM demo).
+
+The honest completion of the async story: one OS PROCESS per Jacobi
+block (the reference runs one MPI rank group per block,
+``asynchronous-multisplitting_prime.c``), iterates exchanged through
+``TcpTransport`` latest-wins DATA frames (the ``comm_async_probe_and_
+receive`` drain-to-newest analog, ``comm.c:6-77``), and termination
+decided by the decentralized Alg-5.15 protocol (``models.convergence``)
+over the SAME sockets — no shared memory, no collective, genuinely
+nondeterministic interleavings across process boundaries.
+
+Soundness (same invariants as ``models.host_async`` — do not simplify):
+
+* the under-threshold test measures the residual of the CURRENT iterate
+  against the FRESHLY-received RHS (pre-sweep), never post-solve against
+  the RHS the inner solver just satisfied;
+* ``local_cv`` requires persistence across pseudo-period-complete
+  windows (every peer published), enforced inside ``Alg515Node``.
+
+Run one rank: ``python -m ...models.net_async --rank 0 --ports p0,p1 ...``
+or fan out locally with ``launch_net_async(...)`` (used by the tests and
+the ``--net-async`` CLI demo path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+def net_async_block_solve(
+    op,
+    b,
+    rank: int,
+    transport,
+    *,
+    rtol: float = 1e-3,
+    atol: float = 1e-100,
+    maxiter: int = 10000,
+    min_convergence_count: int = 4,
+    inner=None,
+    drain_deadline_s: float = 10.0,
+):
+    """Run THIS process's block of the AM iteration to protocol verdict.
+
+    ``op`` is the full stacked operator (cheap, matrix-free — every
+    process builds the same description); only block ``rank``'s rows are
+    iterated here.  Returns a dict with the block iterate and counters.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from medane_tchakorom_ufc_thesis_repository_tpu.models.convergence import (
+        Alg515Node,
+        State,
+    )
+    from medane_tchakorom_ufc_thesis_repository_tpu.models.multisplitting import (
+        InnerConfig,
+    )
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers import krylov
+
+    inner = inner or InnerConfig()
+    nb, bs = op.nblocks, op.block_size
+    dtype = b.dtype
+    np_dtype = np.dtype(jnp.zeros((), dtype).dtype.name)
+    peers = [j for j in range(nb) if j != rank]
+    node = Alg515Node(rank, peers, transport,
+                      persistence=min_convergence_count)
+
+    rnorm0 = float(jnp.linalg.norm(b.reshape(-1)))
+    tol_local = max(rtol / np.sqrt(nb) * rnorm0, atol)
+
+    args = getattr(op, "diag_mv_args", None)
+    a_k = None if args is None else jax.tree_util.tree_map(
+        lambda a: a[rank], args
+    )
+    mv = lambda v: op.single_diag_mv(a_k, v)
+
+    @jax.jit
+    def sweep(rhs_b, x_b):
+        # pre-sweep residual vs the fresh RHS (soundness invariant)
+        r_pre = rhs_b - mv(x_b)
+        pre_norm = jnp.sqrt(jnp.sum(r_pre * r_pre))
+        res = krylov.gmres(
+            mv, rhs_b, x_b,
+            restart=inner.restart, maxiter=inner.maxiter,
+            rtol=inner.rtol, atol=inner.atol, orthog=inner.orthog,
+        )
+        return res.x, pre_norm
+
+    @jax.jit
+    def local_rhs(x_stack):
+        return (b - op.coupling_mv(x_stack))[rank]
+
+    x = jnp.zeros((bs,), dtype)
+    stack_np = np.zeros((nb, bs), np_dtype)
+    peer_versions = {j: 0 for j in peers}
+    sweeps = 0
+    t0 = time.perf_counter()
+
+    while node.state is not State.FINISHED and sweeps < maxiter:
+        fresh = []
+        for j in peers:
+            arr, ver = transport.read_data(j, np_dtype, (bs,))
+            if arr is not None:
+                stack_np[j] = arr
+                if ver > peer_versions[j]:
+                    fresh.append(j)
+                    peer_versions[j] = ver
+        rhs = local_rhs(jnp.asarray(stack_np))
+        x, pre_norm = sweep(rhs, x)
+        sweeps += 1
+        xb = np.asarray(x)
+        for j in peers:
+            transport.send_data(j, sweeps, xb)
+        node.step(
+            under_threshold=bool(float(pre_norm) <= tol_local),
+            fresh_from=fresh,
+        )
+
+    # pump remaining protocol traffic (a peer may still be verifying)
+    deadline = time.monotonic() + drain_deadline_s
+    while node.state is not State.FINISHED and time.monotonic() < deadline:
+        node.pump()
+        time.sleep(0.002)
+
+    return {
+        "rank": rank,
+        "x_block": np.asarray(x).tolist(),
+        "sweeps": sweeps,
+        "converged": node.state is State.FINISHED,
+        "phase_tag": node.phase_tag,
+        "rnorm0": rnorm0,
+        "elapsed_s": round(time.perf_counter() - t0, 3),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Worker entrypoint + local fan-out
+# ---------------------------------------------------------------------------
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="net_async",
+        description="One OS-process Jacobi block of TCP-async AM",
+    )
+    p.add_argument("--rank", type=int, required=True)
+    p.add_argument("--ports", required=True,
+                   help="comma-separated localhost ports, one per block")
+    p.add_argument("--m", type=int, default=32)
+    p.add_argument("--n", type=int, default=32)
+    p.add_argument("--rtol", type=float, default=1e-4)
+    p.add_argument("--maxiter", type=int, default=4000)
+    p.add_argument("--min-convergence-count", type=int, default=4)
+    p.add_argument("--inner-maxiter", type=int, default=20)
+    p.add_argument("--dtype", default="float64")
+    return p
+
+
+def worker_main(argv: Optional[Sequence[str]] = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+
+    from medane_tchakorom_ufc_thesis_repository_tpu.models import blockops
+    from medane_tchakorom_ufc_thesis_repository_tpu.models.multisplitting import (
+        InnerConfig,
+    )
+    from medane_tchakorom_ufc_thesis_repository_tpu.models.net import (
+        TcpTransport,
+    )
+
+    ports = [int(x) for x in args.ports.split(",")]
+    addrs = [("localhost", pt) for pt in ports]
+    op = blockops.block_poisson2d(args.m, args.n, nblocks=len(ports))
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+    b = blockops.rhs_ones(op, dtype)
+
+    transport = TcpTransport(args.rank, addrs)
+    try:
+        out = net_async_block_solve(
+            op, b, args.rank, transport,
+            rtol=args.rtol, maxiter=args.maxiter,
+            min_convergence_count=args.min_convergence_count,
+            inner=InnerConfig(maxiter=args.inner_maxiter),
+        )
+    finally:
+        # linger so late protocol frames from peers don't hit a dead port
+        time.sleep(0.2)
+        transport.close()
+    print(json.dumps(out), flush=True)
+    return 0
+
+
+def launch_net_async(
+    *,
+    nblocks: int = 2,
+    m: int = 32,
+    n: int = 32,
+    rtol: float = 1e-4,
+    maxiter: int = 4000,
+    min_convergence_count: int = 4,
+    inner_maxiter: int = 20,
+    dtype: str = "float64",
+    timeout_s: float = 300.0,
+) -> List[dict]:
+    """Local fan-out: one OS process per block (the mpiexec analog for
+    the TCP-async path).  Returns each rank's parsed JSON result."""
+    import os
+    import subprocess
+
+    from medane_tchakorom_ufc_thesis_repository_tpu.utils.multihost import (
+        free_port,
+        scrubbed_env,
+    )
+
+    ports = [free_port() for _ in range(nblocks)]
+    env = scrubbed_env(1)
+    procs = []
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    for rank in range(nblocks):
+        cmd = [
+            sys.executable, "-m",
+            "medane_tchakorom_ufc_thesis_repository_tpu.models.net_async",
+            "--rank", str(rank),
+            "--ports", ",".join(map(str, ports)),
+            "--m", str(m), "--n", str(n), "--rtol", str(rtol),
+            "--maxiter", str(maxiter),
+            "--min-convergence-count", str(min_convergence_count),
+            "--inner-maxiter", str(inner_maxiter), "--dtype", dtype,
+        ]
+        procs.append(subprocess.Popen(
+            cmd, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True, cwd=repo_root,
+        ))
+    outs, rcs = [], []
+    deadline = time.monotonic() + timeout_s
+    for p in procs:
+        left = max(1.0, deadline - time.monotonic())
+        try:
+            out, _ = p.communicate(timeout=left)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+            out += "\n[parent] TIMEOUT"
+        outs.append(out)
+        rcs.append(p.returncode)
+    if any(rc != 0 for rc in rcs):
+        blob = "\n".join(
+            f"--- rank {i} rc={rc}\n{o}"
+            for i, (rc, o) in enumerate(zip(rcs, outs))
+        )
+        raise RuntimeError(f"net_async launch failed:\n{blob}")
+    results = []
+    for i, out in enumerate(outs):
+        lines = [l for l in out.splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"rank {i} produced no JSON:\n{out}")
+        results.append(json.loads(lines[-1]))
+    return results
+
+
+if __name__ == "__main__":
+    sys.exit(worker_main())

@@ -105,6 +105,12 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="record_history",
                    help="record + report per-cycle residual norms (the "
                         "reference's per-iteration norm printouts)")
+    p.add_argument("--net-async", type=int, default=None, metavar="NPROCS",
+                   dest="net_async",
+                   help="run AM with NPROCS OS processes (one Jacobi "
+                        "block each) exchanging iterates + Alg-5.15 "
+                        "termination over TCP sockets (the reference's "
+                        "inter-node async execution model)")
     p.add_argument("--multihost", type=int, default=None, metavar="NPROCS",
                    help="fan out NPROCS OS processes over jax.distributed "
                         "(the reference's mpiexec analog, iSolve:347-401); "
@@ -165,6 +171,49 @@ def _collect_per_block(args):
     return inner, outer
 
 
+def run_net_async(args) -> dict:
+    """TCP-async AM fan-out: one OS process per Jacobi block, iterates +
+    Alg-5.15 termination over sockets (models.net_async)."""
+    import numpy as np
+
+    from medane_tchakorom_ufc_thesis_repository_tpu.models.net_async import (
+        launch_net_async,
+    )
+
+    if (args.alg or "AM") != "AM":
+        raise SystemExit("--net-async runs the AM algorithm")
+    m = args.m or 64
+    n = args.n or 64
+    results = launch_net_async(
+        nblocks=args.net_async, m=m, n=n,
+        rtol=args.rtol or 1e-4, maxiter=args.maxiter or 4000,
+        min_convergence_count=args.min_convergence_count or 4,
+        inner_maxiter=args.inner_maxiter or 20,
+    )
+    import jax.numpy as jnp
+
+    from medane_tchakorom_ufc_thesis_repository_tpu.models import blockops
+
+    op = blockops.block_poisson2d(m, n, nblocks=args.net_async)
+    b = blockops.rhs_ones(op, jnp.float64)
+    x = jnp.asarray(np.stack([
+        np.asarray(r["x_block"])
+        for r in sorted(results, key=lambda r: r["rank"])
+    ]))
+    r_true = b - op.full_mv(x)
+    rnorm = float(jnp.linalg.norm(r_true.reshape(-1)))
+    return {
+        "alg": "AM", "backend": f"net_async({args.net_async}proc tcp)",
+        "grid": f"{m}x{n}", "dim": 2,
+        "sweeps_per_block": [r["sweeps"] for r in results],
+        "converged": all(r["converged"] for r in results),
+        "rnorm": rnorm, "rnorm0": results[0]["rnorm0"],
+        "rel_rnorm": rnorm / results[0]["rnorm0"],
+        "elapsed_s": max(r["elapsed_s"] for r in results),
+        "error_vs_ones": float(jnp.max(jnp.abs(x - 1.0))),
+    }
+
+
 def config_from_args(args) -> "RunConfig":
     import dataclasses as _dc
 
@@ -185,7 +234,8 @@ def config_from_args(args) -> "RunConfig":
         k: v for k, v in vars(args).items()
         if v is not None and k not in (
             {"config", "json", "profile_dir", "multihost",
-             "devices_per_process", "stage_timers", "record_history"}
+             "devices_per_process", "stage_timers", "record_history",
+             "net_async"}
             | pb_keys
         )
     }
@@ -442,6 +492,20 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.net_async:
+        result = run_net_async(args)
+        if args.json:
+            print(json.dumps(result))
+        else:
+            print(f"Algorithm          : AM ({result['backend']})")
+            print(f"Grid               : {result['grid']}")
+            print(f"Sweeps per block   : {result['sweeps_per_block']}")
+            print(f"Final residual     : {result['rnorm']:.6e} "
+                  f"(rel {result['rel_rnorm']:.3e})")
+            print(f"Converged          : {result['converged']}")
+            print(f"Elapsed            : {result['elapsed_s']:.3f} s")
+            print(f"Error vs u=1       : {result['error_vs_ones']:.6e}")
+        return 0 if result["converged"] else 2
     if args.multihost:
         result = run_multihost(args)
         if args.json:

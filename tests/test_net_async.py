@@ -1,0 +1,172 @@
+"""TCP-transport Alg-5.15 + 2-process asynchronous multisplitting.
+
+The reference's async protocol runs over MPI between hosts
+(conv_detection_prime.c); here the same protocol must work over real
+sockets between OS processes, with iterates exchanged as latest-wins
+DATA frames and termination decided by the wire protocol alone.
+"""
+
+import json
+import time
+
+import numpy as np
+import pytest
+
+from medane_tchakorom_ufc_thesis_repository_tpu.models.convergence import (
+    Msg,
+    MsgKind,
+)
+from medane_tchakorom_ufc_thesis_repository_tpu.models.net import TcpTransport
+from medane_tchakorom_ufc_thesis_repository_tpu.utils.multihost import free_port
+
+
+@pytest.fixture
+def pair():
+    ports = [free_port(), free_port()]
+    addrs = [("localhost", p) for p in ports]
+    t0 = TcpTransport(0, addrs)
+    t1 = TcpTransport(1, addrs)
+    yield t0, t1
+    t0.close()
+    t1.close()
+
+
+def _wait(pred, timeout=5.0):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if pred():
+            return True
+        time.sleep(0.005)
+    return False
+
+
+class TestTcpTransport:
+    def test_protocol_roundtrip(self, pair):
+        t0, t1 = pair
+        msg = Msg(kind=MsgKind.PARTIAL_CV, src=0, phase_tag=3,
+                  iteration=17, positive=True)
+        t0.send(1, msg)
+        got = []
+        assert _wait(lambda: bool(got.extend(t1.drain(1)) or got))
+        assert got[0] == msg
+
+    def test_all_kinds_roundtrip(self, pair):
+        t0, t1 = pair
+        sent = [
+            Msg(kind=k, src=0, phase_tag=i, iteration=i * 2,
+                positive=bool(i % 2))
+            for i, k in enumerate(MsgKind)
+        ]
+        for m in sent:
+            t0.send(1, m)
+        got = []
+        assert _wait(
+            lambda: bool(got.extend(t1.drain(1)) or len(got) == len(sent))
+        )
+        assert got == sent
+
+    def test_data_latest_wins(self, pair):
+        t0, t1 = pair
+        for it in range(5):
+            t0.send_data(1, it, np.full((8,), float(it)))
+        assert _wait(lambda: t1.read_data(0, np.float64, (8,))[1] > 0)
+        # versions advance monotonically; eventually the newest payload
+        assert _wait(
+            lambda: float(t1.read_data(0, np.float64, (8,))[0][0]) == 4.0
+        )
+        arr, ver = t1.read_data(0, np.float64, (8,))
+        assert ver == 5
+        np.testing.assert_array_equal(arr, np.full((8,), 4.0))
+
+    def test_bidirectional(self, pair):
+        t0, t1 = pair
+        t0.send_data(1, 1, np.ones((4,)))
+        t1.send_data(0, 1, np.zeros((4,)))
+        assert _wait(lambda: t1.read_data(0, np.float64, (4,))[0] is not None)
+        assert _wait(lambda: t0.read_data(1, np.float64, (4,))[0] is not None)
+
+
+class TestAlg515OverTcp:
+    def test_two_node_protocol_verdict(self, pair):
+        """The full protocol reaches a POSITIVE verdict over real sockets
+        when both nodes stay under threshold."""
+        from medane_tchakorom_ufc_thesis_repository_tpu.models.convergence import (
+            Alg515Node,
+            State,
+        )
+
+        t0, t1 = pair
+        n0 = Alg515Node(0, [1], t0, persistence=2)
+        n1 = Alg515Node(1, [0], t1, persistence=2)
+        deadline = time.monotonic() + 10.0
+        while (
+            (n0.state is not State.FINISHED or n1.state is not State.FINISHED)
+            and time.monotonic() < deadline
+        ):
+            n0.step(under_threshold=True, fresh_from=[1])
+            n1.step(under_threshold=True, fresh_from=[0])
+            time.sleep(0.002)
+        assert n0.state is State.FINISHED
+        assert n1.state is State.FINISHED
+
+    def test_rebound_cancels_and_recovers(self, pair):
+        from medane_tchakorom_ufc_thesis_repository_tpu.models.convergence import (
+            Alg515Node,
+            State,
+        )
+
+        t0, t1 = pair
+        n0 = Alg515Node(0, [1], t0, persistence=1)
+        n1 = Alg515Node(1, [0], t1, persistence=1)
+        # node 1 rebounds for a while: no premature FINISHED
+        for i in range(20):
+            n0.step(under_threshold=True, fresh_from=[1])
+            n1.step(under_threshold=(i % 3 == 0), fresh_from=[0])
+            time.sleep(0.002)
+        assert n0.state is not State.FINISHED
+        # then both settle
+        deadline = time.monotonic() + 10.0
+        while (
+            (n0.state is not State.FINISHED or n1.state is not State.FINISHED)
+            and time.monotonic() < deadline
+        ):
+            n0.step(under_threshold=True, fresh_from=[1])
+            n1.step(under_threshold=True, fresh_from=[0])
+            time.sleep(0.002)
+        assert n0.state is State.FINISHED and n1.state is State.FINISHED
+
+
+class TestTwoProcessAM:
+    def test_end_to_end(self):
+        """Two OS processes, one Jacobi block each: iterates + protocol
+        over TCP; merged solution satisfies the residual invariant."""
+        import jax.numpy as jnp
+
+        from medane_tchakorom_ufc_thesis_repository_tpu.models import blockops
+        from medane_tchakorom_ufc_thesis_repository_tpu.models.net_async import (
+            launch_net_async,
+        )
+
+        m = n = 32
+        rtol = 1e-4
+        results = launch_net_async(
+            nblocks=2, m=m, n=n, rtol=rtol, maxiter=4000, timeout_s=240,
+        )
+        assert len(results) == 2
+        assert all(r["converged"] for r in results)
+        assert all(r["sweeps"] > 0 for r in results)
+        # at least one verification round ran over the wire
+        assert max(r["phase_tag"] for r in results) >= 1
+
+        op = blockops.block_poisson2d(m, n, nblocks=2)
+        b = blockops.rhs_ones(op, jnp.float64)
+        x = jnp.asarray(np.stack([
+            np.asarray(r["x_block"])
+            for r in sorted(results, key=lambda r: r["rank"])
+        ]))
+        r_true = b - op.full_mv(x)
+        rel = float(jnp.linalg.norm(r_true.reshape(-1))
+                    / jnp.linalg.norm(b.reshape(-1)))
+        # each block holds ||r_i|| <= rtol/sqrt(2)*||b|| at its own fresh
+        # data; allow async slack between the two measurement instants
+        assert rel <= 3 * rtol
