@@ -86,6 +86,7 @@ def host_async_solve(
     outer: OuterConfig = OuterConfig(),
     devices: Optional[list] = None,
     sweep_delay_s: Optional[List[float]] = None,
+    join_timeout_s: float = 600.0,
 ) -> HostAsyncResult:
     """Solve ``A x = b`` with one independent host thread per block.
 
@@ -286,9 +287,17 @@ def host_async_solve(
     ]
     for t in threads:
         t.start()
+    deadline = time.monotonic() + join_timeout_s
     for t in threads:
-        t.join(timeout=600)
+        t.join(timeout=max(0.1, deadline - time.monotonic()))
+    hung = [i for i, t in enumerate(threads) if t.is_alive()]
     elapsed = time.perf_counter() - t0
+    if hung:
+        stop.set()
+        raise TimeoutError(
+            f"host_async block workers {hung} still running after "
+            f"join_timeout_s={join_timeout_s}"
+        )
     if errors:
         raise errors[0]
 

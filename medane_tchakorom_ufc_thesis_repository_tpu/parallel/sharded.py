@@ -206,6 +206,14 @@ def sharded_gmres_solve(
     blk_down = [(k, k - 1) for k in range(1, nb)]
 
     def full_mv(g):
+        # halo/compute overlap schedule (the VecScatterBegin/End split —
+        # the reference's VecScatterEnd wait is a top-6 hotspot): issue
+        # every ppermute FIRST, compute the whole interior while the
+        # collectives are in flight, and only then consume the halos.
+        # The optimization_barrier pins that order — XLA's latency-hiding
+        # scheduler places collective-permute-start before the interior
+        # fusion and collective-permute-done after it, so ICI transfer
+        # time hides under the interior stencil pass.
         top_i = lax.ppermute(g[-1, :], "intra", up_pairs)
         bot_i = lax.ppermute(g[0, :], "intra", down_pairs)
         wrap_top = lax.ppermute(g[-1, :], "intra", [(ni - 1, 0)])
@@ -213,6 +221,9 @@ def sharded_gmres_solve(
         wrap_bot = lax.ppermute(g[0, :], "intra", [(0, ni - 1)])
         bot_b = lax.ppermute(wrap_bot, "block", blk_down)
         y = opcfg.interior_mv(g)
+        y, top_i, bot_i, top_b, bot_b = lax.optimization_barrier(
+            (y, top_i, bot_i, top_b, bot_b)
+        )
         y = y.at[0, :].add(off * (top_i + top_b))
         y = y.at[-1, :].add(off * (bot_i + bot_b))
         return y
@@ -326,9 +337,14 @@ def sharded_multisplit_solve(
         return top, bot
 
     def diag_mv(g):
-        """A_ii @ x_i on the local strip (intra halos only)."""
+        """A_ii @ x_i on the local strip (intra halos only).
+
+        Overlap schedule: ppermutes issued first, interior stencil
+        computed while they fly, halos consumed after the barrier (see
+        ``full_mv`` in ``sharded_gmres_solve``)."""
         top, bot = intra_halos(g)
         y = opcfg.interior_mv(g)
+        y, top, bot = lax.optimization_barrier((y, top, bot))
         y = y.at[..., 0, :].add(off * top)
         y = y.at[..., -1, :].add(off * bot)
         return y

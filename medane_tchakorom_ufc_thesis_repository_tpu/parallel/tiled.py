@@ -229,8 +229,13 @@ def tiled_multisplit_solve(
         )
 
     def diag_mv(g):
+        # halo/compute overlap: ppermutes issued first, interior stencil
+        # computed while they fly, halos consumed only after the barrier
+        # (collective-start ... interior ... collective-done scheduling;
+        # see parallel/sharded.py full_mv)
         nh, sh, wh, eh = intra(g)
         y = interior(g)
+        y, nh, sh, wh, eh = lax.optimization_barrier((y, nh, sh, wh, eh))
         y = y.at[..., 0, :].add(off * nh)
         y = y.at[..., -1, :].add(off * sh)
         y = y.at[..., :, 0].add(off * wh)
@@ -317,8 +322,10 @@ def tiled_multisplit_solve_3d(
         )
 
     def diag_mv(g):
+        # halo/compute overlap (see the 2D driver above)
         nh, sh, wh, eh = intra(g)
         y = interior(g)
+        y, nh, sh, wh, eh = lax.optimization_barrier((y, nh, sh, wh, eh))
         y = y.at[..., 0, :, :].add(off * nh)
         y = y.at[..., -1, :, :].add(off * sh)
         y = y.at[..., :, 0, :].add(off * wh)
