@@ -207,6 +207,23 @@ class Stencil2D:
 _register(Stencil2D, [], ["m", "n", "diag", "off"])
 
 
+# VMEM-residency cutoff for the whole-array pad+slice stencil form (v5e
+# has 128 MiB VMEM; past this the slab loop wins — see Stencil3D.mv)
+_VMEM_RESIDENT_BYTES = 100 * 2**20
+
+
+def _slab_planes(nx: int, plane_bytes: int, target_bytes: int = 32 * 2**20):
+    """Largest divisor of ``nx`` whose slab stays under ~32 MB (the
+    empirically fastest slab size at 512^3: big enough to amortize the
+    per-slab pad, small enough for VMEM-scoped partial sums)."""
+    target = max(1, target_bytes // max(plane_bytes, 1))
+    best = 1
+    for d in range(1, nx + 1):
+        if nx % d == 0 and d <= target:
+            best = d
+    return best
+
+
 @dataclasses.dataclass(frozen=True)
 class Stencil3D:
     """Matrix-free 3D 7-point Poisson operator (diag 6, off -1) — the
@@ -236,9 +253,25 @@ class Stencil3D:
         shape.  Grid-shaped callers avoid a real flat<->tiled relayout
         copy that XLA inserts for the 1D view (measured 2x the whole
         apply cost at 256^3 on TPU v5e — keep solver state grid-shaped
-        in hot loops)."""
+        in hot loops).
+
+        HBM-scale grids (> ~100 MB, beyond VMEM residency) route through
+        an x-slab loop: the whole-array pad+slice form costs ~10
+        memory passes under XLA's fusion split (pad materializes, the
+        6-tap sum splits into 4 sibling fusions re-reading it) — cheap
+        at VMEM speed, 7.6 ms at 512^3 f32 from HBM.  Slabbing keeps the
+        pad+fusion traffic slab-sized: measured 4.67 ms at 512^3
+        (1.63x); the remaining gap to the 2-pass roofline (~1.3 ms)
+        needs a Pallas kernel (Mosaic cannot compile through the axon
+        tunnel — ops/stencil_pallas.py is interpreter-validated)."""
         nx, ny, nz = self.nx, self.ny, self.nz
         g = x if x.ndim == 3 else x.reshape(nx, ny, nz)
+        itemsize = jnp.dtype(g.dtype).itemsize
+        if g.size * itemsize > _VMEM_RESIDENT_BYTES:
+            sl = _slab_planes(nx, ny * nz * itemsize)
+            if sl < nx:
+                y = self._slab_mv(g, sl)
+                return y if x.ndim == 3 else y.reshape(-1)
         p = jnp.pad(g, 1)
         y = self.diag * g + self.off * (
             p[:-2, 1:-1, 1:-1] + p[2:, 1:-1, 1:-1]
@@ -246,6 +279,40 @@ class Stencil3D:
             + p[1:-1, 1:-1, :-2] + p[1:-1, 1:-1, 2:]
         )
         return y if x.ndim == 3 else y.reshape(-1)
+
+    def _slab_mv(self, g, sl: int):
+        """x-slab stencil pass: per-slab pad+slice with one-plane halo
+        fixups — each slab's padded copy and partial-sum fusions stay
+        slab-sized (VMEM-scoped) instead of array-sized."""
+        from jax import lax
+
+        nx, ny, nz = self.nx, self.ny, self.nz
+        diag = jnp.asarray(self.diag, g.dtype)
+        off = jnp.asarray(self.off, g.dtype)
+        zero = jnp.asarray(0, g.dtype)
+
+        def body(i, y):
+            start = i * sl
+            s = lax.dynamic_slice(g, (start, 0, 0), (sl, ny, nz))
+            p = jnp.pad(s, 1)
+            ys = diag * s + off * (
+                p[:-2, 1:-1, 1:-1] + p[2:, 1:-1, 1:-1]
+                + p[1:-1, :-2, 1:-1] + p[1:-1, 2:, 1:-1]
+                + p[1:-1, 1:-1, :-2] + p[1:-1, 1:-1, 2:]
+            )
+            up = lax.dynamic_slice(
+                g, (jnp.maximum(start - 1, 0), 0, 0), (1, ny, nz)
+            )
+            up = jnp.where(start == 0, zero, up)
+            dn = lax.dynamic_slice(
+                g, (jnp.minimum(start + sl, nx - 1), 0, 0), (1, ny, nz)
+            )
+            dn = jnp.where(start + sl >= nx, zero, dn)
+            ys = ys.at[0].add(off * up[0])
+            ys = ys.at[-1].add(off * dn[0])
+            return lax.dynamic_update_slice(y, ys, (start, 0, 0))
+
+        return lax.fori_loop(0, nx // sl, body, jnp.empty_like(g))
 
     rmv = mv  # symmetric
 

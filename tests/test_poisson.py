@@ -219,3 +219,41 @@ class TestFormatConversion:
         ell = poisson.coo_to_ell(pairs[0], pairs[1], vals, (n, n),
                                  dtype=jnp.float64)
         assert isinstance(as_tpu_operator(ell, max_diags=64), ELL)
+
+
+class TestSlabStencil:
+    """HBM-scale slab routing of Stencil3D.mv (512^3-class grids): the
+    slab formulation must be bit-identical to the whole-array pad+slice
+    form (it is the same arithmetic, restructured for slab-sized
+    fusions)."""
+
+    def test_slab_mv_matches_padslice(self):
+        import numpy as np
+
+        from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+            Stencil3D,
+        )
+
+        op = Stencil3D(16, 8, 8)
+        g = jnp.asarray(
+            np.random.default_rng(0).standard_normal((16, 8, 8))
+        )
+        ref = op.mv(g)                      # small: pad+slice path
+        for sl in (1, 2, 4, 8):
+            got = op._slab_mv(g, sl)
+            # halo-row adds associate differently: fp-roundoff only
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=0, atol=1e-13
+            )
+
+    def test_slab_planes_heuristic(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+            _slab_planes,
+        )
+
+        # 512^3 f32: 1 MiB planes -> 32-plane slabs
+        assert _slab_planes(512, 512 * 512 * 4) == 32
+        # huge planes: falls back to single-plane slabs
+        assert _slab_planes(512, 64 * 2**20) == 1
+        # small grids: whole array in one slab
+        assert _slab_planes(64, 64 * 64 * 4) == 64
