@@ -319,6 +319,7 @@ def multisplit_solve(
     min_convergence_count: int = 4,
     record_history: bool = False,
     rnorm0: Optional[jax.Array] = None,
+    basis_collection: str = "sweep",
 ) -> MultisplitResult:
     """Solve ``A x = b`` by (a)synchronous two-stage block multisplitting.
 
@@ -326,6 +327,14 @@ def multisplit_solve(
     ``-m -n -s -npb -rtol -min_convergence_count`` plus the prefixed
     inner/outer KSP options).  ``b`` and the returned ``x`` are stacked
     ``(nblocks, block_size)``.
+
+    ``basis_collection`` (async minimization only): ``'sweep'`` records a
+    basis column every sweep (thesis-faithful — at staleness d the
+    within-cycle columns differ only in self-block directions because the
+    coupling RHS is frozen between publishes, which is why AMAM at d=4
+    needs ~6x AM's sweeps); ``'publish'`` records columns only at
+    publish boundaries, so every column embeds genuinely new peer data
+    — one cycle then spans ``s * max(staleness)`` sweeps.
     """
     if schedule not in ("sync", "async"):
         raise ValueError(f"unknown schedule {schedule!r}")
@@ -377,21 +386,40 @@ def multisplit_solve(
     # rtol/sqrt(2) test, `...-local.c:267`, generalized to nb blocks)
     tol_local = jnp.maximum(rtol / jnp.sqrt(jnp.asarray(float(nb), dtype)) * rnorm0, atol)
 
+    if basis_collection not in ("sweep", "publish"):
+        raise ValueError(f"unknown basis_collection {basis_collection!r}")
+    collect_publish = (
+        basis_collection == "publish" and is_async and minimization is not None
+    )
+    # sweeps per outer cycle: 'publish' collection needs s publish events
+    # from the slowest-publishing block
+    spc = s * int(np.asarray(staleness).max()) if collect_publish else s
+
     def publish(x, x_vis, sweep_count):
         done = (sweep_count % stal) == 0
         return jnp.where(done[:, None], x, x_vis)
 
     def sweep_body(i, carry):
-        x, x_vis, rhs, sweeps, inner_total, S, pub = carry
+        x, x_vis, rhs, sweeps, inner_total, S, pub, pub_counts = carry
         res = inner_solve(rhs, x)
         x = res.x
         inner_total = inner_total + jnp.sum(res.iters).astype(jnp.int32)
         sweeps = sweeps + 1
-        pub = jnp.logical_or(pub, (sweeps % stal) == 0)  # (nb,) published?
+        published = (sweeps % stal) == 0            # (nb,) this sweep?
+        pub = jnp.logical_or(pub, published)
         x_vis = publish(x, x_vis, sweeps)
         rhs = b - op.coupling_mv(x_vis)
-        S = S.at[i].set(x)
-        return (x, x_vis, rhs, sweeps, inner_total, S, pub)
+        if collect_publish:
+            # record a column only when this block publishes: columns
+            # then embed fresh peer data instead of s near-collinear
+            # frozen-RHS iterates (slots cycle, keeping the newest s)
+            slot = pub_counts % s                   # (nb,)
+            oh = (jnp.arange(s)[:, None] == slot[None, :]) & published[None, :]
+            S = jnp.where(oh[:, :, None], x[None], S)
+            pub_counts = pub_counts + published.astype(jnp.int32)
+        else:
+            S = S.at[i].set(x)
+        return (x, x_vis, rhs, sweeps, inner_total, S, pub, pub_counts)
 
     def minimize(S, x, x_vis, rhs, sweeps):
         """One outer minimization: basis S (s, nb, bs) -> combined x."""
@@ -442,8 +470,10 @@ def multisplit_solve(
 
         S0 = jnp.zeros((s, nb, bs), dtype)
         pub0 = jnp.zeros((nb,), bool)
-        x, x_vis, rhs, sweeps, inner_total, S, pub = lax.fori_loop(
-            0, s, sweep_body, (x, x_vis, rhs, sweeps, inner_total, S0, pub0)
+        pc0 = jnp.zeros((nb,), jnp.int32)
+        x, x_vis, rhs, sweeps, inner_total, S, pub, _ = lax.fori_loop(
+            0, spc, sweep_body,
+            (x, x_vis, rhs, sweeps, inner_total, S0, pub0, pc0)
         )
 
         if minimization is not None:

@@ -45,8 +45,19 @@ def make_spmd_body(
     min_convergence_count: int,
     dtype,
     record_history: bool = False,
+    basis_collection: str = "sweep",
 ):
     lsize = int(np.prod(lshape))
+    if basis_collection not in ("sweep", "publish"):
+        raise ValueError(f"unknown basis_collection {basis_collection!r}")
+    collect_publish = (
+        basis_collection == "publish" and is_async and minimization is not None
+    )
+    # 'publish' collection: columns recorded at publish boundaries only
+    # (fresh peer data per column — fixes the AMAM staleness pathology,
+    # measured 2824 -> 144 sweeps at d=4, BENCHMARKS.md); a cycle then
+    # spans s * max(staleness) sweeps
+    spc = s * int(np.asarray(stal).max()) if collect_publish else s
     # per-cycle residual-norm history (the SPMD analog of the stacked
     # driver's record_history and the reference's per-iteration norm
     # printouts, asynchronous-multisplitting_prime.c:345); rnorm is
@@ -134,18 +145,24 @@ def make_spmd_body(
             return jnp.where((sweeps % my_stal) == 0, x, x_vis)
 
         def sweep_body(i, carry):
-            x, x_vis, rhs, sweeps, inner_total, S, pub = carry
+            x, x_vis, rhs, sweeps, inner_total, S, pub, pc = carry
             res = inner_solve(rhs, x)
             x = res.x.reshape(lshape)
             inner_total = inner_total + lax.psum(res.iters, "block").astype(
                 jnp.int32
             )
             sweeps = sweeps + 1
-            pub = jnp.logical_or(pub, (sweeps % my_stal) == 0)
+            published = (sweeps % my_stal) == 0
+            pub = jnp.logical_or(pub, published)
             x_vis = publish(x, x_vis, sweeps)
             rhs = b_loc - coupling_mv(x_vis)
-            S = S.at[i].set(x)
-            return (x, x_vis, rhs, sweeps, inner_total, S, pub)
+            if collect_publish:
+                S_new = lax.dynamic_update_index_in_dim(S, x, pc % s, 0)
+                S = jnp.where(published, S_new, S)
+                pc = pc + published.astype(jnp.int32)
+            else:
+                S = S.at[i].set(x)
+            return (x, x_vis, rhs, sweeps, inner_total, S, pub, pc)
 
         def minimize(S, x, x_vis, rhs, sweeps):
             if minimization == "local":
@@ -171,9 +188,10 @@ def make_spmd_body(
              conv_count, rnorm, outer_rnorm, converged, hist) = carry
             S0 = jnp.zeros((s,) + lshape, dtype)
             pub0 = jnp.zeros((), bool)
-            x, x_vis, rhs, sweeps, inner_total, S, pub = lax.fori_loop(
-                0, s, sweep_body,
-                (x, x_vis, rhs, sweeps, inner_total, S0, pub0),
+            pc0 = jnp.zeros((), jnp.int32)
+            x, x_vis, rhs, sweeps, inner_total, S, pub, _ = lax.fori_loop(
+                0, spc, sweep_body,
+                (x, x_vis, rhs, sweeps, inner_total, S0, pub0, pc0),
             )
             if minimization is not None:
                 x, x_vis, rhs, outer_rnorm = minimize(S, x, x_vis, rhs, sweeps)

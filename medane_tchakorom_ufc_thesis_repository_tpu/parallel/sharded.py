@@ -275,6 +275,7 @@ def sharded_multisplit_solve(
     maxiter: int = 10000,
     min_convergence_count: int = 4,
     record_history: bool = False,
+    basis_collection: str = "sweep",
 ) -> MultisplitResult:
     """Sharded two-stage multisplitting over ``mesh ('block','intra')``.
 
@@ -413,7 +414,7 @@ def sharded_multisplit_solve(
         minimization=minimization, s=s, outer=outer,
         rtol=rtol, atol=atol, maxiter=maxiter,
         min_convergence_count=min_convergence_count, dtype=dtype,
-        record_history=record_history,
+        record_history=record_history, basis_collection=basis_collection,
     )
 
     def body(b_loc):

@@ -195,6 +195,7 @@ def tiled_multisplit_solve(
     maxiter: int = 10000,
     min_convergence_count: int = 4,
     record_history: bool = False,
+    basis_collection: str = "sweep",
 ) -> MultisplitResult:
     """2D Poisson multisplitting over a ``('block','ir','ic')`` mesh.
 
@@ -261,7 +262,7 @@ def tiled_multisplit_solve(
         minimization=minimization, s=s, outer=outer,
         rtol=rtol, atol=atol, maxiter=maxiter,
         min_convergence_count=min_convergence_count, dtype=dtype,
-        record_history=record_history,
+        record_history=record_history, basis_collection=basis_collection,
     )
     return _run(mesh, body_scalar, b, None, None, lshape, (m, n), nb, dtype,
                 record_history=record_history)
@@ -287,6 +288,7 @@ def tiled_multisplit_solve_3d(
     maxiter: int = 10000,
     min_convergence_count: int = 4,
     record_history: bool = False,
+    basis_collection: str = "sweep",
 ) -> MultisplitResult:
     """3D Poisson multisplitting: x-planes over ('block','ir'), y over
     'ic', z local.  ``b`` is the global RHS in grid shape (nx, ny, nz)."""
@@ -353,7 +355,7 @@ def tiled_multisplit_solve_3d(
         minimization=minimization, s=s, outer=outer,
         rtol=rtol, atol=atol, maxiter=maxiter,
         min_convergence_count=min_convergence_count, dtype=dtype,
-        record_history=record_history,
+        record_history=record_history, basis_collection=basis_collection,
     )
     return _run(mesh, body_scalar, b, None, None, lshape, (nx, ny, nz), nb,
                 dtype, record_history=record_history)

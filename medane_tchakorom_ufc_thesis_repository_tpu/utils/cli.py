@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="min_convergence_count")
     p.add_argument("--staleness", type=int, default=None,
                    help="async publish period (sweeps)")
+    p.add_argument("--basis-collection", default=None,
+                   dest="basis_collection", choices=["sweep", "publish"],
+                   help="async s-step basis: per-sweep (thesis-faithful) "
+                        "or per-publish (staleness-robust)")
     p.add_argument("--nblocks", type=int, default=None,
                    help="Jacobi blocks (np/npb analog)")
     p.add_argument("--intra", type=int, default=None,
@@ -398,7 +402,8 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
                         staleness=(cfg.staleness if cfg.schedule == "async"
                                    else 1),
                         minimization=cfg.minimization, s=cfg.s,
-                        record_history=record_history, **kw,
+                        record_history=record_history,
+                        basis_collection=cfg.basis_collection, **kw,
                     )
             else:
                 b_grid = b.reshape(cfg.m, cfg.n, cfg.nz)
@@ -410,7 +415,8 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
                         staleness=(cfg.staleness if cfg.schedule == "async"
                                    else 1),
                         minimization=cfg.minimization, s=cfg.s,
-                        record_history=record_history, **kw,
+                        record_history=record_history,
+                        basis_collection=cfg.basis_collection, **kw,
                     )
         elif cfg.backend == "sharded":
             from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
@@ -432,7 +438,8 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
                     schedule=cfg.schedule,
                     staleness=(cfg.staleness if cfg.schedule == "async" else 1),
                     minimization=cfg.minimization, s=cfg.s,
-                    record_history=record_history, **kw,
+                    record_history=record_history,
+                    basis_collection=cfg.basis_collection, **kw,
                 )
         elif stage_timers:
             from medane_tchakorom_ufc_thesis_repository_tpu.models.staged import (
@@ -453,7 +460,8 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
                     schedule=cfg.schedule,
                     staleness=(cfg.staleness if cfg.schedule == "async" else 1),
                     minimization=cfg.minimization, s=cfg.s,
-                    record_history=record_history, **kw,
+                    record_history=record_history,
+                    basis_collection=cfg.basis_collection, **kw,
                 )
 
         with trace(profile_dir), pt.phase("I_Solver"):

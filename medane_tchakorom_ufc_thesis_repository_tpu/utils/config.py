@@ -64,6 +64,10 @@ class RunConfig:
     maxiter: int = 10000
     min_convergence_count: int = 4
     staleness: Union[int, Tuple[int, ...]] = 2
+    basis_collection: str = "sweep"  # async s-step basis: 'sweep'
+                                     # (thesis-faithful) | 'publish'
+                                     # (staleness-robust: fresh peer data
+                                     # per column; 2824->144 sweeps @ d=4)
     # inner / outer solver knobs
     inner_restart: int = 30
     inner_maxiter: int = 20

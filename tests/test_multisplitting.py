@@ -325,6 +325,37 @@ class TestInnerOptions:
             ms.sm(op, b, inner=ms.InnerConfig(method="bicgstab"))
 
 
+class TestPublishBasisCollection:
+    """Staleness mitigation for async minimization: at staleness d the
+    thesis-faithful per-sweep basis embeds s near-collinear frozen-RHS
+    iterates (AMAM_GLOBAL d=4 needs ~6x AM's sweeps); collecting columns
+    at publish boundaries restores — and beats — AM's sweep counts
+    (measured d=4: 2824 -> 144 sweeps, BENCHMARKS.md)."""
+
+    def test_publish_collection_converges_and_beats_sweep(self):
+        op, b = _problem2d(32, 32)
+        kw = dict(scope="global", s=4, staleness=4, rtol=1e-4,
+                  maxiter=20000)
+        res_s = ms.amam(op, b, **kw)
+        res_p = ms.amam(op, b, basis_collection="publish", **kw)
+        assert bool(res_p.converged)
+        assert _true_rel(op, b, res_p.x) <= 1.5e-4
+        assert int(res_p.sweeps) < int(res_s.sweeps)
+
+    def test_sync_unaffected(self):
+        op, b = _problem2d(16, 16)
+        a = ms.smsm(op, b, scope="global", s=4, rtol=1e-3, maxiter=2000)
+        c = ms.smsm(op, b, scope="global", s=4, rtol=1e-3, maxiter=2000,
+                    basis_collection="publish")
+        # sync schedule: 'publish' has no effect (publishes every sweep)
+        assert int(a.sweeps) == int(c.sweeps)
+
+    def test_unknown_collection_rejected(self):
+        op, b = _problem2d(16, 16)
+        with pytest.raises(ValueError, match="basis_collection"):
+            ms.amam(op, b, scope="global", basis_collection="nope")
+
+
 class TestPerBlockConfigs:
     """The reference's inner1_/inner2_/outer1_/outer2_ per-rank KSP
     prefixes (utils.c:512-541, iSolve:118-194): each block's inner and
