@@ -15,6 +15,7 @@ from medane_tchakorom_ufc_thesis_repository_tpu.parallel.mesh import (  # noqa: 
 from medane_tchakorom_ufc_thesis_repository_tpu.parallel.sharded import (  # noqa: F401
     ShardedPoisson2D,
     ShardedPoisson3D,
+    sharded_ca_gmres_solve,
     sharded_gmres_solve,
     sharded_multisplit_solve,
 )

@@ -75,14 +75,31 @@ def ca_gmres(
     lmin: Optional[float] = None,
     lmax: Optional[float] = None,
     axis_name=None,
+    reductions: str = "column",
 ) -> KrylovResult:
     """Restarted s-step GMRES.  ``shifts`` (length >= s) or the spectral
     interval ``[lmin, lmax]`` supply the Newton basis; omitting both
     falls back to the monomial basis (keep ``s <= 4``).
 
     Under ``shard_map`` pass ``axis_name``; the panel LS then runs via a
-    psum-reduced Gram system (one collective per cycle).
+    psum-reduced Gram system.
+
+    ``reductions``:
+
+    * ``'column'`` — one norm reduction per basis column (scaled Newton
+      basis; f32-safe).
+    * ``'single'`` — the full communication-avoiding schedule: the
+      Newton basis is built UNSCALED with zero reductions, then ONE
+      ``(s+1) x (s+1)`` Gram psum per cycle supplies the least-squares
+      system AND the residual norm (Gram algebra:
+      ``‖r − Cᵀy‖² = G₀₀ − 2 yᵀc + yᵀ C Cᵀ y``) — exactly one
+      collective per s matvecs, the latency profile CA-GMRES exists for
+      (Hoemmen 2010 §3).  Conditioning is κ(W)² through the Gram:
+      use f64 (or s ≤ 6 in f32); Chebyshev shifts keep the unscaled
+      column growth ~O((λmax/4)^s), far inside f32/f64 range.
     """
+    if reductions not in ("column", "single"):
+        raise ValueError(f"unknown reductions mode {reductions!r}")
     dtype = b.dtype
     n = b.shape[0]
     psum = make_reducer(axis_name)
@@ -105,6 +122,44 @@ def ca_gmres(
     rnorm0 = beta0
     tol = jnp.maximum(rtol * rnorm0, jnp.asarray(atol, dtype))
     eps = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+    def cycle_single(carry):
+        # one-collective cycle: unscaled Newton basis, Gram-only algebra
+        x, iters, rnorm, converged = carry
+        r = b - matvec(x)
+
+        def step(w_prev, th):
+            w = matvec(w_prev) - th * w_prev
+            return w, w
+
+        _, W_rest = lax.scan(step, r, theta)
+        W = jnp.concatenate([r[None, :], W_rest], axis=0)      # (s+1, n)
+        G = psum(W @ W.T)                                      # ONE psum
+        # A w_j = w_{j+1} + θ_j w_j  =>  C = B @ W with
+        # B[j] = e_{j+1} + θ_j e_j  (s, s+1) — all small, replicated
+        B = (jnp.eye(s, s + 1, k=1, dtype=dtype)
+             + theta[:, None] * jnp.eye(s, s + 1, dtype=dtype))
+        Gc = B @ G @ B.T                                       # C Cᵀ
+        c = B @ G[:, 0]                                        # C r
+        jitter = jnp.finfo(dtype).eps * (jnp.trace(Gc) / s + 1.0)
+        ch, low = jax.scipy.linalg.cho_factor(
+            Gc + jitter * jnp.eye(s, dtype=dtype), lower=True
+        )
+        y = jax.scipy.linalg.cho_solve((ch, low), c)
+        x_new = x + W[:s].T @ y
+        # residual norm via Gram algebra (no extra reduction); fp
+        # cancellation can drive the small value slightly negative
+        rsq = G[0, 0] - 2.0 * jnp.dot(y, c) + y @ Gc @ y
+        rnorm_new = jnp.sqrt(jnp.maximum(rsq, 0.0))
+
+        active = jnp.logical_and(~converged, iters < maxiter)
+        x = jnp.where(active, x_new, x)
+        rnorm = jnp.where(active, rnorm_new, rnorm)
+        iters = jnp.where(active, iters + s, iters)
+        converged = jnp.logical_or(
+            converged, jnp.logical_and(active, rnorm_new <= tol)
+        )
+        return x, iters, rnorm, converged
 
     def cycle(carry):
         x, iters, rnorm, converged = carry
@@ -166,7 +221,8 @@ def ca_gmres(
         return jnp.logical_and(~converged, iters < maxiter)
 
     init = (x0, jnp.zeros((), jnp.int32), beta0, beta0 <= tol)
-    x, iters, rnorm, converged = lax.while_loop(cond, cycle, init)
+    body = cycle_single if reductions == "single" else cycle
+    x, iters, rnorm, converged = lax.while_loop(cond, body, init)
     return KrylovResult(
         x=x, iters=iters, resnorm=rnorm, resnorm0=rnorm0, converged=converged
     )

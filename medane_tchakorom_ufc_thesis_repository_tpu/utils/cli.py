@@ -298,7 +298,63 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
         min_convergence_count=cfg.min_convergence_count,
     )
 
-    if cfg.alg == "GMRES":
+    if cfg.alg == "CA_GMRES":
+        # communication-avoiding whole-system baseline: one collective
+        # per s matvecs (solvers/castep.py; sharded_ca_gmres_solve)
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.castep import (
+            ca_gmres,
+        )
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import (
+            poisson_strip_eig_bounds_2d,
+            poisson_strip_eig_bounds_3d,
+        )
+
+        if cfg.dim == 2:
+            lmin, lmax = poisson_strip_eig_bounds_2d(cfg.m, cfg.n, 4.0, -1.0)
+        else:
+            lmin, lmax = poisson_strip_eig_bounds_3d(
+                cfg.m, cfg.n, cfg.nz, 6.0, -1.0
+            )
+        if cfg.backend == "sharded":
+            from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
+                ShardedPoisson2D,
+                ShardedPoisson3D,
+                make_mesh,
+                sharded_ca_gmres_solve,
+            )
+
+            mesh = make_mesh(nblocks=cfg.nblocks, intra=cfg.intra)
+            opcfg = (ShardedPoisson2D(cfg.m, cfg.n) if cfg.dim == 2
+                     else ShardedPoisson3D(cfg.m, cfg.n, cfg.nz))
+            with trace(profile_dir), pt.phase("I_Solver"):
+                t0 = time.perf_counter()
+                kres = sharded_ca_gmres_solve(
+                    mesh, opcfg, b.reshape(opcfg.global_shape),
+                    s=cfg.s, maxiter=cfg.maxiter, rtol=cfg.rtol,
+                )
+                fence(kres.x)
+                elapsed = time.perf_counter() - t0
+            x_flat = kres.x.reshape(-1)
+        elif cfg.backend == "stacked":
+            solve = jax.jit(lambda bb: ca_gmres(
+                op.global_mv, bb, s=cfg.s, maxiter=cfg.maxiter,
+                rtol=cfg.rtol, lmin=lmin, lmax=lmax,
+            ))
+            with trace(profile_dir), pt.phase("I_Solver"):
+                t0 = time.perf_counter()
+                kres = solve(b.reshape(-1))
+                fence(kres.x)
+                elapsed = time.perf_counter() - t0
+            x_flat = kres.x
+        else:
+            raise SystemExit(
+                "CA_GMRES supports backends 'stacked' and 'sharded'"
+            )
+        result = dict(sweeps=int(kres.iters), cycles=0,
+                      inner_iters=int(kres.iters),
+                      converged=bool(kres.converged),
+                      rnorm=float(kres.resnorm), rnorm0=float(kres.resnorm0))
+    elif cfg.alg == "GMRES":
         from medane_tchakorom_ufc_thesis_repository_tpu.solvers import gmres
 
         if cfg.backend not in ("stacked", "sharded"):

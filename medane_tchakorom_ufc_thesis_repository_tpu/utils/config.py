@@ -26,6 +26,7 @@ from medane_tchakorom_ufc_thesis_repository_tpu.models.multisplitting import (
 
 ALGORITHMS = (
     "GMRES",
+    "CA_GMRES",
     "SM",
     "AM",
     "SMSM_LOCAL",

@@ -242,6 +242,75 @@ class TestShardedGMRES:
         assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) <= 1e-6
 
 
+class TestShardedCaGmres:
+    def test_single_reduction_converges_whole_mesh(self, mesh24):
+        """CA-GMRES over the full mesh with ONE Gram psum per s matvecs
+        (its actual deployment target) hits the invariant."""
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+        from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
+            sharded_ca_gmres_solve,
+        )
+
+        m = n = 32
+        op = poisson.poisson2d(m, n)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float64)
+        res = sharded_ca_gmres_solve(
+            mesh24, ShardedPoisson2D(m, n), b.reshape(m, n),
+            s=12, maxiter=4000, rtol=1e-6,
+        )
+        assert bool(res.converged)
+        r = b - op.mv(res.x.reshape(-1))
+        assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) <= 2e-6
+
+    def test_matches_single_device_cycles(self, mesh24):
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+        from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
+            sharded_ca_gmres_solve,
+        )
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.castep import (
+            ca_gmres,
+        )
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import (
+            poisson_strip_eig_bounds_2d,
+        )
+
+        m = n = 32
+        op = poisson.poisson2d(m, n)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float64)
+        lmin, lmax = poisson_strip_eig_bounds_2d(m, n, 4.0, -1.0)
+        ref = ca_gmres(op.mv, b, s=12, maxiter=4000, rtol=1e-6,
+                       lmin=lmin, lmax=lmax, reductions="single")
+        res = sharded_ca_gmres_solve(
+            mesh24, ShardedPoisson2D(m, n), b.reshape(m, n),
+            s=12, maxiter=4000, rtol=1e-6,
+        )
+        assert int(res.iters) == int(ref.iters)
+
+    def test_single_vs_column_reductions_agree(self):
+        """The one-psum Gram cycle spans the same subspace as the
+        per-column-norm cycle: same cycle counts, same solution (f64)."""
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.castep import (
+            ca_gmres,
+        )
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import (
+            poisson_strip_eig_bounds_2d,
+        )
+
+        m = n = 24
+        op = poisson.poisson2d(m, n)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float64)
+        lmin, lmax = poisson_strip_eig_bounds_2d(m, n, 4.0, -1.0)
+        kw = dict(s=8, maxiter=2000, rtol=1e-8, lmin=lmin, lmax=lmax)
+        a = ca_gmres(op.mv, b, reductions="column", **kw)
+        c = ca_gmres(op.mv, b, reductions="single", **kw)
+        assert bool(a.converged) and bool(c.converged)
+        assert int(a.iters) == int(c.iters)
+        np.testing.assert_allclose(
+            np.asarray(a.x), np.asarray(c.x), rtol=1e-6, atol=1e-9
+        )
+
+
 class TestShardedOptionGuards:
     def test_cg_inner_rejected(self, mesh24):
         _, cfg, b = _setup2d()
