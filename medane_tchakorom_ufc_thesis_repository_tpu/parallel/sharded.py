@@ -151,10 +151,10 @@ def _check_spmd_configs(inner, outer) -> None:
             f"SPMD backends support inner method 'gmres' or 'chebyshev', "
             f"not {inner.method!r} (use the stacked backend for 'cg')"
         )
-    if inner.pc != "none":
+    if inner.pc not in ("none", "jacobi"):
         raise ValueError(
-            "SPMD backends do not implement inner preconditioning yet; "
-            "use the stacked backend for pc='jacobi'"
+            f"SPMD backends implement inner pc 'none' and 'jacobi', "
+            f"not {inner.pc!r}"
         )
     if outer.method not in ("qr", "normal", "lsqr"):
         raise ValueError(
@@ -464,6 +464,8 @@ def sharded_multisplit_solve(
         return c
 
     _check_spmd_configs(inner, outer)
+    if inner.method == "chebyshev" and inner.pc != "none":
+        raise ValueError("chebyshev inner solve does not compose with pc")
     if inner.method == "chebyshev":
         from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import (
             chebyshev,
@@ -492,10 +494,16 @@ def sharded_multisplit_solve(
                 maxiter=inner.maxiter, axis_name="intra",
             )
     else:
+        # left Jacobi preconditioning: the stencil diagonal is constant,
+        # so D^-1 is one scalar scale of operator and RHS (convergence
+        # tested in the preconditioned norm, PETSc default — matches the
+        # stacked backend's pc='jacobi' path)
+        dinv = 1.0 / opcfg.diag if inner.pc == "jacobi" else 1.0
+
         def inner_solve(rhs, x):
             return krylov.gmres(
-                lambda v: diag_mv(v.reshape(lshape)).reshape(-1),
-                rhs.reshape(-1),
+                lambda v: dinv * diag_mv(v.reshape(lshape)).reshape(-1),
+                dinv * rhs.reshape(-1),
                 x.reshape(-1),
                 restart=inner.restart,
                 maxiter=inner.maxiter,

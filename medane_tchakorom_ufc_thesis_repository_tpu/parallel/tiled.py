@@ -55,10 +55,14 @@ from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import (
 )
 
 
-def _make_tiled_inner(inner: InnerConfig, diag_mv, lshape, bounds_fn):
+def _make_tiled_inner(inner: InnerConfig, diag_mv, lshape, bounds_fn,
+                      diag_val=None):
     """Per-block inner solve over the ('ir','ic') axes; honest dispatch
     on InnerConfig.method (silently substituting GMRES for a configured
-    method would corrupt experiments)."""
+    method would corrupt experiments).  ``diag_val`` enables the scalar
+    Jacobi left-preconditioner for constant-diagonal stencils."""
+    if inner.method == "chebyshev" and inner.pc != "none":
+        raise ValueError("chebyshev inner solve does not compose with pc")
     if inner.method == "chebyshev":
         if inner.eig_min is not None and inner.eig_max is not None:
             lo, hi = inner.eig_min, inner.eig_max
@@ -73,10 +77,13 @@ def _make_tiled_inner(inner: InnerConfig, diag_mv, lshape, bounds_fn):
                 axis_name=("ir", "ic"),
             )
     else:
+        dinv = (1.0 / diag_val
+                if (inner.pc == "jacobi" and diag_val is not None) else 1.0)
+
         def inner_solve(rhs, x):
             return krylov.gmres(
-                lambda v: diag_mv(v.reshape(lshape)).reshape(-1),
-                rhs.reshape(-1), x.reshape(-1),
+                lambda v: dinv * diag_mv(v.reshape(lshape)).reshape(-1),
+                dinv * rhs.reshape(-1), x.reshape(-1),
                 restart=inner.restart, maxiter=inner.maxiter,
                 rtol=inner.rtol, atol=inner.atol, orthog=inner.orthog,
                 axis_name=("ir", "ic"), fixed_cycles=True,
@@ -251,7 +258,7 @@ def tiled_multisplit_solve(
         return c
 
     inner_solve = _make_tiled_inner(
-        inner, diag_mv, lshape,
+        inner, diag_mv, lshape, diag_val=diag,
         bounds_fn=lambda: poisson_strip_eig_bounds_2d(m // nb, n, diag, off),
     )
 
@@ -342,7 +349,7 @@ def tiled_multisplit_solve_3d(
         return c
 
     inner_solve = _make_tiled_inner(
-        inner, diag_mv, lshape,
+        inner, diag_mv, lshape, diag_val=diag,
         bounds_fn=lambda: poisson_strip_eig_bounds_3d(
             nx // nb, ny, nz, diag, off
         ),

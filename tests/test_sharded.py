@@ -319,11 +319,27 @@ class TestShardedOptionGuards:
                 mesh24, cfg, b, inner=ms.InnerConfig(method="cg")
             )
 
-    def test_jacobi_pc_rejected(self, mesh24):
+    def test_jacobi_pc_matches_stacked(self, mesh24):
+        """SPMD Jacobi left-preconditioning (scalar D^-1 for the
+        constant-diagonal stencil) matches the stacked pc='jacobi' path
+        sweep-for-sweep."""
+        sop, cfg, b = _setup2d()
+        res = sharded_multisplit_solve(
+            mesh24, cfg, b, rtol=1e-3, maxiter=2000,
+            inner=ms.InnerConfig(pc="jacobi"),
+        )
+        res_st = ms.sm(sop, blockops.rhs_ones(sop, jnp.float64),
+                       rtol=1e-3, maxiter=2000,
+                       inner=ms.InnerConfig(pc="jacobi"))
+        assert bool(res.converged)
+        assert _true_rel(sop, b, res.x) <= 1e-3
+        assert int(res.sweeps) == int(res_st.sweeps)
+
+    def test_ilu_pc_rejected(self, mesh24):
         _, cfg, b = _setup2d()
         with pytest.raises(ValueError):
             sharded_multisplit_solve(
-                mesh24, cfg, b, inner=ms.InnerConfig(pc="jacobi")
+                mesh24, cfg, b, inner=ms.InnerConfig(pc="ilu")
             )
 
     def test_cgne_outer_rejected(self, mesh24):
