@@ -45,6 +45,8 @@ _HDR = struct.Struct("!6i")
 _KINDS = list(MsgKind)
 _KIND_INDEX = {k: i for i, k in enumerate(_KINDS)}
 _DATA_KIND = 255
+_PING_KIND = 254
+_PONG_KIND = 253
 
 
 def _recvall(conn: socket.socket, n: int) -> Optional[bytes]:
@@ -70,6 +72,8 @@ class TcpTransport(Transport):
         self.addrs = [tuple(a) for a in addrs]
         self.connect_timeout = connect_timeout
         self._q: "queue.SimpleQueue[Msg]" = queue.SimpleQueue()
+        self._pongs: set = set()
+        self._ping_token = 0
         self._data: Dict[int, Tuple[bytes, int, int]] = {}
         self._dlock = threading.Lock()
         self._out: Dict[int, socket.socket] = {}
@@ -113,6 +117,14 @@ class TcpTransport(Transport):
                     with self._dlock:
                         _, _, ver = self._data.get(src, (b"", 0, 0))
                         self._data[src] = (payload, it, ver + 1)
+                elif kind == _PING_KIND:
+                    # echo back for RTT measurement (comm.c:390-424)
+                    self._sendall(src, _HDR.pack(
+                        _PONG_KIND, self.rank, 0, it, 0, 0,
+                    ))
+                elif kind == _PONG_KIND:
+                    with self._dlock:
+                        self._pongs.add(it)
                 else:
                     self._q.put(Msg(
                         kind=_KINDS[kind], src=src, phase_tag=tag,
@@ -174,6 +186,28 @@ class TcpTransport(Transport):
         payload, _it, ver = entry
         arr = np.frombuffer(payload, dtype=dtype).reshape(shape).copy()
         return arr, ver
+
+    def rtt(self, dst: int, timeout: float = 5.0) -> float:
+        """Ping-pong round-trip time to ``dst`` in seconds — the analog
+        of the reference's startup latency probe
+        (``comm_sync_measure_latency_between_two_nodes``,
+        ``comm.c:390-424``), which feeds the legacy traversal-time
+        termination guard."""
+        with self._dlock:
+            self._ping_token += 1
+            token = self._ping_token * 1000 + self.rank
+        t0 = time.monotonic()
+        self._sendall(dst, _HDR.pack(
+            _PING_KIND, self.rank, 0, token, 0, 0,
+        ))
+        deadline = t0 + timeout
+        while time.monotonic() < deadline:
+            with self._dlock:
+                if token in self._pongs:
+                    self._pongs.discard(token)
+                    return time.monotonic() - t0
+            time.sleep(0.0005)
+        raise TimeoutError(f"no pong from rank {dst} within {timeout}s")
 
     def drain(self, rank: Optional[int] = None) -> List[Msg]:
         out = []

@@ -45,13 +45,31 @@ def net_async_block_solve(
     min_convergence_count: int = 4,
     inner=None,
     drain_deadline_s: float = 10.0,
+    termination: str = "protocol",
 ):
-    """Run THIS process's block of the AM iteration to protocol verdict.
+    """Run THIS process's block of the AM iteration to termination.
 
     ``op`` is the full stacked operator (cheap, matrix-free — every
     process builds the same description); only block ``rank``'s rows are
     iterated here.  Returns a dict with the block iterate and counters.
+
+    ``termination``:
+
+    * ``'protocol'`` — decentralized Alg-5.15 verification over the wire
+      (default; supersedes the legacy guard).
+    * ``'traversal'`` — the legacy pre-protocol guard
+      (``asynchronous-multisplitting.c.save:307-329``): after the local
+      residual holds under threshold for ``min_convergence_count``
+      sweeps, the block goes quiet for ``2 x`` the measured wire
+      traversal time (startup ping-pong, ``comm.c:390-424`` →
+      ``TcpTransport.rtt``); any fresh peer data that pushes the
+      residual back over threshold resumes iterating, a quiet window
+      with none terminates.  Heuristic — can mis-terminate under
+      pathological delay, which is exactly why the reference replaced
+      it with Alg-5.15; kept for capability parity.
     """
+    if termination not in ("protocol", "traversal"):
+        raise ValueError(f"unknown termination {termination!r}")
     import jax
     import jax.numpy as jnp
 
@@ -103,7 +121,7 @@ def net_async_block_solve(
     sweeps = 0
     t0 = time.perf_counter()
 
-    while node.state is not State.FINISHED and sweeps < maxiter:
+    def drain_peers():
         fresh = []
         for j in peers:
             arr, ver = transport.read_data(j, np_dtype, (bs,))
@@ -112,29 +130,81 @@ def net_async_block_solve(
                 if ver > peer_versions[j]:
                     fresh.append(j)
                     peer_versions[j] = ver
-        rhs = local_rhs(jnp.asarray(stack_np))
-        x, pre_norm = sweep(rhs, x)
-        sweeps += 1
-        xb = np.asarray(x)
-        for j in peers:
-            transport.send_data(j, sweeps, xb)
-        node.step(
-            under_threshold=bool(float(pre_norm) <= tol_local),
-            fresh_from=fresh,
-        )
+        return fresh
 
-    # pump remaining protocol traffic (a peer may still be verifying)
-    deadline = time.monotonic() + drain_deadline_s
-    while node.state is not State.FINISHED and time.monotonic() < deadline:
-        node.pump()
-        time.sleep(0.002)
+    if termination == "traversal":
+        # startup ping-pong: 2x the max measured wire traversal is the
+        # quiet window the legacy guard waits out
+        guard_s = max(0.05, 2.0 * max(transport.rtt(j) for j in peers))
+        under_count = 0
+        converged = False
+        # pseudo-period gate (soundness invariant shared with every
+        # async path): the persistence counter only advances on windows
+        # in which EVERY peer published fresh data — without it a block
+        # "converges" on its decoupled system before any peer iterate
+        # arrives (false convergence)
+        seen: set = set()
+        while sweeps < maxiter and not converged:
+            seen |= set(drain_peers())
+            rhs = local_rhs(jnp.asarray(stack_np))
+            x, pre_norm = sweep(rhs, x)
+            sweeps += 1
+            xb = np.asarray(x)
+            for j in peers:
+                transport.send_data(j, sweeps, xb)
+            if float(pre_norm) > tol_local:
+                under_count = 0
+            elif seen == set(peers):
+                under_count += 1
+                seen = set()
+            if under_count >= min_convergence_count:
+                # quiet period: stop sweeping; resume if fresh data
+                # pushes the residual back over threshold
+                qdeadline = time.monotonic() + guard_s
+                resumed = False
+                while time.monotonic() < qdeadline:
+                    if drain_peers():
+                        rhs = local_rhs(jnp.asarray(stack_np))
+                        pre = float(jnp.linalg.norm(rhs - mv(x)))
+                        if pre > tol_local:
+                            resumed = True
+                            break
+                    time.sleep(0.005)
+                if not resumed:
+                    converged = True
+                else:
+                    under_count = 0
+        final_state = converged
+        phase_tag = 0
+    else:
+        while node.state is not State.FINISHED and sweeps < maxiter:
+            fresh = drain_peers()
+            rhs = local_rhs(jnp.asarray(stack_np))
+            x, pre_norm = sweep(rhs, x)
+            sweeps += 1
+            xb = np.asarray(x)
+            for j in peers:
+                transport.send_data(j, sweeps, xb)
+            node.step(
+                under_threshold=bool(float(pre_norm) <= tol_local),
+                fresh_from=fresh,
+            )
+
+        # pump remaining protocol traffic (a peer may still be verifying)
+        deadline = time.monotonic() + drain_deadline_s
+        while (node.state is not State.FINISHED
+               and time.monotonic() < deadline):
+            node.pump()
+            time.sleep(0.002)
+        final_state = node.state is State.FINISHED
+        phase_tag = node.phase_tag
 
     return {
         "rank": rank,
         "x_block": np.asarray(x).tolist(),
         "sweeps": sweeps,
-        "converged": node.state is State.FINISHED,
-        "phase_tag": node.phase_tag,
+        "converged": final_state,
+        "phase_tag": phase_tag,
         "rnorm0": rnorm0,
         "elapsed_s": round(time.perf_counter() - t0, 3),
     }
@@ -158,6 +228,8 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--maxiter", type=int, default=4000)
     p.add_argument("--min-convergence-count", type=int, default=4)
     p.add_argument("--inner-maxiter", type=int, default=20)
+    p.add_argument("--termination", default="protocol",
+                   choices=["protocol", "traversal"])
     p.add_argument("--dtype", default="float64")
     return p
 
@@ -194,6 +266,7 @@ def worker_main(argv: Optional[Sequence[str]] = None) -> int:
             rtol=args.rtol, maxiter=args.maxiter,
             min_convergence_count=args.min_convergence_count,
             inner=InnerConfig(maxiter=args.inner_maxiter),
+            termination=args.termination,
         )
     finally:
         # linger so late protocol frames from peers don't hit a dead port
@@ -213,6 +286,7 @@ def launch_net_async(
     min_convergence_count: int = 4,
     inner_maxiter: int = 20,
     dtype: str = "float64",
+    termination: str = "protocol",
     timeout_s: float = 300.0,
 ) -> List[dict]:
     """Local fan-out: one OS process per block (the mpiexec analog for
@@ -240,6 +314,7 @@ def launch_net_async(
             "--maxiter", str(maxiter),
             "--min-convergence-count", str(min_convergence_count),
             "--inner-maxiter", str(inner_maxiter), "--dtype", dtype,
+            "--termination", termination,
         ]
         procs.append(subprocess.Popen(
             cmd, env=env, stdout=subprocess.PIPE,

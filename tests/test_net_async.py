@@ -170,3 +170,43 @@ class TestTwoProcessAM:
         # each block holds ||r_i|| <= rtol/sqrt(2)*||b|| at its own fresh
         # data; allow async slack between the two measurement instants
         assert rel <= 3 * rtol
+
+
+class TestTraversalGuard:
+    def test_rtt_probe(self, pair):
+        """Ping-pong RTT (the comm.c:390-424 startup probe analog)."""
+        t0, t1 = pair
+        r = t0.rtt(1, timeout=5.0)
+        assert 0 < r < 1.0
+        r2 = t1.rtt(0, timeout=5.0)
+        assert 0 < r2 < 1.0
+
+    def test_two_process_traversal_termination(self):
+        """Legacy traversal-time guard (asynchronous-multisplitting
+        .c.save:307-329): both processes terminate after a quiet
+        2x-traversal window and the merged solution holds the
+        invariant."""
+        import jax.numpy as jnp
+
+        from medane_tchakorom_ufc_thesis_repository_tpu.models import blockops
+        from medane_tchakorom_ufc_thesis_repository_tpu.models.net_async import (
+            launch_net_async,
+        )
+
+        m = n = 32
+        rtol = 1e-4
+        results = launch_net_async(
+            nblocks=2, m=m, n=n, rtol=rtol, maxiter=4000,
+            termination="traversal", timeout_s=240,
+        )
+        assert all(r["converged"] for r in results)
+        op = blockops.block_poisson2d(m, n, nblocks=2)
+        b = blockops.rhs_ones(op, jnp.float64)
+        x = jnp.asarray(np.stack([
+            np.asarray(r["x_block"])
+            for r in sorted(results, key=lambda r: r["rank"])
+        ]))
+        r_true = b - op.full_mv(x)
+        rel = float(jnp.linalg.norm(r_true.reshape(-1))
+                    / jnp.linalg.norm(b.reshape(-1)))
+        assert rel <= 3 * rtol
