@@ -21,5 +21,6 @@ from medane_tchakorom_ufc_thesis_repository_tpu.parallel.sharded import (  # noq
 )
 from medane_tchakorom_ufc_thesis_repository_tpu.parallel.tiled import (  # noqa: F401
     make_tiled_mesh,
+    tiled_gmres_solve,
     tiled_multisplit_solve,
 )

@@ -357,12 +357,31 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
     elif cfg.alg == "GMRES":
         from medane_tchakorom_ufc_thesis_repository_tpu.solvers import gmres
 
-        if cfg.backend not in ("stacked", "sharded"):
+        if cfg.backend not in ("stacked", "sharded", "tiled"):
             raise SystemExit(
-                "the GMRES baseline supports backends 'stacked' and "
-                "'sharded' only"
+                "the GMRES baseline supports backends 'stacked', "
+                "'sharded', and 'tiled'"
             )
-        if cfg.backend == "sharded":
+        if cfg.backend == "tiled":
+            from medane_tchakorom_ufc_thesis_repository_tpu.parallel.tiled import (
+                make_tiled_mesh,
+                tiled_gmres_solve,
+            )
+
+            if cfg.dim != 2:
+                raise SystemExit("tiled GMRES is 2D (use sharded for 3D)")
+            tmesh = make_tiled_mesh(cfg.nblocks, cfg.ir, cfg.ic)
+            with trace(profile_dir), pt.phase("I_Solver"):
+                t0 = time.perf_counter()
+                kres = tiled_gmres_solve(
+                    tmesh, cfg.m, cfg.n, b.reshape(cfg.m, cfg.n),
+                    restart=cfg.inner_restart, maxiter=cfg.maxiter,
+                    rtol=cfg.rtol,
+                )
+                fence(kres.x)
+                elapsed = time.perf_counter() - t0
+            x_flat = kres.x.reshape(-1)
+        elif cfg.backend == "sharded":
             from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
                 ShardedPoisson2D,
                 ShardedPoisson3D,

@@ -25,6 +25,30 @@ def _setup(m=32, n=32):
     return sop, b
 
 
+class TestTiledGmres:
+    def test_matches_single_device_iterations(self, mesh222):
+        """Whole-mesh GMRES on the 2-D-tiled mesh: identical iteration
+        counts to single-device GMRES (same math, torus layout)."""
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+        from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
+            tiled_gmres_solve,
+        )
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import gmres
+
+        m = n = 32
+        op = poisson.poisson2d(m, n)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float64)
+        ref = gmres(op.mv, b, restart=30, maxiter=2000, rtol=1e-6)
+        res = tiled_gmres_solve(
+            mesh222, m, n, b.reshape(m, n), restart=30, maxiter=2000,
+            rtol=1e-6,
+        )
+        assert int(res.iters) == int(ref.iters)
+        assert bool(res.converged)
+        r = b - op.mv(res.x.reshape(-1))
+        assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) <= 1e-6
+
+
 def _true_rel(sop, b, x):
     r = b.reshape(-1) - sop.global_mv(x.reshape(-1))
     return float(jnp.linalg.norm(r) / jnp.linalg.norm(b.reshape(-1)))
