@@ -126,7 +126,13 @@ def main():
     )
     nbytes = x.size * x.dtype.itemsize
     stream_gb_s = 2 * nbytes / dt_axpy / 1e9
-    spmv_pct = 100.0 * dt_axpy / dt
+    # minimum-traffic roofline: a 7-point stencil must move >= one read
+    # + one write of the array; effective GB/s against that floor is the
+    # honest "fraction of speed-of-light" number (VMEM-resident at this
+    # size, so it can exceed the 819 GB/s HBM figure)
+    spmv_min_traffic_gb_s = 2 * nbytes / dt / 1e9
+    spmv_pct_of_hbm = 100.0 * spmv_min_traffic_gb_s / 819.0
+    spmv_axpy_units = dt / dt_axpy
 
     # HBM-resident variant: 512^3 (537 MB/vector) cannot sit in VMEM, so
     # this is the large-problem (weak-scaling) SpMV rate per chip.
@@ -253,7 +259,9 @@ def main():
         "spmv_ms": round(dt * 1e3, 4),
         "stream_axpy_ms": round(dt_axpy * 1e3, 4),
         "stream_ceiling_gb_s": round(stream_gb_s, 1),
-        "spmv_pct_of_measured_stream_roofline": round(spmv_pct, 1),
+        "spmv_min_traffic_gb_s": round(spmv_min_traffic_gb_s, 1),
+        "spmv_pct_of_hbm_roofline": round(spmv_pct_of_hbm, 1),
+        "spmv_cost_in_axpy_units": round(spmv_axpy_units, 2),
         "spmv_hbm_512_ms": round(dt512 * 1e3, 4),
         "spmv_hbm_512_gnnz_per_s": round(nnz512_per_s / 1e9, 3),
         "smsm_global_3d_64_solve_s": round(solve_s, 3),
