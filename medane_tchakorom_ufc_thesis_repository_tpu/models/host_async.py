@@ -87,6 +87,7 @@ def host_async_solve(
     devices: Optional[list] = None,
     sweep_delay_s: Optional[List[float]] = None,
     join_timeout_s: float = 600.0,
+    intra: int = 1,
 ) -> HostAsyncResult:
     """Solve ``A x = b`` with one independent host thread per block.
 
@@ -94,11 +95,27 @@ def host_async_solve(
     each sweep — the analog of the reference's ``tc``-throttled WAN
     experiments (``running_bulk_test_local:322-330``) for testing
     convergence under heterogeneous block speeds.
+
+    ``intra``: devices per block (the reference's npb ranks per block,
+    ``iSolve --npb``).  With ``intra > 1`` each block thread drives a
+    ``shard_map``-sharded inner GMRES over its own ``intra``-device
+    sub-mesh (psum reductions + ppermute halos inside the block), so the
+    genuinely-asynchronous schedule composes with intra-block SPMD
+    parallelism.  Needs ``nblocks * intra`` devices; stencil block
+    operators; AM only (no minimization).
     """
     if minimization not in (None, "local", "semi_local", "global"):
         raise ValueError(f"unknown minimization {minimization!r}")
     nb, bs = op.nblocks, op.block_size
     dtype = b.dtype
+    if intra > 1:
+        return _host_async_intra_solve(
+            op, b, rtol=rtol, atol=atol, maxiter=maxiter,
+            min_convergence_count=min_convergence_count, inner=inner,
+            minimization=minimization, devices=devices,
+            sweep_delay_s=sweep_delay_s, join_timeout_s=join_timeout_s,
+            intra=intra,
+        )
     if devices is None:
         devs = jax.devices()
         devices = [devs[i % len(devs)] for i in range(nb)]
@@ -304,6 +321,206 @@ def host_async_solve(
     x = jnp.stack([
         x_final[k] if x_final[k] is not None else zeros for k in range(nb)
     ])
+    r = b - op.full_mv(x)
+    rnorm = float(jnp.linalg.norm(r.reshape(-1)))
+    converged = all(n.state is State.FINISHED for n in nodes)
+    return HostAsyncResult(
+        x=x, sweeps_per_block=list(sweeps_done), rnorm=rnorm,
+        rnorm0=rnorm0, converged=converged, elapsed_s=elapsed,
+    )
+
+
+def _host_async_intra_solve(
+    op, b, *, rtol, atol, maxiter, min_convergence_count, inner,
+    minimization, devices, sweep_delay_s, join_timeout_s, intra,
+):
+    """host_async with ``intra`` devices per block: each block thread
+    runs its inner GMRES as a shard_map SPMD collective over a private
+    ``('intra',)`` sub-mesh (ppermute halos + psum dots inside the
+    block), while blocks stay genuinely asynchronous through mailboxes —
+    the execution model of the reference's npb-rank block groups
+    (``iSolve --npb``, block sub-communicators ``utils.c:486-541``)."""
+    from jax import lax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from medane_tchakorom_ufc_thesis_repository_tpu.models.blockops import (
+        StackedStencil2D,
+        StackedStencil3D,
+    )
+    from medane_tchakorom_ufc_thesis_repository_tpu.parallel.sharded import (
+        ShardedPoisson2D,
+        ShardedPoisson3D,
+    )
+
+    if minimization is not None:
+        raise ValueError(
+            "intra>1 host_async runs AM (no minimization yet)"
+        )
+    if isinstance(op, StackedStencil2D):
+        opcfg = ShardedPoisson2D(op.rows, op.n, op.diag, op.off)
+    elif isinstance(op, StackedStencil3D):
+        opcfg = ShardedPoisson3D(op.rows, op.ny, op.nz, op.diag, op.off)
+    else:
+        raise ValueError(
+            "intra>1 host_async needs a stencil block operator"
+        )
+    nb, bs = op.nblocks, op.block_size
+    dtype = b.dtype
+    if opcfg.split_extent % intra:
+        raise ValueError(
+            f"block rows {opcfg.split_extent} not divisible by intra={intra}"
+        )
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < nb * intra:
+        raise ValueError(
+            f"need {nb * intra} devices for nblocks={nb} x intra={intra}, "
+            f"have {len(devices)}"
+        )
+    if sweep_delay_s is None:
+        sweep_delay_s = [0.0] * nb
+
+    rows_b = opcfg.split_extent
+    fdim = opcfg.fdim
+    rows_loc = rows_b // intra
+    lshape = (rows_loc, fdim)
+    off = opcfg.off
+    up = [(i, i + 1) for i in range(intra - 1)]
+    dn = [(i, i - 1) for i in range(1, intra)]
+
+    rnorm0 = float(jnp.linalg.norm(b.reshape(-1)))
+    tol_local = max(rtol / np.sqrt(nb) * rnorm0, atol)
+
+    def make_block(k):
+        sub = Mesh(
+            np.asarray(devices[k * intra:(k + 1) * intra]), ("intra",)
+        )
+        spec = P("intra", None)
+        shd = NamedSharding(sub, spec)
+
+        def diag_mv(g):
+            top = lax.ppermute(g[-1, :], "intra", up)
+            bot = lax.ppermute(g[0, :], "intra", dn)
+            y = opcfg.interior_mv(g)
+            y, top, bot = lax.optimization_barrier((y, top, bot))
+            y = y.at[0, :].add(off * top)
+            y = y.at[-1, :].add(off * bot)
+            return y
+
+        def body(rhs_loc, x_loc):
+            r_pre = rhs_loc - diag_mv(x_loc)
+            pre = jnp.sqrt(lax.psum(jnp.sum(r_pre * r_pre), "intra"))
+            res = krylov.gmres(
+                lambda v: diag_mv(v.reshape(lshape)).reshape(-1),
+                rhs_loc.reshape(-1), x_loc.reshape(-1),
+                restart=inner.restart, maxiter=inner.maxiter,
+                rtol=inner.rtol, atol=inner.atol, orthog=inner.orthog,
+                axis_name="intra",
+            )
+            return res.x.reshape(lshape), pre
+
+        fn = jax.jit(shard_map(
+            body, mesh=sub, in_specs=(spec, spec),
+            out_specs=(spec, P()), check_rep=False,
+        ))
+        return fn, shd
+
+    kernels = [make_block(k) for k in range(nb)]
+
+    def local_rhs(k, x_stack):
+        return (b - op.coupling_mv(x_stack))[k]
+
+    mailboxes = [_Mailbox() for _ in range(nb)]
+    transport = LocalTransport(nb)
+    all_ranks = list(range(nb))
+    nodes = [
+        Alg515Node(r, [x for x in all_ranks if x != r], transport,
+                   persistence=min_convergence_count)
+        for r in all_ranks
+    ]
+    for k in range(nb):
+        mailboxes[k].publish(np.zeros((bs,), dtype))
+    x_final = [None] * nb
+    sweeps_done = [0] * nb
+    stop = threading.Event()
+    errors: List[BaseException] = []
+
+    def block_worker(k: int):
+        try:
+            fn, shd = kernels[k]
+            x = jax.device_put(jnp.zeros(( rows_b, fdim), dtype), shd)
+            node = nodes[k]
+            peer_versions = {j: 0 for j in all_ranks if j != k}
+            while node.state is not State.FINISHED and not stop.is_set():
+                if sweeps_done[k] >= maxiter:
+                    break
+                stack_np = np.empty((nb, bs), dtype)
+                fresh = []
+                for j in range(nb):
+                    if j == k:
+                        stack_np[j] = 0.0
+                        continue
+                    val, ver = mailboxes[j].read()
+                    stack_np[j] = val
+                    if ver > peer_versions[j]:
+                        fresh.append(j)
+                        peer_versions[j] = ver
+                rhs = jax.device_put(
+                    np.asarray(
+                        local_rhs(k, jnp.asarray(stack_np))
+                    ).reshape(rows_b, fdim),
+                    shd,
+                )
+                x, pre = fn(rhs, x)
+                sweeps_done[k] += 1
+                mailboxes[k].publish(np.asarray(x).reshape(bs))
+                node.step(
+                    under_threshold=bool(float(pre) <= tol_local),
+                    fresh_from=fresh,
+                )
+                if sweep_delay_s[k]:
+                    time.sleep(sweep_delay_s[k])
+            deadline = time.time() + 5.0
+            while node.state is not State.FINISHED and time.time() < deadline:
+                if all(
+                    nodes[j].state is State.FINISHED
+                    or sweeps_done[j] >= maxiter
+                    for j in all_ranks
+                ):
+                    break
+                node.pump()
+                time.sleep(0.001)
+            x_final[k] = np.asarray(x).reshape(bs)
+        except BaseException as e:
+            errors.append(e)
+            stop.set()
+
+    t0 = time.perf_counter()
+    threads = [
+        threading.Thread(target=block_worker, args=(k,), daemon=True)
+        for k in range(nb)
+    ]
+    for t in threads:
+        t.start()
+    deadline = time.monotonic() + join_timeout_s
+    for t in threads:
+        t.join(timeout=max(0.1, deadline - time.monotonic()))
+    hung = [i for i, t in enumerate(threads) if t.is_alive()]
+    elapsed = time.perf_counter() - t0
+    if hung:
+        stop.set()
+        raise TimeoutError(
+            f"host_async intra block workers {hung} still running after "
+            f"join_timeout_s={join_timeout_s}"
+        )
+    if errors:
+        raise errors[0]
+
+    x = jnp.asarray(np.stack([
+        x_final[k] if x_final[k] is not None else np.zeros((bs,), dtype)
+        for k in range(nb)
+    ]))
     r = b - op.full_mv(x)
     rnorm = float(jnp.linalg.norm(r.reshape(-1)))
     converged = all(n.state is State.FINISHED for n in nodes)

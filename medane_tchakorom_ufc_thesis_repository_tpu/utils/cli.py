@@ -436,6 +436,7 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
                     min_convergence_count=cfg.min_convergence_count,
                     inner=cfg.inner_config(),
                     minimization=cfg.minimization, s=cfg.s,
+                    intra=cfg.intra,
                 )
                 elapsed = time.perf_counter() - t0
             x_flat = hres.x.reshape(-1)

@@ -75,3 +75,48 @@ class TestHostAsync:
         op, b = _problem()
         with pytest.raises(ValueError):
             host_async_solve(op, b, minimization="bogus")
+
+
+class TestIntraBlockParallelism:
+    """intra>1: each block's inner GMRES runs as a shard_map collective
+    over its own device sub-mesh (the reference's npb ranks per block,
+    iSolve --npb) while blocks stay async through mailboxes."""
+
+    def test_am_2blocks_4intra(self):
+        op = blockops.block_poisson2d(32, 32)
+        b = blockops.rhs_ones(op, jnp.float64)
+        res = host_async_solve(
+            op, b, rtol=1e-4, maxiter=4000, intra=4,
+        )
+        assert bool(res.converged)
+        r = b - op.full_mv(res.x)
+        rel = float(jnp.linalg.norm(r.reshape(-1))
+                    / jnp.linalg.norm(b.reshape(-1)))
+        assert rel <= 3e-4
+        assert all(s > 0 for s in res.sweeps_per_block)
+
+    def test_3d(self):
+        op = blockops.block_poisson3d(16, 8, 8)
+        b = blockops.rhs_ones(op, jnp.float64)
+        res = host_async_solve(
+            op, b, rtol=1e-3, maxiter=4000, intra=2,
+        )
+        assert bool(res.converged)
+        r = b - op.full_mv(res.x)
+        rel = float(jnp.linalg.norm(r.reshape(-1))
+                    / jnp.linalg.norm(b.reshape(-1)))
+        assert rel <= 3e-3
+
+    def test_minimization_rejected(self):
+        op = blockops.block_poisson2d(16, 16)
+        b = blockops.rhs_ones(op, jnp.float64)
+        with pytest.raises(ValueError, match="minimization"):
+            host_async_solve(op, b, intra=2, minimization="global")
+
+    def test_too_few_devices_rejected(self):
+        op = blockops.block_poisson2d(16, 16)
+        b = blockops.rhs_ones(op, jnp.float64)
+        with pytest.raises(ValueError, match="devices"):
+            # 16x16, 2 blocks -> 8 rows/block (divisible by 8); but
+            # 2*8 = 16 devices > the 8 available
+            host_async_solve(op, b, intra=8)
