@@ -230,3 +230,103 @@ class TcpTransport(Transport):
                 except OSError:
                     pass
             self._out.clear()
+
+
+class NativeTcpTransport(Transport):
+    """C++ epoll router backend (``native/src/comm.cpp``) — the native
+    runtime counterpart of the reference's C comm layer.  Same interface
+    and the same wire format as ``TcpTransport``; native and Python
+    endpoints interoperate."""
+
+    def __init__(self, rank: int, addrs: Sequence[Tuple[str, int]],
+                 connect_timeout: float = 60.0):
+        import ctypes
+
+        from medane_tchakorom_ufc_thesis_repository_tpu import native
+
+        lib = native.load_comm()
+        if lib is None:
+            raise RuntimeError(
+                f"native comm router unavailable: {native.comm_build_error()}"
+            )
+        self._lib = lib
+        self._ct = ctypes
+        self.rank = rank
+        self.addrs = [tuple(a) for a in addrs]
+        csv = ",".join(f"{h}:{p}" for h, p in self.addrs).encode()
+        self._h = lib.comm_create(rank, csv)
+        if self._h < 0:
+            raise OSError(f"comm_create failed for rank {rank}")
+
+    def send(self, dst: int, msg: Msg) -> None:
+        rc = self._lib.comm_send(
+            self._h, dst, _KIND_INDEX[msg.kind], msg.phase_tag,
+            msg.iteration, int(msg.positive), None, 0,
+        )
+        if rc != 0:
+            raise OSError(f"native send to rank {dst} failed")
+
+    def send_data(self, dst: int, iteration: int, arr: np.ndarray) -> None:
+        payload = np.ascontiguousarray(arr).tobytes()
+        buf = (self._ct.c_uint8 * len(payload)).from_buffer_copy(payload)
+        rc = self._lib.comm_send(
+            self._h, dst, _DATA_KIND, 0, iteration, 0, buf, len(payload),
+        )
+        if rc != 0:
+            raise OSError(f"native send_data to rank {dst} failed")
+
+    def read_data(self, src: int, dtype, shape):
+        nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
+        buf = np.empty((nbytes,), np.uint8)
+        it = self._ct.c_int32(0)
+        ver = self._lib.comm_read_data(
+            self._h, src, buf, nbytes, self._ct.byref(it)
+        )
+        if ver == 0:
+            return None, 0
+        if ver < 0:
+            raise OSError(f"native read_data error {ver}")
+        arr = buf.view(np.dtype(dtype)).reshape(shape).copy()
+        return arr, int(ver)
+
+    def drain(self, rank: Optional[int] = None) -> List[Msg]:
+        out = np.empty((64, 5), np.int32)
+        msgs: List[Msg] = []
+        while True:
+            n = self._lib.comm_drain(self._h, out.reshape(-1), 64)
+            for i in range(max(n, 0)):
+                kind, src, tag, it, pos = (int(v) for v in out[i])
+                msgs.append(Msg(
+                    kind=_KINDS[kind], src=src, phase_tag=tag,
+                    iteration=it, positive=bool(pos),
+                ))
+            if n < 64:
+                return msgs
+
+    def rtt(self, dst: int, timeout: float = 5.0) -> float:
+        r = self._lib.comm_rtt(self._h, dst, timeout)
+        if r < 0:
+            raise TimeoutError(f"no pong from rank {dst} within {timeout}s")
+        return float(r)
+
+    def close(self) -> None:
+        if getattr(self, "_h", -1) >= 0:
+            self._lib.comm_close(self._h)
+            self._h = -1
+
+
+def make_tcp_transport(rank: int, addrs, backend: str = "auto"):
+    """Transport factory: ``'native'`` (C++ epoll router), ``'python'``
+    (thread-per-connection), or ``'auto'`` (native when the toolchain
+    is available, else Python — both speak the same wire format)."""
+    if backend == "python":
+        return TcpTransport(rank, addrs)
+    if backend == "native":
+        return NativeTcpTransport(rank, addrs)
+    if backend == "auto":
+        from medane_tchakorom_ufc_thesis_repository_tpu import native
+
+        if native.comm_available():
+            return NativeTcpTransport(rank, addrs)
+        return TcpTransport(rank, addrs)
+    raise ValueError(f"unknown transport backend {backend!r}")

@@ -230,6 +230,10 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inner-maxiter", type=int, default=20)
     p.add_argument("--termination", default="protocol",
                    choices=["protocol", "traversal"])
+    p.add_argument("--transport", default="auto",
+                   choices=["auto", "python", "native"],
+                   help="TCP router backend: C++ epoll (native) or "
+                        "thread-per-connection (python); same wire format")
     p.add_argument("--dtype", default="float64")
     return p
 
@@ -250,7 +254,7 @@ def worker_main(argv: Optional[Sequence[str]] = None) -> int:
         InnerConfig,
     )
     from medane_tchakorom_ufc_thesis_repository_tpu.models.net import (
-        TcpTransport,
+        make_tcp_transport,
     )
 
     ports = [int(x) for x in args.ports.split(",")]
@@ -259,7 +263,7 @@ def worker_main(argv: Optional[Sequence[str]] = None) -> int:
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
     b = blockops.rhs_ones(op, dtype)
 
-    transport = TcpTransport(args.rank, addrs)
+    transport = make_tcp_transport(args.rank, addrs, backend=args.transport)
     try:
         out = net_async_block_solve(
             op, b, args.rank, transport,
@@ -287,6 +291,7 @@ def launch_net_async(
     inner_maxiter: int = 20,
     dtype: str = "float64",
     termination: str = "protocol",
+    transport: str = "auto",
     timeout_s: float = 300.0,
 ) -> List[dict]:
     """Local fan-out: one OS process per block (the mpiexec analog for
@@ -315,6 +320,7 @@ def launch_net_async(
             "--min-convergence-count", str(min_convergence_count),
             "--inner-maxiter", str(inner_maxiter), "--dtype", dtype,
             "--termination", termination,
+            "--transport", transport,
         ]
         procs.append(subprocess.Popen(
             cmd, env=env, stdout=subprocess.PIPE,

@@ -88,6 +88,83 @@ def build_error() -> Optional[str]:
 
 
 # ---------------------------------------------------------------------------
+# Native comm router (src/comm.cpp) — epoll TCP transport
+# ---------------------------------------------------------------------------
+
+_COMM_SRC = os.path.join(_HERE, "src", "comm.cpp")
+_COMM_SO = os.path.join(_HERE, "_comm.so")
+
+_comm_lib = None
+_comm_error: Optional[str] = None
+
+
+def _build_comm() -> Optional[str]:
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-pthread", "-shared", "-fPIC",
+        "-o", _COMM_SO, _COMM_SRC,
+    ]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=120
+        )
+    except (OSError, subprocess.TimeoutExpired) as e:
+        return f"{type(e).__name__}: {e}"
+    if proc.returncode != 0:
+        return proc.stderr[-2000:]
+    return None
+
+
+def load_comm() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native comm router, or None."""
+    global _comm_lib, _comm_error
+    with _lib_lock:
+        if _comm_lib is not None:
+            return _comm_lib
+        if _comm_error is not None:
+            return None
+        if not os.path.exists(_COMM_SO) or (
+            os.path.exists(_COMM_SRC)
+            and os.path.getmtime(_COMM_SRC) > os.path.getmtime(_COMM_SO)
+        ):
+            err = _build_comm()
+            if err is not None:
+                _comm_error = err
+                return None
+        lib = ctypes.CDLL(_COMM_SO)
+        i32, i64, f64 = ctypes.c_int32, ctypes.c_int64, ctypes.c_double
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.comm_create.argtypes = [i32, ctypes.c_char_p]
+        lib.comm_create.restype = i64
+        lib.comm_send.argtypes = [i64, i32, i32, i32, i32, i32, u8p, i64]
+        lib.comm_send.restype = i32
+        lib.comm_drain.argtypes = [
+            i64, np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            i32,
+        ]
+        lib.comm_drain.restype = i32
+        lib.comm_read_data.argtypes = [
+            i64, i32,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            i64, ctypes.POINTER(i32),
+        ]
+        lib.comm_read_data.restype = i64
+        lib.comm_rtt.argtypes = [i64, i32, f64]
+        lib.comm_rtt.restype = f64
+        lib.comm_close.argtypes = [i64]
+        _comm_lib = lib
+        return _comm_lib
+
+
+def comm_available() -> bool:
+    return load_comm() is not None
+
+
+def comm_build_error() -> Optional[str]:
+    load_comm()
+    return _comm_error
+
+
+# ---------------------------------------------------------------------------
 # numpy-facing builders (native fast path, numpy fallback)
 # ---------------------------------------------------------------------------
 
