@@ -176,6 +176,13 @@ def make_spmd_body(
             Rmat = Rcols.reshape(s, lsize).T
             tgt = target.reshape(-1)
             alpha = solve_alpha(Rmat, tgt, axes)
+            if outer.alpha_average and minimization != "global":
+                # the reference's *_modify alpha exchange
+                # (comm_{sync,async}_send_and_receive_alpha,
+                # comm.c:143-197): blocks average their combination
+                # coefficients; alpha is 'intra'-replicated so a pmean
+                # over 'block' is the whole exchange
+                alpha = lax.pmean(alpha, "block")
             out_sq = lax.psum(jnp.sum((tgt - Rmat @ alpha) ** 2), axes)
             outer_rnorm = jnp.sqrt(out_sq)
             x_new = (S.reshape(s, lsize).T @ alpha).reshape(lshape)

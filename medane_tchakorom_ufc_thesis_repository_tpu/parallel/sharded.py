@@ -163,10 +163,9 @@ def _check_spmd_configs(inner, outer) -> None:
             f"Paige-Saunders), not {outer.method!r} — use the stacked "
             f"backend for cgne"
         )
-    if outer.alpha_average:
-        raise ValueError(
-            "alpha_average is not implemented in the SPMD backends"
-        )
+    # alpha_average (the reference's *_modify variants) is a pmean over
+    # 'block' after the per-block LS solve — composes with every outer
+    # method (lsqr is already lockstep across 'block')
 
 
 def sharded_gmres_solve(

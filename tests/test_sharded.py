@@ -342,6 +342,24 @@ class TestShardedOptionGuards:
                 mesh24, cfg, b, inner=ms.InnerConfig(pc="ilu")
             )
 
+    def test_alpha_average_matches_stacked(self, mesh24):
+        """The reference's *_modify alpha exchange in the SPMD engine:
+        pmean over 'block' after the per-block LS solve — sweep parity
+        with the stacked alpha_average path."""
+        sop, cfg, b = _setup2d()
+        res = sharded_multisplit_solve(
+            mesh24, cfg, b, minimization="local", s=4, rtol=1e-3,
+            maxiter=3000, outer=ms.OuterConfig(alpha_average=True),
+        )
+        res_st = ms.smsm(
+            sop, blockops.rhs_ones(sop, jnp.float64), scope="local",
+            s=4, rtol=1e-3, maxiter=3000,
+            outer=ms.OuterConfig(alpha_average=True),
+        )
+        assert bool(res.converged)
+        assert _true_rel(sop, b, res.x) <= 1.5e-3
+        assert int(res.sweeps) == int(res_st.sweeps)
+
     def test_cgne_outer_rejected(self, mesh24):
         _, cfg, b = _setup2d()
         with pytest.raises(ValueError):
