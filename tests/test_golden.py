@@ -57,3 +57,63 @@ class TestGoldenCounts:
         b = poisson.rhs_for_exact_ones(op).astype(jnp.float64)
         res = gmres(op.mv, b, restart=30, maxiter=2000, rtol=1e-6)
         assert int(res.iters) == 103
+
+
+class TestG5kConfigs:
+    """The reference's ACTIVE Grid'5000 bulk configs
+    (running_bulk_test_g5k, non-commented loops): 32^2 mesh, s=20,
+    rtol 1e-4, inner gmres(maxit 20), outer lsqr(maxit 70), np=16/npb=8
+    -> 2 Jacobi blocks x 4 intra devices here.  Pinned sweep counts."""
+
+    def test_smsm_global_g5k(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.models import (
+            blockops,
+            multisplitting as ms,
+        )
+        from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
+            ShardedPoisson2D,
+            make_mesh,
+            sharded_multisplit_solve,
+        )
+
+        mesh = make_mesh(nblocks=2, intra=4)
+        sop = blockops.block_poisson2d(32, 32)
+        b = blockops.rhs_ones(sop, jnp.float64).reshape(32, 32)
+        res = sharded_multisplit_solve(
+            mesh, ShardedPoisson2D(32, 32), b,
+            minimization="global", s=20, rtol=1e-4, maxiter=2000,
+            inner=ms.InnerConfig(maxiter=20),
+            outer=ms.OuterConfig(method="lsqr", maxiter=70),
+        )
+        assert bool(res.converged)
+        # s=20 basis resolves the 32^2 system in ONE outer cycle
+        assert int(res.cycles) == 1
+        assert int(res.sweeps) == 20
+        r = b.reshape(-1) - sop.global_mv(res.x.reshape(-1))
+        assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b.reshape(-1))) <= 1e-4
+
+    def test_amam_global_g5k(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.models import (
+            blockops,
+            multisplitting as ms,
+        )
+        from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
+            ShardedPoisson2D,
+            make_mesh,
+            sharded_multisplit_solve,
+        )
+
+        mesh = make_mesh(nblocks=2, intra=4)
+        sop = blockops.block_poisson2d(32, 32)
+        b = blockops.rhs_ones(sop, jnp.float64).reshape(32, 32)
+        res = sharded_multisplit_solve(
+            mesh, ShardedPoisson2D(32, 32), b,
+            schedule="async", staleness=2, minimization="global",
+            s=20, rtol=1e-4, maxiter=2000, min_convergence_count=2,
+            inner=ms.InnerConfig(maxiter=20),
+            outer=ms.OuterConfig(method="lsqr", maxiter=70),
+        )
+        assert bool(res.converged)
+        assert int(res.sweeps) == 60
+        r = b.reshape(-1) - sop.global_mv(res.x.reshape(-1))
+        assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b.reshape(-1))) <= 1e-4
