@@ -46,6 +46,7 @@ def make_spmd_body(
     dtype,
     record_history: bool = False,
     basis_collection: str = "sweep",
+    pinned_rnorm0=None,
 ):
     lsize = int(np.prod(lshape))
     if basis_collection not in ("sweep", "publish"):
@@ -130,15 +131,21 @@ def make_spmd_body(
         "normal": alpha_normal, "qr": alpha_tsqr, "lsqr": alpha_lsqr,
     }[outer.method]
 
-    def body(b_loc):
-        rnorm0 = jnp.sqrt(lax.psum(jnp.sum(b_loc * b_loc), all_axes))
+    def body(b_loc, x0):
+        # current initial residual (warm restart: x0 may be a checkpoint)
+        r0 = b_loc - diag_mv(x0) - coupling_mv(x0)
+        r0norm = jnp.sqrt(lax.psum(jnp.sum(r0 * r0), all_axes))
+        # reference norm: the reference's UIRNorm semantics use the
+        # residual at entry; a pinned value (checkpoint resume) keeps
+        # the ORIGINAL run's tolerance anchor
+        rnorm0 = (r0norm if pinned_rnorm0 is None
+                  else jnp.asarray(pinned_rnorm0, dtype))
         tol_global = jnp.maximum(rtol * rnorm0, atol)
         tol_local = jnp.maximum(
             rtol / jnp.sqrt(jnp.asarray(float(nb), dtype)) * rnorm0, atol
         )
         my_stal = stal[lax.axis_index("block")]
 
-        x0 = jnp.zeros(lshape, dtype)
         rhs0 = b_loc - coupling_mv(x0)
 
         def publish(x, x_vis, sweeps):
@@ -239,8 +246,8 @@ def make_spmd_body(
             x0, x0, rhs0,
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-            rnorm0, jnp.asarray(jnp.inf, dtype),
-            rnorm0 <= tol_global,
+            r0norm, jnp.asarray(jnp.inf, dtype),
+            r0norm <= tol_global,
             jnp.full((max_cycles,), jnp.inf, dtype),
         )
         (x, _, rhs, sweeps, cycles, inner_total, _, rnorm, outer_rnorm,

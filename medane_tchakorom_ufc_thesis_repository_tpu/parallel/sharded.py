@@ -367,7 +367,9 @@ def sharded_multisplit_solve(
     mesh: Mesh,
     opcfg,
     b: jax.Array,
+    x0: Optional[jax.Array] = None,
     *,
+    rnorm0: Optional[float] = None,
     schedule: str = "sync",
     staleness: Union[int, Sequence[int]] = 1,
     minimization: Optional[str] = None,
@@ -527,12 +529,13 @@ def sharded_multisplit_solve(
         rtol=rtol, atol=atol, maxiter=maxiter,
         min_convergence_count=min_convergence_count, dtype=dtype,
         record_history=record_history, basis_collection=basis_collection,
+        pinned_rnorm0=rnorm0,
     )
 
-    def body(b_loc):
-        (x, sweeps, cycles, inner_total, rnorm, rnorm0, block_norm,
-         outer_rnorm, converged, hist) = body_scalar(b_loc)
-        return (x, sweeps, cycles, inner_total, rnorm, rnorm0,
+    def body(b_loc, x0_loc):
+        (x, sweeps, cycles, inner_total, rn, rn0, block_norm,
+         outer_rnorm, converged, hist) = body_scalar(b_loc, x0_loc)
+        return (x, sweeps, cycles, inner_total, rn, rn0,
                 block_norm.reshape(1), outer_rnorm, converged, hist)
 
     shard_spec = P(("block", "intra"), None)
@@ -540,18 +543,21 @@ def sharded_multisplit_solve(
     run = shard_map(
         body,
         mesh=mesh,
-        in_specs=(shard_spec,),
+        in_specs=(shard_spec, shard_spec),
         out_specs=(shard_spec, scalar, scalar, scalar, scalar, scalar,
                    P("block"), scalar, scalar, scalar),
         check_rep=False,
     )
     b_flat = b.reshape(opcfg.split_extent, fdim)
     b_sh = jax.device_put(b_flat, NamedSharding(mesh, shard_spec))
-    (x, sweeps, cycles, inner_total, rnorm, rnorm0, block_norms, outer_rnorm,
-     converged, hist) = run(b_sh)
+    x0_flat = (jnp.zeros_like(b_flat) if x0 is None
+               else jnp.asarray(x0, dtype).reshape(opcfg.split_extent, fdim))
+    x0_sh = jax.device_put(x0_flat, NamedSharding(mesh, shard_spec))
+    (x, sweeps, cycles, inner_total, rnorm_out, rnorm0_out, block_norms,
+     outer_rnorm, converged, hist) = run(b_sh, x0_sh)
     return MultisplitResult(
         x=x.reshape(gshape), sweeps=sweeps, cycles=cycles,
-        inner_iters=inner_total, rnorm=rnorm, rnorm0=rnorm0,
+        inner_iters=inner_total, rnorm=rnorm_out, rnorm0=rnorm0_out,
         local_rnorms=block_norms, outer_rnorm=outer_rnorm,
         converged=converged,
         history=hist if record_history else None,

@@ -151,11 +151,11 @@ def _halo_fns(nb, pr, pc, lead_edge, second_edge):
 
 
 def _run(mesh, body_scalar, b, split0, split1, lshape, gshape, nb, dtype,
-         record_history=False):
+         record_history=False, x0=None):
     """shard_map launch + result assembly shared by 2D/3D."""
-    def body(b_loc):
+    def body(b_loc, x0_loc):
         (x, sweeps, cycles, inner_total, rnorm, rnorm0, block_norm,
-         outer_rnorm, converged, hist) = body_scalar(b_loc)
+         outer_rnorm, converged, hist) = body_scalar(b_loc, x0_loc)
         return (x, sweeps, cycles, inner_total, rnorm, rnorm0,
                 block_norm.reshape((1,) * len(gshape)), outer_rnorm,
                 converged, hist)
@@ -166,14 +166,16 @@ def _run(mesh, body_scalar, b, split0, split1, lshape, gshape, nb, dtype,
     block_spec = P("block", *([None] * (grid_rank - 1)))
     run = shard_map(
         body, mesh=mesh,
-        in_specs=(shard_spec,),
+        in_specs=(shard_spec, shard_spec),
         out_specs=(shard_spec, scalar, scalar, scalar, scalar, scalar,
                    block_spec, scalar, scalar, scalar),
         check_rep=False,
     )
     b_sh = jax.device_put(b, NamedSharding(mesh, shard_spec))
+    x0_full = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
+    x0_sh = jax.device_put(x0_full, NamedSharding(mesh, shard_spec))
     (x, sweeps, cycles, inner_total, rnorm, rnorm0, block_norms, outer_rnorm,
-     converged, hist) = run(b_sh)
+     converged, hist) = run(b_sh, x0_sh)
     return MultisplitResult(
         x=x, sweeps=sweeps, cycles=cycles, inner_iters=inner_total,
         rnorm=rnorm, rnorm0=rnorm0,

@@ -376,3 +376,29 @@ class TestShardedOptionGuards:
             inner=ms.InnerConfig(basis="bf16"),
         )
         assert bool(res.converged)
+
+
+class TestShardedResume:
+    def test_warm_restart_with_pinned_rnorm0(self, mesh24):
+        """Checkpoint/resume on the SPMD path: solve to 1e-2, resume
+        from the checkpointed iterate with the pinned reference norm to
+        1e-5 — the resumed run continues instead of restarting, and the
+        combined iterate hits the tight tolerance."""
+        sop, cfg, b = _setup2d()
+        res1 = sharded_multisplit_solve(
+            mesh24, cfg, b, rtol=1e-2, maxiter=2000
+        )
+        assert bool(res1.converged)
+        cold = sharded_multisplit_solve(
+            mesh24, cfg, b, rtol=1e-5, maxiter=4000
+        )
+        warm = sharded_multisplit_solve(
+            mesh24, cfg, b, x0=res1.x, rnorm0=float(res1.rnorm0),
+            rtol=1e-5, maxiter=4000,
+        )
+        assert bool(warm.converged)
+        assert _true_rel(sop, b, warm.x) <= 1e-5
+        # resume does less work than a cold start to the same tolerance
+        assert int(warm.sweeps) < int(cold.sweeps)
+        # and the total work roughly matches one continuous run
+        assert int(res1.sweeps) + int(warm.sweeps) <= int(cold.sweeps) + 4
