@@ -22,5 +22,6 @@ from medane_tchakorom_ufc_thesis_repository_tpu.parallel.sharded import (  # noq
 from medane_tchakorom_ufc_thesis_repository_tpu.parallel.tiled import (  # noqa: F401
     make_tiled_mesh,
     tiled_gmres_solve,
+    tiled_gmres_solve_3d,
     tiled_multisplit_solve,
 )

@@ -458,3 +458,87 @@ def tiled_gmres_solve(
         x=x, iters=iters, resnorm=resnorm,
         resnorm0=resnorm0, converged=converged,
     )
+
+
+def tiled_gmres_solve_3d(
+    mesh: Mesh,
+    nx: int,
+    ny: int,
+    nz: int,
+    b: jax.Array,
+    *,
+    diag: float = 6.0,
+    off: float = -1.0,
+    restart: int = 30,
+    maxiter: int = 10000,
+    rtol: float = 1e-5,
+    atol: float = 0.0,
+    orthog: str = "cgs2",
+):
+    """3D analog of ``tiled_gmres_solve``: whole-system GMRES with
+    x-planes over ('block','ir'), y over 'ic', z device-local."""
+    nb = mesh.shape["block"]
+    pr = mesh.shape["ir"]
+    pc = mesh.shape["ic"]
+    if nx % (nb * pr) or ny % pc:
+        raise ValueError(
+            f"grid {nx}x{ny}x{nz} not divisible by ({nb}*{pr}) x {pc} tiles"
+        )
+    rows_loc, cols_loc = nx // (nb * pr), ny // pc
+    lshape = (rows_loc, cols_loc, nz)
+
+    intra, cross = _halo_fns(
+        nb, pr, pc,
+        lead_edge=lambda g, side: (g[..., -1, :, :] if side == "last"
+                                   else g[..., 0, :, :]),
+        second_edge=lambda g, side: (g[..., :, -1, :] if side == "last"
+                                     else g[..., :, 0, :]),
+    )
+
+    def interior(g):
+        p = jnp.pad(g, ((1, 1), (1, 1), (1, 1)))
+        c, lo, hi = slice(1, -1), slice(0, -2), slice(2, None)
+        return diag * g + off * (
+            p[lo, c, c] + p[hi, c, c] + p[c, lo, c] + p[c, hi, c]
+            + p[c, c, lo] + p[c, c, hi]
+        )
+
+    def full_mv(g):
+        nh, sh, wh, eh = intra(g)
+        cn, cs = cross(g)
+        y = interior(g)
+        y, nh, sh, wh, eh, cn, cs = lax.optimization_barrier(
+            (y, nh, sh, wh, eh, cn, cs)
+        )
+        y = y.at[0, :, :].add(off * (nh + cn))
+        y = y.at[-1, :, :].add(off * (sh + cs))
+        y = y.at[:, 0, :].add(off * wh)
+        y = y.at[:, -1, :].add(off * eh)
+        return y
+
+    def body(b_loc):
+        res = krylov.gmres(
+            lambda v: full_mv(v.reshape(lshape)).reshape(-1),
+            b_loc.reshape(-1),
+            restart=restart, maxiter=maxiter, rtol=rtol, atol=atol,
+            orthog=orthog, axis_name=("block", "ir", "ic"),
+        )
+        return (res.x.reshape(lshape), res.iters, res.resnorm,
+                res.resnorm0, res.converged)
+
+    shard_spec = P(("block", "ir"), "ic", None)
+    scalar = P()
+    run = shard_map(
+        body, mesh=mesh,
+        in_specs=(shard_spec,),
+        out_specs=(shard_spec, scalar, scalar, scalar, scalar),
+        check_rep=False,
+    )
+    b_sh = jax.device_put(
+        b.reshape(nx, ny, nz), NamedSharding(mesh, shard_spec)
+    )
+    x, iters, resnorm, resnorm0, converged = run(b_sh)
+    return krylov.KrylovResult(
+        x=x, iters=iters, resnorm=resnorm,
+        resnorm0=resnorm0, converged=converged,
+    )

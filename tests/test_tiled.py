@@ -146,3 +146,23 @@ class TestTiled3D:
         assert bool(res.converged)
         r = b.reshape(-1) - sop.global_mv(res.x.reshape(-1))
         assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b.reshape(-1))) <= 1.5e-3
+
+
+class TestTiledGmres3D:
+    def test_matches_single_device_iterations(self, mesh222):
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+        from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
+            tiled_gmres_solve_3d,
+        )
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import gmres
+
+        op = poisson.poisson3d(16, 8, 8)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float64)
+        ref = gmres(op.mv, b, restart=30, maxiter=2000, rtol=1e-6)
+        res = tiled_gmres_solve_3d(
+            mesh222, 16, 8, 8, b.reshape(16, 8, 8), restart=30,
+            maxiter=2000, rtol=1e-6,
+        )
+        assert int(res.iters) == int(ref.iters)
+        r = b - op.mv(res.x.reshape(-1))
+        assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) <= 1e-6
