@@ -219,23 +219,27 @@ def _make_single_inner(op: BlockOperator, cfg: InnerConfig):
     """Build the one-block solve ``(args_b, rhs_b, x_b) -> KrylovResult``
     for one ``InnerConfig`` (vmapped for the uniform path, called
     directly per block for ``inner1_``/``inner2_``-style configs)."""
-    if cfg.method not in ("gmres", "cg", "chebyshev"):
+    if cfg.method not in ("gmres", "cg", "chebyshev", "ca_gmres"):
         raise ValueError(f"unknown inner method {cfg.method!r}")
     if cfg.pc not in ("none", "jacobi"):
         raise ValueError(f"unknown inner pc {cfg.pc!r}")
 
     cheb_bounds = None
-    if cfg.method == "chebyshev":
+    if cfg.method in ("chebyshev", "ca_gmres"):
+        # both need the spectral interval (Chebyshev iteration /
+        # Newton-basis shifts)
         if cfg.pc != "none":
-            raise ValueError("chebyshev inner solve does not compose with pc")
+            raise ValueError(
+                f"{cfg.method} inner solve does not compose with pc"
+            )
         if cfg.eig_min is not None and cfg.eig_max is not None:
             cheb_bounds = (cfg.eig_min, cfg.eig_max)
         else:
             bounds_fn = getattr(op, "diag_eig_bounds", None)
             if bounds_fn is None:
                 raise ValueError(
-                    "chebyshev needs InnerConfig.eig_min/eig_max or an "
-                    "operator with analytic diag_eig_bounds()"
+                    f"{cfg.method} needs InnerConfig.eig_min/eig_max or "
+                    f"an operator with analytic diag_eig_bounds()"
                 )
             cheb_bounds = bounds_fn()
 
@@ -262,6 +266,23 @@ def _make_single_inner(op: BlockOperator, cfg: InnerConfig):
             return krylov.cg(
                 mv, rhs_b, x_b,
                 maxiter=cfg.maxiter, rtol=cfg.rtol, atol=cfg.atol,
+            )
+        if cfg.method == "ca_gmres":
+            # communication-avoiding inner: Newton basis over the block
+            # spectrum, one panel LS per cfg.restart matvecs
+            from medane_tchakorom_ufc_thesis_repository_tpu.solvers.castep import (
+                ca_gmres,
+            )
+
+            # reductions='single' (Gram algebra, no panel QR): vmapped
+            # tall-skinny QR lowers to a serialized Householder loop on
+            # TPU (measured 40x the whole solve); the one-Gram cycle is
+            # matmul-shaped and f32-safe at inner accuracy for s <= ~8
+            return ca_gmres(
+                mv, rhs_b, x_b, s=cfg.restart, maxiter=cfg.maxiter,
+                rtol=cfg.rtol, atol=cfg.atol,
+                lmin=cheb_bounds[0], lmax=cheb_bounds[1],
+                reductions="single",
             )
         return krylov.gmres(
             mv, rhs_b, x_b,

@@ -146,10 +146,11 @@ class ShardedPoisson3D:
 def _check_spmd_configs(inner, outer) -> None:
     """Fail loudly on options the SPMD backends don't implement (silently
     running a different algorithm than configured corrupts experiments)."""
-    if inner.method not in ("gmres", "chebyshev"):
+    if inner.method not in ("gmres", "chebyshev", "ca_gmres"):
         raise ValueError(
-            f"SPMD backends support inner method 'gmres' or 'chebyshev', "
-            f"not {inner.method!r} (use the stacked backend for 'cg')"
+            f"SPMD backends support inner methods 'gmres', 'chebyshev', "
+            f"and 'ca_gmres', not {inner.method!r} (use the stacked "
+            f"backend for 'cg')"
         )
     if inner.pc not in ("none", "jacobi"):
         raise ValueError(
@@ -465,9 +466,11 @@ def sharded_multisplit_solve(
         return c
 
     _check_spmd_configs(inner, outer)
-    if inner.method == "chebyshev" and inner.pc != "none":
-        raise ValueError("chebyshev inner solve does not compose with pc")
-    if inner.method == "chebyshev":
+    if inner.method in ("chebyshev", "ca_gmres") and inner.pc != "none":
+        raise ValueError(
+            f"{inner.method} inner solve does not compose with pc"
+        )
+    if inner.method in ("chebyshev", "ca_gmres"):
         from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import (
             chebyshev,
             poisson_strip_eig_bounds_2d,
@@ -485,15 +488,36 @@ def sharded_multisplit_solve(
                 opcfg.nx // nb, opcfg.ny, opcfg.nz, opcfg.diag, opcfg.off
             )
         else:
-            raise ValueError("chebyshev needs eig bounds for this operator")
-
-        def inner_solve(rhs, x):
-            return chebyshev(
-                lambda v: diag_mv(v.reshape(lshape)).reshape(-1),
-                rhs.reshape(-1), x.reshape(-1),
-                lmin=cheb_bounds[0], lmax=cheb_bounds[1],
-                maxiter=inner.maxiter, axis_name="intra",
+            raise ValueError(
+                f"{inner.method} needs eig bounds for this operator"
             )
+
+        if inner.method == "ca_gmres":
+            from medane_tchakorom_ufc_thesis_repository_tpu.solvers.castep import (
+                ca_gmres,
+            )
+
+            def inner_solve(rhs, x):
+                # communication-avoiding inner solve: ONE 'intra' psum
+                # per inner.restart matvecs (vs ~3/matvec for GMRES);
+                # fixed_cycles keeps trip counts lockstep across 'block'
+                return ca_gmres(
+                    lambda v: diag_mv(v.reshape(lshape)).reshape(-1),
+                    rhs.reshape(-1), x.reshape(-1),
+                    s=inner.restart, maxiter=inner.maxiter,
+                    rtol=inner.rtol, atol=inner.atol,
+                    lmin=cheb_bounds[0], lmax=cheb_bounds[1],
+                    axis_name="intra", fixed_cycles=True,
+                    reductions="single",
+                )
+        else:
+            def inner_solve(rhs, x):
+                return chebyshev(
+                    lambda v: diag_mv(v.reshape(lshape)).reshape(-1),
+                    rhs.reshape(-1), x.reshape(-1),
+                    lmin=cheb_bounds[0], lmax=cheb_bounds[1],
+                    maxiter=inner.maxiter, axis_name="intra",
+                )
     else:
         # left Jacobi preconditioning: the stencil diagonal is constant,
         # so D^-1 is one scalar scale of operator and RHS (convergence

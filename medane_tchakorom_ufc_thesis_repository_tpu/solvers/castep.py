@@ -76,6 +76,7 @@ def ca_gmres(
     lmax: Optional[float] = None,
     axis_name=None,
     reductions: str = "column",
+    fixed_cycles: bool = False,
 ) -> KrylovResult:
     """Restarted s-step GMRES.  ``shifts`` (length >= s) or the spectral
     interval ``[lmin, lmax]`` supply the Newton basis; omitting both
@@ -222,7 +223,18 @@ def ca_gmres(
 
     init = (x0, jnp.zeros((), jnp.int32), beta0, beta0 <= tol)
     body = cycle_single if reductions == "single" else cycle
-    x, iters, rnorm, converged = lax.while_loop(cond, body, init)
+    if fixed_cycles:
+        # SPMD-lockstep mode (the per-block inner-solve invariant): a
+        # static cycle count with masked updates — the cycle bodies
+        # already freeze converged instances via `active`, so devices
+        # whose flags differ across non-participating mesh axes take
+        # identical trip counts
+        ncycles = -(-maxiter // s)
+        x, iters, rnorm, converged = lax.fori_loop(
+            0, ncycles, lambda i, c: body(c), init
+        )
+    else:
+        x, iters, rnorm, converged = lax.while_loop(cond, body, init)
     return KrylovResult(
         x=x, iters=iters, resnorm=rnorm, resnorm0=rnorm0, converged=converged
     )

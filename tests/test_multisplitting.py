@@ -544,3 +544,38 @@ class TestOptionCombinations:
                     inner=ms.InnerConfig(method="chebyshev", maxiter=20))
         assert bool(res.converged)
         assert _true_rel(op, b, res.x) <= 1.5e-3
+
+
+class TestCaGmresInner:
+    """CA-GMRES as the inner (per-block) solver: Newton basis over the
+    block spectrum, one panel LS per s matvecs — the reduction-count
+    profile that matters on device meshes."""
+
+    def test_sm_converges(self):
+        op, b = _problem2d()
+        res = ms.sm(op, b, rtol=1e-3, maxiter=2000,
+                    inner=ms.InnerConfig(method="ca_gmres", restart=8,
+                                         maxiter=16))
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1e-3
+
+    def test_smsm_global_converges(self):
+        op, b = _problem2d()
+        res = ms.smsm(op, b, scope="global", s=4, rtol=1e-3, maxiter=2000,
+                      inner=ms.InnerConfig(method="ca_gmres", restart=8,
+                                           maxiter=16))
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1.5e-3
+
+    def test_needs_bounds(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import (
+            poisson as pp,
+        )
+
+        rows, cols, vals, shape = pp.poisson2d_coo(8, 8)
+        a_ii, a_ic = pp.block_split_ell(rows, cols, vals, shape,
+                                        nblocks=2, dtype=jnp.float64)
+        eop = blockops.StackedELLOperator(a_ii=a_ii, a_ic=a_ic)
+        with pytest.raises(ValueError, match="eig"):
+            ms.sm(eop, blockops.rhs_ones(eop, jnp.float64),
+                  inner=ms.InnerConfig(method="ca_gmres"))

@@ -402,3 +402,23 @@ class TestShardedResume:
         assert int(warm.sweeps) < int(cold.sweeps)
         # and the total work roughly matches one continuous run
         assert int(res1.sweeps) + int(warm.sweeps) <= int(cold.sweeps) + 4
+
+
+class TestShardedCaGmresInner:
+    def test_sm_with_ca_inner(self, mesh24):
+        """SPMD per-block CA-GMRES inner: one 'intra' psum per s matvecs,
+        fixed_cycles lockstep across 'block'."""
+        sop, cfg, b = _setup2d()
+        res = sharded_multisplit_solve(
+            mesh24, cfg, b, rtol=1e-3, maxiter=2000,
+            inner=ms.InnerConfig(method="ca_gmres", restart=8, maxiter=16),
+        )
+        assert bool(res.converged)
+        assert _true_rel(sop, b, res.x) <= 1e-3
+        # same math as the stacked ca_gmres inner: sweep parity
+        res_st = ms.sm(
+            sop, blockops.rhs_ones(sop, jnp.float64), rtol=1e-3,
+            maxiter=2000,
+            inner=ms.InnerConfig(method="ca_gmres", restart=8, maxiter=16),
+        )
+        assert int(res.sweeps) == int(res_st.sweeps)
