@@ -26,7 +26,6 @@ by LSQR/CGNE), plus ``shape`` / ``dtype`` / ``nnz`` metadata.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -38,8 +38,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import queue
-import threading
-from typing import Callable, Dict, List, Optional
+from typing import Dict, List, Optional
 
 
 class State(enum.Enum):

@@ -51,7 +51,6 @@ Design (TPU-first, not a PETSc port)
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional, Sequence, Union
 
 import jax

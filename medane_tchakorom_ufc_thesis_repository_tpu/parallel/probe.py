@@ -12,7 +12,6 @@ one jitted ``fori_loop`` so dispatch latency cannot pollute the number.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Dict
 
 import jax

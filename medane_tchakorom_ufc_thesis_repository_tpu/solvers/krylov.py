@@ -26,7 +26,6 @@ TPU-first design notes
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Optional
 
 import jax

@@ -13,7 +13,7 @@ resume = load + pass ``x0``.
 from __future__ import annotations
 
 import json
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -18,7 +18,6 @@ error vs the exact solution u = 1.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import sys
 import time

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 from medane_tchakorom_ufc_thesis_repository_tpu.models.multisplitting import (
     InnerConfig,
