@@ -318,3 +318,33 @@ class TestNativeTransport:
         rel = float(jnp.linalg.norm(r_true.reshape(-1))
                     / jnp.linalg.norm(b.reshape(-1)))
         assert rel <= 3 * rtol
+
+
+class TestThreeProcessAM:
+    def test_three_blocks_over_tcp(self):
+        """The Alg-5.15 protocol is N-node (complete graph over block
+        roots): three OS processes, one block each, verdict over TCP."""
+        import jax.numpy as jnp
+
+        from medane_tchakorom_ufc_thesis_repository_tpu.models import blockops
+        from medane_tchakorom_ufc_thesis_repository_tpu.models.net_async import (
+            launch_net_async,
+        )
+
+        m, n = 33, 33   # 3 blocks x 11 grid rows
+        rtol = 1e-4
+        results = launch_net_async(
+            nblocks=3, m=m, n=n, rtol=rtol, maxiter=4000, timeout_s=240,
+        )
+        assert len(results) == 3
+        assert all(r["converged"] for r in results)
+        op = blockops.block_poisson2d(m, n, nblocks=3)
+        b = blockops.rhs_ones(op, jnp.float64)
+        x = jnp.asarray(np.stack([
+            np.asarray(r["x_block"])
+            for r in sorted(results, key=lambda r: r["rank"])
+        ]))
+        r_true = b - op.full_mv(x)
+        rel = float(jnp.linalg.norm(r_true.reshape(-1))
+                    / jnp.linalg.norm(b.reshape(-1)))
+        assert rel <= 3 * rtol
