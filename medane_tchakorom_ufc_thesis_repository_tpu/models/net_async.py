@@ -134,8 +134,14 @@ def net_async_block_solve(
 
     if termination == "traversal":
         # startup ping-pong: 2x the max measured wire traversal is the
-        # quiet window the legacy guard waits out
-        guard_s = max(0.05, 2.0 * max(transport.rtt(j) for j in peers))
+        # legacy guard's quiet window (comm.c:390-424).  A message can
+        # only arrive as fast as the peer COMPUTES it, so the effective
+        # window also tracks the observed inter-publish gap (EMA) — a
+        # loaded peer whose sweeps take 100 ms must get a >200 ms window
+        # or the guard falsely concludes quiescence.
+        rtt_guard = max(0.05, 2.0 * max(transport.rtt(j) for j in peers))
+        gap_ema = 0.0
+        last_arrival = time.monotonic()
         under_count = 0
         converged = False
         # pseudo-period gate (soundness invariant shared with every
@@ -145,7 +151,12 @@ def net_async_block_solve(
         # arrives (false convergence)
         seen: set = set()
         while sweeps < maxiter and not converged:
-            seen |= set(drain_peers())
+            fresh_now = drain_peers()
+            if fresh_now:
+                now = time.monotonic()
+                gap_ema = 0.7 * gap_ema + 0.3 * (now - last_arrival)
+                last_arrival = now
+            seen |= set(fresh_now)
             rhs = local_rhs(jnp.asarray(stack_np))
             x, pre_norm = sweep(rhs, x)
             sweeps += 1
@@ -160,6 +171,7 @@ def net_async_block_solve(
             if under_count >= min_convergence_count:
                 # quiet period: stop sweeping; resume if fresh data
                 # pushes the residual back over threshold
+                guard_s = max(rtt_guard, 4.0 * gap_ema)
                 qdeadline = time.monotonic() + guard_s
                 resumed = False
                 while time.monotonic() < qdeadline:
