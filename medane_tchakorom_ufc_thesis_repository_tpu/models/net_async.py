@@ -218,6 +218,10 @@ def net_async_block_solve(
         "converged": final_state,
         "phase_tag": phase_tag,
         "rnorm0": rnorm0,
+        # message-freshness view: newest sweep number received from each
+        # peer (the reference's VecView of LastIteration_global,
+        # asynchronous-multisplitting_prime.c:427)
+        "peer_last_versions": {str(j): peer_versions[j] for j in peers},
         "elapsed_s": round(time.perf_counter() - t0, 3),
     }
 

@@ -96,6 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
                        dest=f"outer{blk}_maxiter")
         p.add_argument(f"--outer{blk}-rtol", type=float, default=None,
                        dest=f"outer{blk}_rtol")
+    p.add_argument("--show-config", action="store_true", dest="show_config",
+                   help="print the fully-resolved run configuration "
+                        "(defaults < file < CLI) before solving — the "
+                        "PETSc -options_view analog")
     p.add_argument("--json", action="store_true",
                    help="emit one JSON line instead of the report")
     p.add_argument("--profile-dir", default=None,
@@ -238,7 +242,7 @@ def config_from_args(args) -> "RunConfig":
         if v is not None and k not in (
             {"config", "json", "profile_dir", "multihost",
              "devices_per_process", "stage_timers", "record_history",
-             "net_async"}
+             "net_async", "show_config"}
             | pb_keys
         )
     }
@@ -605,6 +609,12 @@ def main(argv=None) -> int:
             print(f"Error vs u=1       : {result['err_vs_ones']:.6e}")
         return 0 if result["converged"] else 2
     cfg = config_from_args(args)
+    if args.show_config:
+        import dataclasses as _dc
+
+        print(json.dumps(
+            {"resolved_config": _dc.asdict(cfg)}, default=str
+        ))
     result, pt = run(
         cfg, profile_dir=args.profile_dir,
         stage_timers=args.stage_timers,
