@@ -124,21 +124,37 @@ def ca_gmres(
     tol = jnp.maximum(rtol * rnorm0, jnp.asarray(atol, dtype))
     eps = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
 
+    # logarithmic-capacity column scaling for the reduction-free basis
+    # build (Philippe/Reichel scaled Newton basis): with Chebyshev-point
+    # shifts the polynomials are ~O(1) on [lmin, lmax] after dividing
+    # each degree by the interval capacity (lmax-lmin)/4, so column
+    # norms stay O(‖r‖) and the Gram stays far from overflow/underflow —
+    # without this the unscaled f32 basis overflows the Gram's dynamic
+    # range by s≈10 (measured NaN)
+    if lmin is not None and lmax is not None and lmax > lmin:
+        capacity = jnp.asarray((lmax - lmin) / 4.0, dtype)
+    else:
+        capacity = jnp.asarray(1.0, dtype)
+
     def cycle_single(carry):
-        # one-collective cycle: unscaled Newton basis, Gram-only algebra
+        # one-collective cycle: capacity-scaled Newton basis, Gram-only
+        # algebra
         x, iters, rnorm, converged = carry
         r = b - matvec(x)
 
         def step(w_prev, th):
-            w = matvec(w_prev) - th * w_prev
+            w = (matvec(w_prev) - th * w_prev) / capacity
             return w, w
 
         _, W_rest = lax.scan(step, r, theta)
         W = jnp.concatenate([r[None, :], W_rest], axis=0)      # (s+1, n)
-        G = psum(W @ W.T)                                      # ONE psum
-        # A w_j = w_{j+1} + θ_j w_j  =>  C = B @ W with
-        # B[j] = e_{j+1} + θ_j e_j  (s, s+1) — all small, replicated
-        B = (jnp.eye(s, s + 1, k=1, dtype=dtype)
+        # full-precision Gram: TPU matmuls default to bf16 inputs, which
+        # destroys the κ(W)²-sensitive Gram (measured NaN at s=6 f32
+        # with default precision, fine at 'highest')
+        G = psum(jnp.matmul(W, W.T, precision="highest"))      # ONE psum
+        # A ŵ_j = capacity ŵ_{j+1} + θ_j ŵ_j  =>  C = B @ W with
+        # B[j] = capacity e_{j+1} + θ_j e_j  (s, s+1) — small, replicated
+        B = (capacity * jnp.eye(s, s + 1, k=1, dtype=dtype)
              + theta[:, None] * jnp.eye(s, s + 1, dtype=dtype))
         Gc = B @ G @ B.T                                       # C Cᵀ
         c = B @ G[:, 0]                                        # C r
@@ -147,7 +163,7 @@ def ca_gmres(
             Gc + jitter * jnp.eye(s, dtype=dtype), lower=True
         )
         y = jax.scipy.linalg.cho_solve((ch, low), c)
-        x_new = x + W[:s].T @ y
+        x_new = x + jnp.matmul(W[:s].T, y, precision="highest")
         # residual norm via Gram algebra (no extra reduction); fp
         # cancellation can drive the small value slightly negative
         rsq = G[0, 0] - 2.0 * jnp.dot(y, c) + y @ Gc @ y

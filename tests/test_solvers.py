@@ -243,3 +243,31 @@ class TestCAGMRES:
         assert len(sh) == 8
         assert all(0.1 <= p <= 7.9 for p in sh)
         assert len(set(round(p, 12) for p in sh)) == 8  # distinct
+
+
+class TestCaGmresSingleF32:
+    def test_scaled_single_cycle_f32(self):
+        """The one-collective CA cycle must stay finite and accurate in
+        f32 at moderate s: capacity-scaled Newton columns keep the Gram
+        in range (unscaled overflowed by s=10), and the Gram matmul runs
+        at precision='highest' (TPU default bf16 inputs NaN'd at s=6)."""
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.castep import (
+            ca_gmres,
+        )
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import (
+            poisson_strip_eig_bounds_2d,
+        )
+
+        op = poisson.poisson2d(24, 24)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float32)
+        lmin, lmax = poisson_strip_eig_bounds_2d(24, 24, 4.0, -1.0)
+        for s in (4, 6, 8):
+            res = ca_gmres(
+                op.mv, b, s=s, maxiter=600, rtol=1e-4,
+                lmin=lmin, lmax=lmax, reductions="single",
+            )
+            assert bool(jnp.isfinite(res.x).all()), f"s={s} not finite"
+            r = b - op.mv(res.x)
+            rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
+            assert rel <= 5e-4, f"s={s} rel={rel}"
