@@ -460,7 +460,8 @@ def multisplit_solve(
             alpha = _solve_ls(Rf, target.reshape(-1), outer)   # (s,)
             out_r = target.reshape(-1) - Rf @ alpha
             outer_rnorm = jnp.sqrt(jnp.sum(out_r * out_r))
-            x_new = jnp.einsum("bns,s->bn", Sb, alpha)
+            x_new = jnp.einsum("bns,s->bn", Sb, alpha,
+                               precision="highest")
         else:
             if outer_pb is not None:
                 # inner1_/outer2_-style per-block LS solvers, unrolled
@@ -478,7 +479,8 @@ def multisplit_solve(
                 )
             out_r = target - jnp.einsum("bns,bs->bn", Rb, alpha)
             outer_rnorm = jnp.sqrt(jnp.sum(out_r * out_r))
-            x_new = jnp.einsum("bns,bs->bn", Sb, alpha)
+            x_new = jnp.einsum("bns,bs->bn", Sb, alpha,
+                               precision="highest")
 
         x_vis = publish(x_new, x_vis, sweeps)
         rhs = b - op.coupling_mv(x_vis)

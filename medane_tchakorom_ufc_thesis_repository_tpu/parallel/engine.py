@@ -76,8 +76,10 @@ def make_spmd_body(
         """Gram normal equations (reference ``outer_solver_cholesky``,
         ``utils.c:972-996``): one s x s psum.  Cheapest collective; loses
         ~half the working digits (kappa^2) — fatal in f32 beyond s~6."""
-        G = lax.psum(Rmat.T @ Rmat, axes)
-        c = lax.psum(Rmat.T @ tgt, axes)
+        # precision='highest': TPU matmuls default to bf16 inputs, which
+        # the kappa^2-sensitive Gram cannot afford
+        G = lax.psum(jnp.matmul(Rmat.T, Rmat, precision="highest"), axes)
+        c = lax.psum(jnp.matmul(Rmat.T, tgt, precision="highest"), axes)
         return solve_gram(G, c)
 
     def alpha_tsqr(Rmat, tgt, axes):
@@ -92,13 +94,13 @@ def make_spmd_body(
         of the (P*s, s) stack.  Communication = one all_gather of
         s*(s+1) scalars per device — same order as the Gram psum."""
         Q0, R0 = jnp.linalg.qr(Rmat, mode="reduced")
-        t0 = Q0.T @ tgt
+        t0 = jnp.matmul(Q0.T, tgt, precision="highest")
         Rs = lax.all_gather(R0, axes)          # (P, s, s)
         ts = lax.all_gather(t0, axes)          # (P, s)
         Q1, R1 = jnp.linalg.qr(
             Rs.reshape(-1, s), mode="reduced"
         )
-        t1 = Q1.T @ ts.reshape(-1)
+        t1 = jnp.matmul(Q1.T, ts.reshape(-1), precision="highest")
         return jax.scipy.linalg.solve_triangular(R1, t1, lower=False)
 
     def alpha_lsqr(Rmat, tgt, axes):
@@ -190,9 +192,12 @@ def make_spmd_body(
                 # coefficients; alpha is 'intra'-replicated so a pmean
                 # over 'block' is the whole exchange
                 alpha = lax.pmean(alpha, "block")
-            out_sq = lax.psum(jnp.sum((tgt - Rmat @ alpha) ** 2), axes)
+            resid = tgt - jnp.matmul(Rmat, alpha, precision="highest")
+            out_sq = lax.psum(jnp.sum(resid * resid), axes)
             outer_rnorm = jnp.sqrt(out_sq)
-            x_new = (S.reshape(s, lsize).T @ alpha).reshape(lshape)
+            x_new = jnp.matmul(
+                S.reshape(s, lsize).T, alpha, precision="highest"
+            ).reshape(lshape)
             x_vis = publish(x_new, x_vis, sweeps)
             rhs = b_loc - coupling_mv(x_vis)
             return x_new, x_vis, rhs, outer_rnorm
