@@ -169,10 +169,20 @@ def ca_gmres(
         rsq = G[0, 0] - 2.0 * jnp.dot(y, c) + y @ Gc @ y
         rnorm_new = jnp.sqrt(jnp.maximum(rsq, 0.0))
 
-        active = jnp.logical_and(~converged, iters < maxiter)
+        # κ(W)² flows through the Gram: when the scaled basis still
+        # exceeds the working precision (f32 + ill-conditioned blocks +
+        # larger s) the Cholesky emits non-finites — freeze the ITERATE
+        # instead of poisoning it while iters keeps counting toward
+        # maxiter (run ends honest: converged=False, finite x).  Use
+        # f64, smaller s, or reductions='column' there.
+        finite = jnp.logical_and(
+            jnp.isfinite(rsq), jnp.all(jnp.isfinite(y))
+        )
+        running = jnp.logical_and(~converged, iters < maxiter)
+        active = jnp.logical_and(running, finite)
         x = jnp.where(active, x_new, x)
         rnorm = jnp.where(active, rnorm_new, rnorm)
-        iters = jnp.where(active, iters + s, iters)
+        iters = jnp.where(running, iters + s, iters)
         converged = jnp.logical_or(
             converged, jnp.logical_and(active, rnorm_new <= tol)
         )

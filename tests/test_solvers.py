@@ -271,3 +271,24 @@ class TestCaGmresSingleF32:
             r = b - op.mv(res.x)
             rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
             assert rel <= 5e-4, f"s={s} rel={rel}"
+
+    def test_ill_conditioned_f32_stalls_finite(self):
+        """Beyond f32's kappa^2 budget the one-collective cycle must end
+        finite and honestly unconverged (frozen iterate, iters run to
+        maxiter) — not NaN-poisoned or looping forever."""
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.castep import (
+            ca_gmres,
+        )
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import (
+            poisson_strip_eig_bounds_2d,
+        )
+
+        op = poisson.poisson2d(128, 128)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float32)
+        lmin, lmax = poisson_strip_eig_bounds_2d(128, 128, 4.0, -1.0)
+        res = ca_gmres(op.mv, b, s=16, maxiter=160, rtol=1e-6,
+                       lmin=lmin, lmax=lmax, reductions="single")
+        assert bool(jnp.isfinite(res.x).all())
+        assert not bool(res.converged)
+        assert int(res.iters) == 160
