@@ -118,12 +118,17 @@ class TestAlg515OverTcp:
         t0, t1 = pair
         n0 = Alg515Node(0, [1], t0, persistence=1)
         n1 = Alg515Node(1, [0], t1, persistence=1)
-        # node 1 rebounds for a while: no premature FINISHED
+        # the NON-leader (rank 0; leader = max rank) claims and retracts
+        # PartialCV while the leader never holds local CV: verification
+        # cannot start, so FINISHED would be a protocol violation.  (With
+        # the roles swapped the verdict can legitimately land during a
+        # momentary under-threshold window — not a bug.)
         for i in range(20):
-            n0.step(under_threshold=True, fresh_from=[1])
-            n1.step(under_threshold=(i % 3 == 0), fresh_from=[0])
+            n0.step(under_threshold=(i % 3 == 0), fresh_from=[1])
+            n1.step(under_threshold=False, fresh_from=[0])
             time.sleep(0.002)
         assert n0.state is not State.FINISHED
+        assert n1.state is not State.FINISHED
         # then both settle
         deadline = time.monotonic() + 10.0
         while (
