@@ -54,6 +54,10 @@ class MsgKind(enum.Enum):
     VERIFICATION = "verification"
     RESPONSE = "response"
     VERDICT = "verdict"
+    # post-verdict lockstep certification tail (models.net_async): acks
+    # a certification-round DATA frame so latest-wins mailboxes can never
+    # skip a round.  Not part of Alg-5.15; `_handle` ignores it.
+    TAIL_ACK = "tail_ack"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -79,6 +79,8 @@ class TcpTransport(Transport):
         self._out: Dict[int, socket.socket] = {}
         self._olocks: Dict[int, threading.Lock] = {}
         self._olock = threading.Lock()
+        self._ok_sends: set = set()   # ranks reached at least once
+        self._departed: set = set()   # ranks that closed on us since
         self._stop = threading.Event()
         self._server = socket.create_server(
             self.addrs[rank], reuse_port=False
@@ -160,9 +162,30 @@ class TcpTransport(Transport):
         )
 
     def _sendall(self, dst: int, frame: bytes) -> None:
-        sock = self._conn(dst)
-        with self._olocks[dst]:
-            sock.sendall(frame)
+        """Best-effort once established: a peer that terminates after a
+        positive verdict closes its listener while we may still be
+        publishing — those sends must drop silently, matching the
+        reference's shutdown drain (``comm_discard_pending_messages``,
+        ``comm.c:426-453``).  A rank we have NEVER reached still raises
+        (startup misconfiguration must not be masked)."""
+        if dst in self._departed:
+            return
+        try:
+            sock = self._conn(dst)
+            with self._olocks[dst]:
+                sock.sendall(frame)
+            self._ok_sends.add(dst)
+        except OSError:
+            if dst not in self._ok_sends:
+                raise
+            self._departed.add(dst)
+            with self._olock:
+                sock = self._out.pop(dst, None)
+            if sock is not None:
+                try:
+                    sock.close()
+                except OSError:
+                    pass
 
     def send(self, dst: int, msg: Msg) -> None:
         self._sendall(dst, _HDR.pack(
@@ -179,13 +202,20 @@ class TcpTransport(Transport):
 
     def read_data(self, src: int, dtype, shape):
         """Newest iterate published by ``src``: ``(array|None, version)``."""
+        arr, _it, ver = self.read_data_tagged(src, dtype, shape)
+        return arr, ver
+
+    def read_data_tagged(self, src: int, dtype, shape):
+        """Like ``read_data`` but also returns the sender's iteration tag
+        (``(array|None, iteration, version)``) — the certification tail
+        uses the tag as a round number."""
         with self._dlock:
             entry = self._data.get(src)
         if entry is None:
-            return None, 0
-        payload, _it, ver = entry
+            return None, 0, 0
+        payload, it, ver = entry
         arr = np.frombuffer(payload, dtype=dtype).reshape(shape).copy()
-        return arr, ver
+        return arr, it, ver
 
     def rtt(self, dst: int, timeout: float = 5.0) -> float:
         """Ping-pong round-trip time to ``dst`` in seconds — the analog
@@ -257,25 +287,46 @@ class NativeTcpTransport(Transport):
         self._h = lib.comm_create(rank, csv)
         if self._h < 0:
             raise OSError(f"comm_create failed for rank {rank}")
+        self._ok_sends: set = set()   # ranks reached at least once
+        self._departed: set = set()   # ranks that closed on us since
+
+    def _checked_send(self, dst: int, rc: int, what: str) -> None:
+        """Same best-effort-once-established semantics as
+        ``TcpTransport._sendall``: failures to a previously-reached rank
+        mean the peer terminated (post-verdict shutdown window) and the
+        frame is dropped, per the reference's shutdown drain
+        (``comm_discard_pending_messages``, ``comm.c:426-453``)."""
+        if rc == 0:
+            self._ok_sends.add(dst)
+            return
+        if dst not in self._ok_sends:
+            raise OSError(f"native {what} to rank {dst} failed")
+        self._departed.add(dst)
 
     def send(self, dst: int, msg: Msg) -> None:
+        if dst in self._departed:
+            return
         rc = self._lib.comm_send(
             self._h, dst, _KIND_INDEX[msg.kind], msg.phase_tag,
             msg.iteration, int(msg.positive), None, 0,
         )
-        if rc != 0:
-            raise OSError(f"native send to rank {dst} failed")
+        self._checked_send(dst, rc, "send")
 
     def send_data(self, dst: int, iteration: int, arr: np.ndarray) -> None:
+        if dst in self._departed:
+            return
         payload = np.ascontiguousarray(arr).tobytes()
         buf = (self._ct.c_uint8 * len(payload)).from_buffer_copy(payload)
         rc = self._lib.comm_send(
             self._h, dst, _DATA_KIND, 0, iteration, 0, buf, len(payload),
         )
-        if rc != 0:
-            raise OSError(f"native send_data to rank {dst} failed")
+        self._checked_send(dst, rc, "send_data")
 
     def read_data(self, src: int, dtype, shape):
+        arr, _it, ver = self.read_data_tagged(src, dtype, shape)
+        return arr, ver
+
+    def read_data_tagged(self, src: int, dtype, shape):
         nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
         buf = np.empty((nbytes,), np.uint8)
         it = self._ct.c_int32(0)
@@ -283,11 +334,11 @@ class NativeTcpTransport(Transport):
             self._h, src, buf, nbytes, self._ct.byref(it)
         )
         if ver == 0:
-            return None, 0
+            return None, 0, 0
         if ver < 0:
             raise OSError(f"native read_data error {ver}")
         arr = buf.view(np.dtype(dtype)).reshape(shape).copy()
-        return arr, int(ver)
+        return arr, int(it.value), int(ver)
 
     def drain(self, rank: Optional[int] = None) -> List[Msg]:
         out = np.empty((64, 5), np.int32)

@@ -85,6 +85,35 @@ class TestTcpTransport:
         assert _wait(lambda: t1.read_data(0, np.float64, (4,))[0] is not None)
         assert _wait(lambda: t0.read_data(1, np.float64, (4,))[0] is not None)
 
+    def test_departed_peer_sends_drop_silently(self, pair):
+        """A peer that terminates (post-verdict shutdown) closes its
+        sockets while we may still be publishing; those sends must be
+        best-effort drops — the reference drains and discards pending
+        traffic at shutdown (comm_discard_pending_messages,
+        comm.c:426-453) rather than erroring the surviving rank."""
+        t0, t1 = pair
+        t0.send_data(1, 1, np.ones((4,)))
+        assert _wait(lambda: t1.read_data(0, np.float64, (4,))[0] is not None)
+        t1.close()
+        # TCP surfaces the peer close on a later send; a few attempts
+        # must all return without raising.
+        for it in range(2, 12):
+            t0.send_data(1, it, np.full((4,), float(it)))
+            t0.send(1, Msg(kind=MsgKind.PARTIAL_CV, src=0, phase_tag=1,
+                           iteration=it, positive=True))
+            time.sleep(0.01)
+
+    def test_unreached_peer_still_raises(self):
+        """First-contact failures are startup misconfiguration and must
+        NOT be masked by the departed-peer tolerance."""
+        addrs = [("localhost", free_port()), ("localhost", free_port())]
+        t0 = TcpTransport(0, addrs, connect_timeout=0.5)
+        try:
+            with pytest.raises(OSError):
+                t0.send_data(1, 1, np.ones((4,)))
+        finally:
+            t0.close()
+
 
 class TestAlg515OverTcp:
     def test_two_node_protocol_verdict(self, pair):
@@ -172,9 +201,14 @@ class TestTwoProcessAM:
         r_true = b - op.full_mv(x)
         rel = float(jnp.linalg.norm(r_true.reshape(-1))
                     / jnp.linalg.norm(b.reshape(-1)))
-        # each block holds ||r_i|| <= rtol/sqrt(2)*||b|| at its own fresh
-        # data; allow async slack between the two measurement instants
-        assert rel <= 3 * rtol
+        # the lockstep certification tail makes the bound exact
+        if all(r["certified"] for r in results):
+            assert rel <= rtol
+        else:
+            # tail bailed (peer death/timeout — never expected here):
+            # only the async-slack bound ~(1+||A_ic||*||A_ii^-1||)*rtol
+            # holds for the protocol-terminated iterates
+            assert rel <= 50 * rtol
 
 
 class TestTraversalGuard:
@@ -215,8 +249,9 @@ class TestTraversalGuard:
         rel = float(jnp.linalg.norm(r_true.reshape(-1))
                     / jnp.linalg.norm(b.reshape(-1)))
         # the traversal guard is a documented heuristic (quiet-window
-        # race between blocks) — wider slack than the protocol mode
-        assert rel <= 10 * rtol
+        # race between blocks; no certification tail) — the async-slack
+        # bound ~(1+||A_ic||*||A_ii^-1||)*rtol is all it guarantees
+        assert rel <= 50 * rtol
 
 
 class TestNativeTransport:
@@ -265,6 +300,19 @@ class TestNativeTransport:
                      == 4.0)
         )
         assert 0 < t0.rtt(1) < 1.0
+
+    def test_native_departed_peer_sends_drop_silently(self, native_pair):
+        """Native-router mirror of the TcpTransport departed-peer test:
+        after the peer terminates, publishes must drop, not raise."""
+        t0, t1 = native_pair
+        t0.send_data(1, 1, np.ones((4,)))
+        assert _wait(lambda: t1.read_data(0, np.float64, (4,))[0] is not None)
+        t1.close()
+        for it in range(2, 12):
+            t0.send_data(1, it, np.full((4,), float(it)))
+            t0.send(1, Msg(kind=MsgKind.PARTIAL_CV, src=0, phase_tag=1,
+                           iteration=it, positive=True))
+            time.sleep(0.01)
 
     def test_interop_python_native(self):
         from medane_tchakorom_ufc_thesis_repository_tpu import native
@@ -322,7 +370,13 @@ class TestNativeTransport:
         r_true = b - op.full_mv(x)
         rel = float(jnp.linalg.norm(r_true.reshape(-1))
                     / jnp.linalg.norm(b.reshape(-1)))
-        assert rel <= 3 * rtol
+        # the lockstep certification tail makes the bound exact; only if
+        # it bailed (peer death/timeout — never expected here) does the
+        # async-slack bound apply
+        if all(r["certified"] for r in results):
+            assert rel <= rtol
+        else:
+            assert rel <= 50 * rtol
 
 
 class TestThreeProcessAM:
@@ -352,4 +406,7 @@ class TestThreeProcessAM:
         r_true = b - op.full_mv(x)
         rel = float(jnp.linalg.norm(r_true.reshape(-1))
                     / jnp.linalg.norm(b.reshape(-1)))
-        assert rel <= 3 * rtol
+        if all(r["certified"] for r in results):
+            assert rel <= rtol
+        else:
+            assert rel <= 50 * rtol
