@@ -214,6 +214,10 @@ def run_net_async(args) -> dict:
         "grid": f"{m}x{n}", "dim": 2,
         "sweeps_per_block": [r["sweeps"] for r in results],
         "converged": all(r["converged"] for r in results),
+        # True: lockstep tail certified the merged residual <= rtol*||b||
+        # exactly; None under the legacy traversal guard (no tail)
+        "certified": (None if any(r["certified"] is None for r in results)
+                      else all(r["certified"] for r in results)),
         "rnorm": rnorm, "rnorm0": results[0]["rnorm0"],
         "rel_rnorm": rnorm / results[0]["rnorm0"],
         "elapsed_s": max(r["elapsed_s"] for r in results),
@@ -590,6 +594,7 @@ def main(argv=None) -> int:
             print(f"Final residual     : {result['rnorm']:.6e} "
                   f"(rel {result['rel_rnorm']:.3e})")
             print(f"Converged          : {result['converged']}")
+            print(f"Certified          : {result['certified']}")
             print(f"Elapsed            : {result['elapsed_s']:.3f} s")
             print(f"Error vs u=1       : {result['error_vs_ones']:.6e}")
         return 0 if result["converged"] else 2
