@@ -51,6 +51,61 @@ class HostAsyncResult:
     rnorm0: float
     converged: bool
     elapsed_s: float
+    # lockstep-tail certificate (see _sync_certify): True means the
+    # returned x satisfies ||b - A x|| <= rtol*||b|| exactly
+    certified: bool = False
+    tail_rounds: int = 0
+
+
+def _sync_certify(op, b, x, tol_local, inner, *, max_rounds=50):
+    """Post-verdict lockstep certification (in-process analog of
+    ``net_async._certification_tail``).
+
+    Alg-5.15 certifies each block against stale-but-fresh peer data, so
+    the MERGED residual of the protocol-terminated stack can exceed
+    rtol·‖b‖ by ~(1+‖A_ic‖·‖A_ii⁻¹‖).  Here all threads have joined, so
+    certification is direct: measure every block's rows of the true
+    global residual on the identical stack; while any block is over
+    ``tol_local``, run one synchronous Jacobi round (the sync handshake
+    ``comm_sync_convergence_detection``, ``comm.c:235-250``, collapsed
+    to in-process lockstep).  Returns ``(x, certified, rounds)``; all
+    blocks under ``tol_local = rtol*||b||/sqrt(nb)`` on the same x
+    certifies the merged bound exactly."""
+    nb = op.nblocks
+    args = getattr(op, "diag_mv_args", None)
+
+    def block_args(k):
+        return None if args is None else jax.tree_util.tree_map(
+            lambda a: a[k], args
+        )
+
+    @jax.jit
+    def jacobi_round(x_stack):
+        coup = op.coupling_mv(x_stack)
+        rhs = b - coup
+        def one(k, rhs_b, x_b):
+            mv = lambda v: op.single_diag_mv(block_args(k), v)
+            res = krylov.gmres(
+                mv, rhs_b, x_b,
+                restart=inner.restart, maxiter=inner.maxiter,
+                rtol=inner.rtol, atol=inner.atol, orthog=inner.orthog,
+            )
+            return res.x
+        return jnp.stack([one(k, rhs[k], x_stack[k]) for k in range(nb)])
+
+    @jax.jit
+    def per_block_rnorms(x_stack):
+        r = b - op.full_mv(x_stack)
+        return jnp.sqrt(jnp.sum(r * r, axis=1))
+
+    for rounds in range(max_rounds + 1):
+        pb = np.asarray(per_block_rnorms(x))
+        if bool(np.all(pb <= tol_local)):
+            return x, True, rounds
+        if rounds == max_rounds:
+            break
+        x = jacobi_round(x)
+    return x, False, max_rounds
 
 
 class _Mailbox:
@@ -321,12 +376,18 @@ def host_async_solve(
     x = jnp.stack([
         x_final[k] if x_final[k] is not None else zeros for k in range(nb)
     ])
+    converged = all(n.state is State.FINISHED for n in nodes)
+    certified, tail_rounds = False, 0
+    if converged:
+        x, certified, tail_rounds = _sync_certify(
+            op, b, x, tol_local, inner
+        )
     r = b - op.full_mv(x)
     rnorm = float(jnp.linalg.norm(r.reshape(-1)))
-    converged = all(n.state is State.FINISHED for n in nodes)
     return HostAsyncResult(
         x=x, sweeps_per_block=list(sweeps_done), rnorm=rnorm,
         rnorm0=rnorm0, converged=converged, elapsed_s=elapsed,
+        certified=certified, tail_rounds=tail_rounds,
     )
 
 
@@ -521,10 +582,19 @@ def _host_async_intra_solve(
         x_final[k] if x_final[k] is not None else np.zeros((bs,), dtype)
         for k in range(nb)
     ]))
+    converged = all(n.state is State.FINISHED for n in nodes)
+    certified, tail_rounds = False, 0
+    if converged:
+        # certification runs single-device per block (no intra mesh
+        # needed: any contraction sweep works, only the residual
+        # measurement on the identical stack matters)
+        x, certified, tail_rounds = _sync_certify(
+            op, b, x, tol_local, inner
+        )
     r = b - op.full_mv(x)
     rnorm = float(jnp.linalg.norm(r.reshape(-1)))
-    converged = all(n.state is State.FINISHED for n in nodes)
     return HostAsyncResult(
         x=x, sweeps_per_block=list(sweeps_done), rnorm=rnorm,
         rnorm0=rnorm0, converged=converged, elapsed_s=elapsed,
+        certified=certified, tail_rounds=tail_rounds,
     )

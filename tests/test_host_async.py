@@ -21,14 +21,23 @@ def _problem(m=32, n=32, nblocks=2):
     return op, b
 
 
+def _check_residual(res, rtol, slack=2.0):
+    """Certified runs satisfy the merged bound exactly; only an
+    uncertified exit (tail hit max_rounds — not expected here) falls
+    back to the async-slack bound."""
+    rel = res.rnorm / res.rnorm0
+    if res.certified:
+        assert rel <= rtol * (1 + 1e-12)
+    else:
+        assert rel <= slack * rtol
+
+
 class TestHostAsync:
     def test_am_converges(self):
         op, b = _problem()
         res = host_async_solve(op, b, rtol=1e-3, maxiter=3000)
         assert res.converged
-        # local tests are rtol/sqrt(nb) per block; global residual lands
-        # under ~rtol with slack for in-flight updates at termination
-        assert res.rnorm / res.rnorm0 <= 2e-3
+        _check_residual(res, 1e-3)
 
     def test_heterogeneous_speeds(self):
         # one block 10x slower — the WAN-emulation scenario; the fast
@@ -38,7 +47,7 @@ class TestHostAsync:
             op, b, rtol=1e-3, maxiter=3000, sweep_delay_s=[0.0, 0.01]
         )
         assert res.converged
-        assert res.rnorm / res.rnorm0 <= 2e-3
+        _check_residual(res, 1e-3)
 
     def test_amam_local(self):
         op, b = _problem()
@@ -46,7 +55,7 @@ class TestHostAsync:
             op, b, rtol=1e-3, maxiter=3000, minimization="local", s=4
         )
         assert res.converged
-        assert res.rnorm / res.rnorm0 <= 2e-3
+        _check_residual(res, 1e-3)
 
     def test_amam_semi_local(self):
         op, b = _problem()
@@ -54,7 +63,7 @@ class TestHostAsync:
             op, b, rtol=1e-3, maxiter=3000, minimization="semi_local", s=4
         )
         assert res.converged
-        assert res.rnorm / res.rnorm0 <= 2e-3
+        _check_residual(res, 1e-3)
 
     def test_amam_global(self):
         # async Gram exchange through mailboxes (stale peer panels OK)
@@ -63,7 +72,7 @@ class TestHostAsync:
             op, b, rtol=1e-3, maxiter=3000, minimization="global", s=4
         )
         assert res.converged
-        assert res.rnorm / res.rnorm0 <= 2e-3
+        _check_residual(res, 1e-3)
 
     def test_maxiter_budget_respected(self):
         op, b = _problem()
@@ -89,10 +98,7 @@ class TestIntraBlockParallelism:
             op, b, rtol=1e-4, maxiter=4000, intra=4,
         )
         assert bool(res.converged)
-        r = b - op.full_mv(res.x)
-        rel = float(jnp.linalg.norm(r.reshape(-1))
-                    / jnp.linalg.norm(b.reshape(-1)))
-        assert rel <= 3e-4
+        _check_residual(res, 1e-4, slack=3.0)
         assert all(s > 0 for s in res.sweeps_per_block)
 
     def test_3d(self):
@@ -102,10 +108,7 @@ class TestIntraBlockParallelism:
             op, b, rtol=1e-3, maxiter=4000, intra=2,
         )
         assert bool(res.converged)
-        r = b - op.full_mv(res.x)
-        rel = float(jnp.linalg.norm(r.reshape(-1))
-                    / jnp.linalg.norm(b.reshape(-1)))
-        assert rel <= 3e-3
+        _check_residual(res, 1e-3, slack=3.0)
 
     def test_minimization_rejected(self):
         op = blockops.block_poisson2d(16, 16)
