@@ -147,6 +147,12 @@ class MultisplitResult:
                                          # (inf where unreached); the analog
                                          # of the reference's per-iteration
                                          # norm printouts
+    # async runs only: True means the returned x was re-verified on the
+    # TRUE (staleness-free) coupling — ||b - A x|| <= rtol*||b|| holds
+    # exactly.  None on sync paths (they already measure the true
+    # residual every cycle).
+    certified: Optional[jax.Array] = None
+    tail_sweeps: Optional[jax.Array] = None   # sync sweeps the tail ran
 
 
 jax.tree_util.register_dataclass(
@@ -154,6 +160,7 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "x", "sweeps", "cycles", "inner_iters", "rnorm", "rnorm0",
         "local_rnorms", "outer_rnorm", "converged", "history",
+        "certified", "tail_sweeps",
     ],
     meta_fields=[],
 )
@@ -555,11 +562,57 @@ def multisplit_solve(
     (x, _, _, sweeps, cycles, inner_total, _, rnorm, local_rnorms,
      outer_rnorm, converged, hist) = lax.while_loop(cond, cycle, init)
 
+    certified = tail_sweeps = None
+    if is_async:
+        # Post-termination lockstep certification (the on-device analog
+        # of net_async._certification_tail / host_async._sync_certify):
+        # async cycles measure residuals against the staleness-schedule
+        # view x_vis, so the returned stack's TRUE merged residual can
+        # exceed rtol*||b|| by ~(1+||A_ic||*||A_ii^-1||).  A short
+        # synchronous tail (publish every sweep) on the true coupling
+        # closes the bound exactly; typically 0 sweeps, still one jitted
+        # program.
+        cert_max = jnp.int32(64)
+
+        def true_resid(x_c):
+            rhs_t = b - op.coupling_mv(x_c)
+            local_r = rhs_t - op.diag_mv(x_c)
+            lsq = jnp.sum(local_r * local_r, axis=1)
+            return (jnp.all(jnp.sqrt(lsq) <= tol_local),
+                    jnp.sqrt(lsq), jnp.sqrt(jnp.sum(lsq)))
+
+        ok0, lr0, rn0 = true_resid(x)
+        # only certify protocol-converged runs (skip the tail otherwise)
+        skip = ~converged
+
+        def cert_cond(c):
+            _x, rounds, ok, _lr, _rn = c
+            return jnp.logical_and(~ok, rounds < cert_max)
+
+        def cert_body(c):
+            x_c, rounds, _ok, _lr, _rn = c
+            rhs_t = b - op.coupling_mv(x_c)
+            res = inner_solve(rhs_t, x_c)
+            ok_n, lr_n, rn_n = true_resid(res.x)
+            return (res.x, rounds + jnp.int32(1), ok_n, lr_n, rn_n)
+
+        x, tail_sweeps, cert_ok, lr_t, rn_t = lax.while_loop(
+            cert_cond, cert_body,
+            (x, jnp.int32(0), jnp.logical_or(ok0, skip), lr0, rn0),
+        )
+        certified = jnp.logical_and(converged, cert_ok)
+        # report the TRUE residuals for the returned iterate
+        rnorm = jnp.where(converged, rn_t, rnorm)
+        local_rnorms = jnp.where(converged, lr_t, local_rnorms)
+        sweeps = sweeps + tail_sweeps
+        converged = jnp.logical_and(converged, cert_ok)
+
     return MultisplitResult(
         x=x, sweeps=sweeps, cycles=cycles, inner_iters=inner_total,
         rnorm=rnorm, rnorm0=rnorm0, local_rnorms=local_rnorms,
         outer_rnorm=outer_rnorm, converged=converged,
         history=hist if record_history else None,
+        certified=certified, tail_sweeps=tail_sweeps,
     )
 
 

@@ -452,6 +452,8 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
                 inner_iters=0, converged=bool(hres.converged),
                 rnorm=hres.rnorm, rnorm0=hres.rnorm0,
                 sweeps_per_block=hres.sweeps_per_block,
+                certified=bool(hres.certified),
+                tail_sweeps=int(hres.tail_rounds),
             )
             # report and return handled below via the common path
             r = b.reshape(-1) - op.global_mv(x_flat)
@@ -557,6 +559,11 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
                       inner_iters=int(res.inner_iters),
                       converged=bool(res.converged),
                       rnorm=float(res.rnorm), rnorm0=float(res.rnorm0))
+        if getattr(res, "certified", None) is not None:
+            # async certification tail: bound verified on the true
+            # (staleness-free) coupling
+            result["certified"] = bool(res.certified)
+            result["tail_sweeps"] = int(res.tail_sweeps)
         if res.history is not None:
             # per-cycle residual norms (the reference prints one per
             # iteration, asynchronous-multisplitting_prime.c:345)

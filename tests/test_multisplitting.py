@@ -579,3 +579,39 @@ class TestCaGmresInner:
         with pytest.raises(ValueError, match="eig"):
             ms.sm(eop, blockops.rhs_ones(eop, jnp.float64),
                   inner=ms.InnerConfig(method="ca_gmres"))
+
+
+class TestAsyncCertification:
+    """Async drivers re-verify the returned stack on the TRUE coupling
+    (staleness-free) before reporting convergence: converged => certified
+    => ||b - A x|| <= rtol*||b|| exactly.  Sync paths measure the true
+    residual every cycle already and carry no certificate."""
+
+    def test_am_certified_exact_bound(self):
+        op, b = _problem2d()
+        rtol = 1e-6
+        for d in (1, 4):
+            res = ms.am(op, b, rtol=rtol, maxiter=4000, staleness=d)
+            assert bool(res.converged)
+            assert bool(res.certified)
+            assert _true_rel(op, b, res.x) <= rtol * (1 + 1e-12)
+            # reported rnorm is the true merged residual of the result
+            r = b - op.full_mv(res.x)
+            assert float(res.rnorm) == pytest.approx(
+                float(jnp.linalg.norm(r.reshape(-1))), rel=1e-10)
+
+    def test_amam_global_certified(self):
+        op, b = _problem2d(nblocks=4)
+        rtol = 1e-6
+        res = ms.amam(op, b, rtol=rtol, maxiter=4000,
+                      staleness=[1, 2, 4, 8], scope="global", s=4,
+                      min_convergence_count=1)
+        assert bool(res.converged)
+        assert bool(res.certified)
+        assert _true_rel(op, b, res.x) <= rtol * (1 + 1e-12)
+
+    def test_sync_has_no_certificate(self):
+        op, b = _problem2d()
+        res = ms.sm(op, b, rtol=1e-4, maxiter=2000)
+        assert res.certified is None
+        assert res.tail_sweeps is None
