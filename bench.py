@@ -201,11 +201,15 @@ def main():
     refine_s = time.perf_counter() - t0
 
     # --- north-star at scale: 3D 256^3 (16.8M unknowns) to 1e-8 ---------
-    # f32 CG on-chip (SPD Poisson; ~10x cheaper per pass than GMRES(30)
-    # because no Krylov-basis re-reads), f64 residuals ALSO on-chip
-    # (emulated f64 is one bandwidth pass; only scalars cross the
+    # Multigrid-preconditioned f32 CG on-chip (V(2,2) cycle => ~13 PCG
+    # iterations grid-independently, vs ~1200 plain-CG — measured 0.096 s
+    # per 1e-5 solve), f64 residuals ALSO on-chip (emulated f64 is one
+    # bandwidth pass, ~0.86 s at this size; only scalars cross the
     # tunnel).  Grid-shaped state throughout — no relayouts.
     from medane_tchakorom_ufc_thesis_repository_tpu.solvers.krylov import cg
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers.multigrid import (
+        mg_preconditioner,
+    )
     from medane_tchakorom_ufc_thesis_repository_tpu.solvers.refine import (
         device_iterative_refinement,
     )
@@ -213,16 +217,21 @@ def main():
     jax.config.update("jax_enable_x64", True)
     ones256 = jnp.ones((nx, ny, nz), jnp.float64)
     b256 = op.mv(ones256)  # f64 on device
-    cg_solve = jax.jit(
+    M256 = mg_preconditioner(op)
+    pcg_solve = jax.jit(
         lambda rr: cg(
-            op.mv, rr, jnp.zeros_like(rr), maxiter=1200, rtol=1e-5
+            op.mv, rr, maxiter=40, rtol=1e-5, precond=M256
         ).x
     )
-    _ = cg_solve(jnp.zeros((nx, ny, nz), jnp.float32))
+    _ = pcg_solve(jnp.zeros((nx, ny, nz), jnp.float32))
     _fence(_)
+    # warm pass compiles the cached f64 residual/correction helpers;
+    # timed pass (distinct RHS) is then pure execution
+    device_iterative_refinement(op.mv, b256, pcg_solve, rtol=1e-8)
+    b256b = b256 * jnp.float64(1.0 + 1e-9)
     t0 = time.perf_counter()
     rres256 = device_iterative_refinement(
-        op.mv, b256, cg_solve, rtol=1e-8
+        op.mv, b256b, pcg_solve, rtol=1e-8
     )
     refine256_s = time.perf_counter() - t0
 

@@ -20,3 +20,6 @@ from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import (  # no
 from medane_tchakorom_ufc_thesis_repository_tpu.solvers.refine import (  # noqa: F401
     iterative_refinement,
 )
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.multigrid import (  # noqa: F401
+    mg_preconditioner,
+)

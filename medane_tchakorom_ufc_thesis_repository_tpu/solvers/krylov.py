@@ -302,36 +302,51 @@ def cg(
     atol: float = 0.0,
     rnorm0: Optional[jax.Array] = None,
     axis_name=None,
+    precond: Optional[Callable] = None,
 ) -> KrylovResult:
     """Conjugate gradients for SPD systems (the reference's outer-CG config,
-    ``config/default_run_variables`` outer ksp_type cg)."""
+    ``config/default_run_variables`` outer ksp_type cg).
+
+    ``precond``: optional SPD preconditioner apply ``M(r) -> z ~= A^{-1} r``
+    (e.g. ``solvers.multigrid.mg_preconditioner``) — standard PCG with the
+    convergence test still on the TRUE residual norm ``||r||_2`` (PETSc
+    UNPRECONDITIONED norm type), so tolerances mean the same thing with
+    and without preconditioning.
+    """
     dtype = b.dtype
     psum = make_reducer(axis_name)
     if x0 is None:
         x0 = jnp.zeros_like(b)
+    M = precond if precond is not None else (lambda v: v)
     r = b - matvec(x0)
     beta0 = jnp.sqrt(psum(jnp.vdot(r, r)))
     rnorm0_ = beta0 if rnorm0 is None else jnp.asarray(rnorm0, dtype)
     tol = _tol(jnp.asarray(rtol, dtype), jnp.asarray(atol, dtype), rnorm0_)
 
     def body(carry):
-        x, r, p, rs, iters = carry
+        x, r, p, rz, rs, iters = carry
         ap = matvec(p)
         pap = psum(jnp.vdot(p, ap))
-        alpha = jnp.where(pap != 0, rs / jnp.where(pap != 0, pap, 1.0), 0.0)
+        alpha = jnp.where(pap != 0, rz / jnp.where(pap != 0, pap, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * ap
+        z = M(r)
+        rz_new = psum(jnp.vdot(r, z))
         rs_new = psum(jnp.vdot(r, r))
-        beta = jnp.where(rs != 0, rs_new / jnp.where(rs != 0, rs, 1.0), 0.0)
-        p = r + beta * p
-        return x, r, p, rs_new, iters + 1
+        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = z + beta * p
+        return x, r, p, rz_new, rs_new, iters + 1
 
     def cond(carry):
-        _, _, _, rs, iters = carry
+        _, _, _, _, rs, iters = carry
         return jnp.logical_and(jnp.sqrt(rs) > tol, iters < maxiter)
 
+    z0 = M(r)
+    rz = psum(jnp.vdot(r, z0))
     rs = psum(jnp.vdot(r, r))
-    x, r, _, rs, iters = lax.while_loop(cond, body, (x0, r, r, rs, jnp.zeros((), jnp.int32)))
+    x, r, _, rz, rs, iters = lax.while_loop(
+        cond, body, (x0, r, z0, rz, rs, jnp.zeros((), jnp.int32))
+    )
     rnorm = jnp.sqrt(rs)
     return KrylovResult(
         x=x, iters=iters, resnorm=rnorm, resnorm0=rnorm0_,

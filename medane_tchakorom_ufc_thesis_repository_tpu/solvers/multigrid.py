@@ -1,0 +1,225 @@
+"""Geometric multigrid for the Poisson stencil family — PCMG analog.
+
+The reference runs every solver unpreconditioned (``pc none`` in
+``config/default_run_variables:42-68``), but its L1 layer (PETSc) ships
+``PCMG``; this module is the TPU-native counterpart, and it is the lever
+that turns the O(n^(1/3)·n) Krylov cost of the 3D north-star solves into
+O(n): a V(2,2) cycle costs ~8 fine-grid stencil applies and reduces the
+error by a near-grid-independent factor, so MG-preconditioned CG reaches
+1e-5 in ~10-20 iterations where plain CG needs ~1200 at 256^3.
+
+TPU-first design
+----------------
+* Entirely matrix-free on grid-shaped state: smoothing is the stencil
+  apply plus axpys (bandwidth-bound, fuses), transfers are reshapes +
+  means / broadcasts (zero gathers).  No reductions anywhere inside the
+  V-cycle — like the Chebyshev smoother, its critical path has **no
+  collectives**, which is what you want when each dot product is an
+  ICI/DCN round-trip.
+* **Cell-centered factor-2 coarsening**: the grids here have power-of-two
+  interior sizes (256^3, 1024^2, ...) where vertex-centered coarsening
+  (odd sizes) does not apply.  Restriction = mean over 2^d children,
+  prolongation = piecewise-constant replication (P ∝ Rᵀ, so the V-cycle
+  stays symmetric and is a valid CG preconditioner).  PWC transfer costs
+  a worse per-cycle contraction than trilinear (~0.5 vs ~0.1) but keeps
+  every transfer a reshape — under PCG the iteration count is still
+  grid-size-independent, which is all that matters.
+* The operators use the h^2-scaled convention (stencil (2d, -1) at every
+  grid level — coefficients are h-independent); the (2h)^2/h^2 scaling
+  surfaces as a single ``4 *`` on each restricted residual.
+* Static level hierarchy (Python recursion over a list of shapes), so
+  the whole V-cycle unrolls into one fused XLA program.
+* Smoother: damped Jacobi with the dimension-optimal high-frequency
+  weight (2/3, 4/5, 6/7 for d = 1, 2, 3).  Coarsest level: Chebyshev
+  with the analytic Dirichlet bounds (exact for this stencil family) —
+  a symmetric polynomial in A, preserving preconditioner symmetry.
+
+Use ``mg_preconditioner(op)`` with ``solvers.cg(..., precond=M)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from medane_tchakorom_ufc_thesis_repository_tpu.core import operators as ops_mod
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import chebyshev
+
+
+def _op_dims(op) -> Tuple[int, ...]:
+    if isinstance(op, ops_mod.Stencil2D):
+        return (op.m, op.n)
+    if isinstance(op, ops_mod.Stencil3D):
+        return (op.nx, op.ny, op.nz)
+    raise TypeError(
+        f"multigrid supports Stencil2D/Stencil3D operators, got {type(op).__name__}"
+    )
+
+
+def _make_op(dims: Tuple[int, ...], diag: float, off: float):
+    if len(dims) == 2:
+        return ops_mod.Stencil2D(dims[0], dims[1], diag, off)
+    return ops_mod.Stencil3D(dims[0], dims[1], dims[2], diag, off)
+
+
+def _pair_sum(a: jax.Array, axis: int) -> jax.Array:
+    """Sum adjacent pairs along ``axis`` via two stride-2 slices.
+
+    TPU layout note: the obvious ``reshape(..., n//2, 2, ...).mean``
+    creates an intermediate whose minormost dims include a 2 — which the
+    (8, 128)-tiled TPU layout pads 4x/64x and relayouts (measured: the
+    6D-reshape restriction made a 256^3 V-cycle ~50x slower than the
+    stencil work it wraps).  Strided slices keep the native layout.
+    """
+    n = a.shape[axis]
+    lo = jax.lax.slice_in_dim(a, 0, n, stride=2, axis=axis)
+    hi = jax.lax.slice_in_dim(a, 1, n, stride=2, axis=axis)
+    return lo + hi
+
+
+def _interleave(a: jax.Array, axis: int) -> jax.Array:
+    """Duplicate each element along ``axis`` (inverse layout of
+    ``_pair_sum``): concat + reshape keeps the size-2 factor on a MAJOR
+    dim when axis is major; for the minormost (lane) axis the caller
+    routes through the matmul path instead."""
+    twice = jnp.concatenate([a[None], a[None]], axis=0)  # (2, ...)
+    # move the copy dim right after `axis`, then merge
+    perm = list(range(1, a.ndim + 1))
+    perm.insert(axis + 1, 0)
+    twice = twice.transpose(perm)
+    shape = list(a.shape)
+    shape[axis] *= 2
+    return twice.reshape(shape)
+
+
+def _restrict(r: jax.Array, dims: Tuple[int, ...]) -> jax.Array:
+    """Mean over each 2x2(x2) cell block (cell-centered full weighting).
+
+    Major axes use stride-2 pairwise adds; the minormost (lane) axis
+    uses a matmul against a constant 0/1 pairing matrix — a tiny MXU op
+    that avoids stride-2 lane addressing entirely.
+    """
+    nd = len(dims)
+    out = r
+    for ax in range(nd - 1):
+        out = _pair_sum(out, ax)
+    nz = dims[-1]
+    pair = jnp.zeros((nz, nz // 2), r.dtype)
+    idx = jnp.arange(nz)
+    pair = pair.at[idx, idx // 2].set(1.0)
+    out = jax.lax.dot_general(
+        out, pair, (((nd - 1,), (0,)), ((), ())),
+        preferred_element_type=r.dtype,
+    )
+    return out * (1.0 / (2 ** nd))
+
+
+def _prolong(e: jax.Array, dims: Tuple[int, ...]) -> jax.Array:
+    """Piecewise-constant replication to the fine grid (Rᵀ up to scale):
+    interleave on major axes, replication matmul on the lane axis."""
+    nd = len(dims)
+    out = e
+    for ax in range(nd - 1):
+        out = _interleave(out, ax)
+    nzc = dims[-1]
+    rep = jnp.zeros((nzc, nzc * 2), e.dtype)
+    idx = jnp.arange(nzc * 2)
+    rep = rep.at[idx // 2, idx].set(1.0)
+    return jax.lax.dot_general(
+        out, rep, (((nd - 1,), (0,)), ((), ())),
+        preferred_element_type=e.dtype,
+    )
+
+
+def _dirichlet_bounds(dims: Tuple[int, ...], diag: float, off: float):
+    """Exact spectral interval of the (2d, off) Dirichlet stencil: the
+    eigenvalues are ``diag + 2*off*sum_i cos(k_i pi/(n_i+1))``."""
+    a = 2.0 * abs(off) * sum(math.cos(math.pi / (n + 1)) for n in dims)
+    return diag - a, diag + a
+
+
+_JACOBI_OMEGA = {2: 0.8, 3: 6.0 / 7.0}  # optimal high-frequency damping
+
+
+@dataclasses.dataclass(frozen=True)
+class MGLevels:
+    """Static V-cycle description (shapes and coefficients only — the
+    stencil family is matrix-free, so there is nothing array-valued to
+    store per level)."""
+
+    dims: Tuple[Tuple[int, ...], ...]   # fine -> coarse grid shapes
+    diag: float
+    off: float
+    nu: int                              # pre/post smoothing sweeps
+    coarse_iters: int
+
+
+def plan(op, *, nu: int = 2, min_size: int = 4,
+         max_levels: int = 32, coarse_iters: int = 40) -> MGLevels:
+    """Build the level hierarchy for a Stencil2D/3D operator.
+
+    Coarsening halves every dimension while all of them stay even and
+    above ``min_size``; the coarsest level is solved with ``coarse_iters``
+    Chebyshev steps under the analytic spectral bounds.
+    """
+    dims = _op_dims(op)
+    levels = [dims]
+    while len(levels) < max_levels:
+        d = levels[-1]
+        if any(n % 2 != 0 or n // 2 < min_size for n in d):
+            break
+        levels.append(tuple(n // 2 for n in d))
+    return MGLevels(
+        dims=tuple(levels), diag=float(op.diag), off=float(op.off),
+        nu=nu, coarse_iters=coarse_iters,
+    )
+
+
+def vcycle(levels: MGLevels, b: jax.Array, level: int = 0) -> jax.Array:
+    """One V(nu, nu) cycle for ``A x = b`` from the zero initial guess,
+    returning the approximate solution (grid-shaped).  A fixed linear
+    symmetric operation in ``b`` — valid as a CG preconditioner."""
+    dims = levels.dims[level]
+    A = _make_op(dims, levels.diag, levels.off)
+    dtype = b.dtype
+    omega = jnp.asarray(_JACOBI_OMEGA[len(dims)] / levels.diag, dtype)
+
+    if level == len(levels.dims) - 1:
+        lmin, lmax = _dirichlet_bounds(dims, levels.diag, levels.off)
+        return chebyshev(
+            A.mv, b, maxiter=levels.coarse_iters, lmin=lmin, lmax=lmax
+        ).x
+
+    # pre-smoothing (x0 = 0 folds the first sweep into a scale)
+    x = omega * b
+    for _ in range(levels.nu - 1):
+        x = x + omega * (b - A.mv(x))
+
+    r = b - A.mv(x)
+    # (2h)^2 / h^2 rescaling of the h^2-convention residual
+    rc = 4.0 * _restrict(r, dims)
+    ec = vcycle(levels, rc, level + 1)
+    x = x + _prolong(ec, levels.dims[level + 1]).astype(dtype)
+
+    for _ in range(levels.nu):
+        x = x + omega * (b - A.mv(x))
+    return x
+
+
+def mg_preconditioner(op, *, nu: int = 2, min_size: int = 4,
+                      coarse_iters: int = 40) -> Callable:
+    """Return ``M(r) -> z ~= A^{-1} r`` (one V-cycle), shape-polymorphic
+    like the stencil ``mv`` (flat or grid-shaped input)."""
+    levels = plan(op, nu=nu, min_size=min_size, coarse_iters=coarse_iters)
+    dims = levels.dims[0]
+
+    def M(r: jax.Array) -> jax.Array:
+        g = r if r.ndim == len(dims) else r.reshape(dims)
+        z = vcycle(levels, g)
+        return z if r.ndim == len(dims) else z.reshape(-1)
+
+    return M

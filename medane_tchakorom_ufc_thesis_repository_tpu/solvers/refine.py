@@ -19,6 +19,7 @@ f64 end-to-end on CPU; this module is the TPU-native equivalent of
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, List
 
 import jax.numpy as jnp
@@ -76,6 +77,31 @@ def iterative_refinement(
     )
 
 
+@functools.lru_cache(maxsize=32)
+def _device_refine_helpers(matvec_key):
+    """Jitted refinement helpers, cached per operator.
+
+    ``matvec`` arrives as a hashable key (the operator's bound ``mv`` —
+    frozen-dataclass operators hash/compare by value) so that REPEATED
+    refinement calls on the same operator reuse the compiled programs.
+    The original per-call closures re-jitted every call, which on the
+    axon tunnel's sometimes-degraded compile service cost 15-20 s per
+    call — 10x the actual compute of a 256^3 refinement.
+    """
+    import jax
+
+    @jax.jit
+    def residual_pass(b64, x64):
+        r = b64 - matvec_key(x64)
+        return r, jnp.sqrt(jnp.sum(r * r))
+
+    @jax.jit
+    def apply_correction(x64, d32, scale):
+        return x64 + scale * d32.astype(jnp.float64)
+
+    return residual_pass, apply_correction
+
+
 def device_iterative_refinement(
     matvec: Callable,         # dtype-generic operator apply (f32 AND f64)
     b64,                      # f64 RHS (any shape the matvec accepts)
@@ -86,25 +112,22 @@ def device_iterative_refinement(
 ) -> RefineResult:
     """Refinement with the f64 residual computed ON DEVICE.
 
-    TPU f64 is emulated but the residual is one bandwidth-bound pass, so
-    keeping it on-chip beats shipping 2x the state over PCIe/host each
-    pass (on the axon tunnel this cut the 256^3 north-star from ~14 s to
-    ~solve-only time; only scalars cross the host boundary).  Requires a
-    ``matvec`` that evaluates in the dtype of its argument — true for the
-    matrix-free stencil operators.
+    TPU f64 is emulated but the residual is one bandwidth-bound pass
+    (~0.86 s at 256^3 on v5e), so keeping it on-chip beats shipping 2x
+    the state over the tunnel each pass; only scalars cross the host
+    boundary.  Requires a ``matvec`` that evaluates in the dtype of its
+    argument — true for the matrix-free stencil operators.  Pass a
+    hashable ``matvec`` (e.g. an operator's bound ``mv``) to reuse the
+    compiled residual pass across calls.
     """
-    import jax
-
     b64 = jnp.asarray(b64, jnp.float64)
-
-    @jax.jit
-    def residual_pass(x64):
-        r = b64 - matvec(x64)
-        return r, jnp.sqrt(jnp.sum(r * r))
-
-    @jax.jit
-    def apply_correction(x64, d32, scale):
-        return x64 + scale * d32.astype(jnp.float64)
+    try:
+        residual_pass, apply_correction = _device_refine_helpers(matvec)
+    except TypeError:  # unhashable closure — fall back to per-call jits
+        _device_refine_helpers.cache_clear()
+        residual_pass, apply_correction = _device_refine_helpers.__wrapped__(
+            matvec
+        )
 
     rnorm0 = float(jnp.sqrt(jnp.sum(b64 * b64)))
     if rnorm0 == 0.0:
@@ -113,8 +136,12 @@ def device_iterative_refinement(
     x64 = jnp.zeros_like(b64)
     history: List[float] = []
     for p in range(max_passes):
-        r64, rn = residual_pass(x64)
-        rnorm = float(rn)
+        if p == 0:
+            # x = 0 => r = b exactly; skip the f64 matvec pass
+            r64, rnorm = b64, rnorm0
+        else:
+            r64, rn = residual_pass(b64, x64)
+            rnorm = float(rn)
         rel = rnorm / rnorm0
         history.append(rel)
         if rel <= rtol:
@@ -122,7 +149,7 @@ def device_iterative_refinement(
                                 rnorm0, True)
         d32 = solve_f32((r64 / rnorm).astype(jnp.float32))
         x64 = apply_correction(x64, d32, rnorm)
-    r64, rn = residual_pass(x64)
+    r64, rn = residual_pass(b64, x64)
     rnorm = float(rn)
     history.append(rnorm / rnorm0)
     return RefineResult(

@@ -1,0 +1,127 @@
+"""Geometric multigrid (solvers/multigrid.py) — PCMG-analog tests.
+
+The reference never preconditions (``pc none`` throughout
+``config/default_run_variables``), so there is no reference behavior to
+pin; these tests assert the mathematical contracts that make the V-cycle
+a valid, grid-independent CG preconditioner.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers import cg, mg_preconditioner
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.multigrid import plan, vcycle
+
+
+class TestHierarchy:
+    def test_plan_halves_until_min_size(self):
+        lv = plan(poisson.poisson2d(64, 64), min_size=4)
+        assert lv.dims == ((64, 64), (32, 32), (16, 16), (8, 8), (4, 4))
+
+    def test_plan_stops_at_odd_dims(self):
+        lv = plan(poisson.poisson2d(48, 48), min_size=4)
+        # 48 -> 24 -> 12 -> 6; 6/2=3 < 4 stops
+        assert lv.dims == ((48, 48), (24, 24), (12, 12), (6, 6))
+
+    def test_plan_rectangular(self):
+        lv = plan(poisson.poisson3d(32, 16, 8), min_size=4)
+        assert lv.dims == ((32, 16, 8), (16, 8, 4))
+
+    def test_single_level_odd_grid(self):
+        # nothing to coarsen: the "V-cycle" degenerates to the Chebyshev
+        # coarse solve and must still act as a reasonable A^{-1}
+        op = poisson.poisson2d(5, 5)
+        M = mg_preconditioner(op)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float64)
+        res = cg(op.mv, b, rtol=1e-10, maxiter=50, precond=M)
+        assert bool(res.converged)
+
+    def test_unsupported_operator_raises(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import DenseOp
+
+        with pytest.raises(TypeError):
+            plan(DenseOp(jnp.eye(4)))
+
+
+class TestVCycle:
+    @pytest.mark.parametrize("dims", [(32, 32), (16, 16, 16)])
+    def test_contracts_error(self, dims):
+        """One V(2,2) cycle must beat the PWC-transfer worst case (~0.7)."""
+        maker = poisson.poisson2d if len(dims) == 2 else poisson.poisson3d
+        op = maker(*dims)
+        lv = plan(op)
+        rng = np.random.default_rng(0)
+        xstar = jnp.asarray(rng.standard_normal(dims))
+        b = op.mv(xstar)
+        x = vcycle(lv, b)  # one cycle from zero guess
+        r0 = float(jnp.linalg.norm(b))
+        r1 = float(jnp.linalg.norm(b - op.mv(x)))
+        assert r1 < 0.7 * r0
+
+    def test_symmetric(self):
+        """<M u, v> == <u, M v> — required for PCG validity (equal
+        pre/post Jacobi sweeps, P ∝ Rᵀ, Chebyshev = polynomial in A)."""
+        op = poisson.poisson2d(16, 16)
+        M = mg_preconditioner(op)
+        rng = np.random.default_rng(1)
+        u = jnp.asarray(rng.standard_normal(16 * 16))
+        v = jnp.asarray(rng.standard_normal(16 * 16))
+        a = float(jnp.vdot(M(u), v))
+        b = float(jnp.vdot(u, M(v)))
+        assert abs(a - b) < 1e-10 * max(abs(a), 1.0)
+
+    def test_shape_polymorphic(self):
+        op = poisson.poisson3d(8, 8, 8)
+        M = mg_preconditioner(op)
+        r = jnp.arange(512, dtype=jnp.float64)
+        flat = M(r)
+        grid = M(r.reshape(8, 8, 8))
+        assert flat.shape == (512,)
+        assert grid.shape == (8, 8, 8)
+        np.testing.assert_allclose(np.asarray(flat), np.asarray(grid).ravel())
+
+
+class TestPCG:
+    @pytest.mark.parametrize(
+        "dims", [(64, 64), (128, 128), (256, 256), (32, 32, 32)]
+    )
+    def test_grid_independent_iterations(self, dims):
+        """MG-PCG to 1e-8 in <= 20 iterations at every size (plain CG
+        needs O(n) — 135 at 64^2, ~550 at 256^2)."""
+        maker = poisson.poisson2d if len(dims) == 2 else poisson.poisson3d
+        op = maker(*dims)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float64)
+        res = cg(op.mv, b, rtol=1e-8, maxiter=50, precond=mg_preconditioner(op))
+        assert bool(res.converged)
+        assert int(res.iters) <= 20
+        rel = float(jnp.linalg.norm(b - op.mv(res.x)) / jnp.linalg.norm(b))
+        assert rel <= 1e-7
+        # known exact solution u = 1
+        assert float(jnp.max(jnp.abs(res.x - 1.0))) < 1e-6
+
+    def test_matches_dense_solution(self):
+        op = poisson.poisson2d(8, 8)
+        rng = np.random.default_rng(2)
+        b = jnp.asarray(rng.standard_normal(64))
+        res = cg(op.mv, b, rtol=1e-12, maxiter=100, precond=mg_preconditioner(op))
+        xd = np.linalg.solve(np.asarray(op.to_dense()), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(res.x), xd, rtol=1e-8, atol=1e-10)
+
+    def test_f32(self):
+        op = poisson.poisson3d(16, 16, 16)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float32)
+        res = cg(op.mv, b, rtol=1e-5, maxiter=50, precond=mg_preconditioner(op))
+        assert bool(res.converged)
+        assert int(res.iters) <= 20
+
+    def test_identity_precond_matches_plain(self):
+        op = poisson.poisson2d(16, 16)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float64)
+        plain = cg(op.mv, b, rtol=1e-10, maxiter=500)
+        ident = cg(op.mv, b, rtol=1e-10, maxiter=500, precond=lambda v: v)
+        assert int(plain.iters) == int(ident.iters)
+        np.testing.assert_allclose(
+            np.asarray(plain.x), np.asarray(ident.x), rtol=1e-12
+        )
