@@ -203,20 +203,21 @@ def main():
     # --- north-star at scale: 3D 256^3 (16.8M unknowns) to 1e-8 ---------
     # Multigrid-preconditioned f32 CG on-chip (V(2,2) cycle => ~13 PCG
     # iterations grid-independently, vs ~1200 plain-CG — measured 0.096 s
-    # per 1e-5 solve), f64 residuals ALSO on-chip (emulated f64 is one
-    # bandwidth pass, ~0.86 s at this size; only scalars cross the
-    # tunnel).  Grid-shaped state throughout — no relayouts.
+    # per 1e-5 solve) + DOUBLE-FLOAT residual refinement (two-f32
+    # error-free transforms, solvers/df64.py — TPU v5e emulated-f64
+    # costs 0.86 s per residual pass; df costs ~ms).  b = A·1 has
+    # small-integer entries, exactly representable on device, so the RHS
+    # df pair is built on-chip; only scalar norms cross the tunnel.
     from medane_tchakorom_ufc_thesis_repository_tpu.solvers.krylov import cg
     from medane_tchakorom_ufc_thesis_repository_tpu.solvers.multigrid import (
         mg_preconditioner,
     )
     from medane_tchakorom_ufc_thesis_repository_tpu.solvers.refine import (
-        device_iterative_refinement,
+        df_iterative_refinement,
     )
 
-    jax.config.update("jax_enable_x64", True)
-    ones256 = jnp.ones((nx, ny, nz), jnp.float64)
-    b256 = op.mv(ones256)  # f64 on device
+    b256hi = op.mv(jnp.ones((nx, ny, nz), jnp.float32))  # exact (integers)
+    b256_df = (b256hi, jnp.zeros_like(b256hi))
     M256 = mg_preconditioner(op)
     pcg_solve = jax.jit(
         lambda rr: cg(
@@ -225,14 +226,16 @@ def main():
     )
     _ = pcg_solve(jnp.zeros((nx, ny, nz), jnp.float32))
     _fence(_)
-    # warm pass compiles the cached f64 residual/correction helpers;
-    # timed pass (distinct RHS) is then pure execution
-    device_iterative_refinement(op.mv, b256, pcg_solve, rtol=1e-8)
-    b256b = b256 * jnp.float64(1.0 + 1e-9)
-    t0 = time.perf_counter()
-    rres256 = device_iterative_refinement(
-        op.mv, b256b, pcg_solve, rtol=1e-8
+    # warm pass compiles the cached df residual/correction helpers;
+    # timed pass is then pure execution (device-resident result)
+    df_iterative_refinement(
+        op, None, pcg_solve, rtol=1e-8, b_df=b256_df, return_host=False
     )
+    t0 = time.perf_counter()
+    rres256 = df_iterative_refinement(
+        op, None, pcg_solve, rtol=1e-8, b_df=b256_df, return_host=False
+    )
+    _fence(rres256.x[0])
     refine256_s = time.perf_counter() - t0
 
     # measured CPU reference on this host: scipy CSR SpMV (the PETSc-AIJ

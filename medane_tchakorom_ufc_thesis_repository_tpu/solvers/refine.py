@@ -158,6 +158,110 @@ def device_iterative_refinement(
     )
 
 
+@functools.lru_cache(maxsize=32)
+def _df_refine_helpers(op):
+    """Jitted double-float refinement helpers, cached per operator."""
+    import jax
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers import df64
+
+    residual = df64.df_residual_for(op)
+
+    @jax.jit
+    def residual_pass(bhi, blo, xhi, xlo):
+        rhi, rlo = residual((bhi, blo), (xhi, xlo))
+        # f32-safe norm of the (possibly tiny) residual: scale by the max
+        # magnitude first — squares of ~1e-11 values underflow f32 range
+        m = jnp.maximum(jnp.max(jnp.abs(rhi)), jnp.float32(1e-30))
+        nrm = m * jnp.sqrt(jnp.sum(jnp.square(rhi / m)))
+        return rhi, rlo, nrm
+
+    @jax.jit
+    def apply_correction(xhi, xlo, d32, scale):
+        # scale * d via Dekker two-product so the update rounding stays
+        # ~2^-48 relative (a plain f32 product would floor refinement at
+        # ~1e-7 — the very limit refinement exists to beat)
+        upd = df64.df_mul_f32((d32, jnp.zeros_like(d32)), scale)
+        return df64.df_add((xhi, xlo), upd)
+
+    return residual_pass, apply_correction
+
+
+def df_iterative_refinement(
+    op,                       # Stencil2D/Stencil3D operator
+    b64,                      # f64 RHS, host-side (numpy) — or None with b_df
+    solve_f32: Callable,      # (r32 grid) -> d32 approximate device solve
+    *,
+    rtol: float = 1e-8,
+    max_passes: int = 6,
+    b_df=None,                # optional device-resident (bhi, blo) pair
+    return_host: bool = True,
+) -> RefineResult:
+    """Iterative refinement with DOUBLE-FLOAT (two-f32) residuals.
+
+    On TPU v5e, f64 is software-emulated and compute-pathological (one
+    256^3 residual pass: 0.86 s emulated vs ~2 ms as fused df-f32 ops —
+    see ``solvers/df64.py``).  This driver keeps x and b as (hi, lo) f32
+    pairs on device, computes ``r = b - A x`` with error-free
+    transformations (~4e-15 effective precision), and never touches f64
+    on the device at all — only the final solution is recombined on the
+    host.  Shapes are grid-shaped throughout (no relayouts).
+
+    ``b_df``: device-resident (bhi, blo) f32 pair for the RHS — pass this
+    when b is already exactly representable on device (e.g. b = A·1 has
+    small-integer entries) to skip the host split + tunnel upload of 2x
+    the state.  ``return_host=False`` likewise leaves the solution as a
+    df pair on device (``RefineResult.x`` is then the (hi, lo) tuple);
+    on the axon tunnel the two transfers cost ~9 s at 256^3 vs ~0.4 s of
+    actual solve.
+    """
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers import df64
+    import jax.numpy as _jnp
+
+    residual_pass, apply_correction = _df_refine_helpers(op)
+    if b_df is not None:
+        bhi, blo = b_df
+        dims = bhi.shape
+        m = jnp.maximum(jnp.max(jnp.abs(bhi)), jnp.float32(1e-30))
+        rnorm0 = float(m * jnp.sqrt(jnp.sum(jnp.square(bhi / m))))
+    else:
+        dims = np.shape(b64)
+        b64 = np.asarray(b64, np.float64)
+        rnorm0 = float(np.linalg.norm(b64.ravel()))
+        bhi, blo = df64.df_from_f64(b64)
+    if rnorm0 == 0.0:
+        return RefineResult(np.zeros(dims), 0, [], 0.0, 0.0, True)
+    xhi = _jnp.zeros_like(bhi)
+    xlo = _jnp.zeros_like(blo)
+    history: List[float] = []
+    rhi, rnorm = bhi, rnorm0
+    for p in range(max_passes):
+        if p > 0:
+            rhi, _rlo, rn = residual_pass(bhi, blo, xhi, xlo)
+            rnorm = float(rn)
+        rel = rnorm / rnorm0
+        history.append(rel)
+        if rel <= rtol:
+            x = _df_out((xhi, xlo), dims, return_host)
+            return RefineResult(x, p, history, rnorm, rnorm0, True)
+        d32 = solve_f32(rhi / jnp.float32(rnorm))
+        xhi, xlo = apply_correction(xhi, xlo, d32, jnp.float32(rnorm))
+    rhi, _rlo, rn = residual_pass(bhi, blo, xhi, xlo)
+    rnorm = float(rn)
+    history.append(rnorm / rnorm0)
+    x = _df_out((xhi, xlo), dims, return_host)
+    return RefineResult(
+        x, max_passes, history, rnorm, rnorm0, rnorm / rnorm0 <= rtol
+    )
+
+
+def _df_out(x_df, dims, return_host: bool):
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers import df64
+
+    if not return_host:
+        return x_df
+    return df64.df_to_f64(x_df).reshape(dims)
+
+
 def stencil2d_mv_np(m: int, n: int, diag: float = 4.0, off: float = -1.0):
     """Exact f64 host matvec for the 2D 5-point operator (refinement use)."""
 
