@@ -238,6 +238,25 @@ def main():
     _fence(rres256.x[0])
     refine256_s = time.perf_counter() - t0
 
+    # --- HBM-scale north-star: 3D 512^3 (134M unknowns) to 1e-8 ---------
+    # same MG-PCG + df recipe at 8x the state (537 MB/array, slab-routed
+    # stencil applies); ~5 GB peak of the chip's 16 GB HBM
+    M512 = mg_preconditioner(op512)
+    pcg512 = jax.jit(
+        lambda rr: cg(op512.mv, rr, maxiter=40, rtol=1e-5, precond=M512).x
+    )
+    b512hi = op512.mv(jnp.ones((512, 512, 512), jnp.float32))
+    b512_df = (b512hi, jnp.zeros_like(b512hi))
+    df_iterative_refinement(
+        op512, None, pcg512, rtol=1e-8, b_df=b512_df, return_host=False
+    )
+    t0 = time.perf_counter()
+    rres512 = df_iterative_refinement(
+        op512, None, pcg512, rtol=1e-8, b_df=b512_df, return_host=False
+    )
+    _fence(rres512.x[0])
+    refine512_s = time.perf_counter() - t0
+
     # measured CPU reference on this host: scipy CSR SpMV (the PETSc-AIJ
     # class of kernel the reference runs), single thread
     cpu_nnz_per_s = None
@@ -292,6 +311,11 @@ def main():
         ),
         "northstar_3d_256_refine_passes": rres256.passes,
         "northstar_3d_256_converged": bool(rres256.converged),
+        "northstar_3d_512_to_1e8_s": round(refine512_s, 3),
+        "northstar_3d_512_rel_residual": (
+            f"{rres512.rnorm / rres512.rnorm0:.2e}"
+        ),
+        "northstar_3d_512_converged": bool(rres512.converged),
     }))
 
 

@@ -138,6 +138,16 @@ class StackedStencil2D(BlockOperator):
         )
         return y.reshape(xb.shape)
 
+    def diag_stencil_op(self):
+        """A_ii as a standalone stencil operator (the strip's diagonal
+        block IS a Dirichlet Poisson operator on the strip rectangle) —
+        used to build multigrid inner preconditioning (pc='mg')."""
+        from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+            Stencil2D,
+        )
+
+        return Stencil2D(self.rows, self.n, self.diag, self.off)
+
     def halos(self, x):
         """Peer boundary rows for every block: (top, bottom), each (nb, n).
 
@@ -241,6 +251,14 @@ class StackedStencil3D(BlockOperator):
             + p[1:-1, 1:-1, :-2] + p[1:-1, 1:-1, 2:]
         )
         return y.reshape(xb.shape)
+
+    def diag_stencil_op(self):
+        """A_ii as a standalone stencil operator (see StackedStencil2D)."""
+        from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+            Stencil3D,
+        )
+
+        return Stencil3D(self.rows, self.ny, self.nz, self.diag, self.off)
 
     def halos(self, x):
         g = self._grid(x)

@@ -82,9 +82,12 @@ class InnerConfig:
 
     ``method``: 'gmres' | 'cg' (the iSolve ``--inner-ksp`` choice; A_ii is
     SPD for Poisson so CG is admissible).
-    ``pc``: 'none' | 'jacobi' — left diagonal preconditioning (the
-    TPU-appropriate subset of PETSc's ``-inner_pc_type``; sequential PCs
-    like ILU/SOR don't map to SPMD hardware).
+    ``pc``: 'none' | 'jacobi' | 'mg' — the TPU-appropriate subset of
+    PETSc's ``-inner_pc_type`` (sequential PCs like ILU/SOR don't map to
+    SPMD hardware).  'jacobi' = left diagonal scaling; 'mg' = geometric
+    multigrid V-cycle on the strip's diagonal block (PCMG analog,
+    ``solvers/multigrid.py``) — with method='cg' a true-residual PCG,
+    with method='gmres' PETSc-default left preconditioning.
     """
 
     restart: int = 30
@@ -227,8 +230,25 @@ def _make_single_inner(op: BlockOperator, cfg: InnerConfig):
     directly per block for ``inner1_``/``inner2_``-style configs)."""
     if cfg.method not in ("gmres", "cg", "chebyshev", "ca_gmres"):
         raise ValueError(f"unknown inner method {cfg.method!r}")
-    if cfg.pc not in ("none", "jacobi"):
+    if cfg.pc not in ("none", "jacobi", "mg"):
         raise ValueError(f"unknown inner pc {cfg.pc!r}")
+
+    mg_M = None
+    if cfg.pc == "mg":
+        # geometric multigrid on the strip's diagonal block (A_ii is a
+        # Dirichlet Poisson operator on the strip rectangle) — PCMG-style
+        # inner preconditioning.  Requires a stencil-family stacked op.
+        diag_op_fn = getattr(op, "diag_stencil_op", None)
+        if diag_op_fn is None:
+            raise ValueError(
+                "pc='mg' needs a stencil-family block operator "
+                f"(got {type(op).__name__})"
+            )
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.multigrid import (
+            mg_preconditioner,
+        )
+
+        mg_M = mg_preconditioner(diag_op_fn())
 
     cheb_bounds = None
     if cfg.method in ("chebyshev", "ca_gmres"):
@@ -258,6 +278,13 @@ def _make_single_inner(op: BlockOperator, cfg: InnerConfig):
             base = mv
             mv = lambda v: dinv * base(v)
             rhs_b = dinv * rhs_b
+        elif cfg.pc == "mg" and cfg.method == "gmres":
+            # left V-cycle preconditioning for GMRES (PETSc-default left
+            # PC semantics: convergence in the preconditioned norm);
+            # CG instead takes mg_M as a true-residual PCG preconditioner
+            base = mv
+            mv = lambda v: mg_M(base(v))
+            rhs_b = mg_M(rhs_b)
         if cfg.method == "chebyshev":
             from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import (
                 chebyshev,
@@ -272,6 +299,7 @@ def _make_single_inner(op: BlockOperator, cfg: InnerConfig):
             return krylov.cg(
                 mv, rhs_b, x_b,
                 maxiter=cfg.maxiter, rtol=cfg.rtol, atol=cfg.atol,
+                precond=mg_M,
             )
         if cfg.method == "ca_gmres":
             # communication-avoiding inner: Newton basis over the block

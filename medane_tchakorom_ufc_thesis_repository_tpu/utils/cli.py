@@ -65,7 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inner-ksp", default=None, dest="inner_ksp",
                    choices=["gmres", "cg", "chebyshev", "ca_gmres"])
     p.add_argument("--inner-pc-type", default=None, dest="inner_pc",
-                   choices=["none", "jacobi"])
+                   choices=["none", "jacobi", "mg"])
     p.add_argument("--inner-basis", default=None, dest="inner_basis",
                    choices=["native", "bf16"],
                    help="Krylov-basis storage (bf16 halves bandwidth)")
@@ -88,7 +88,7 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument(f"--inner{blk}-rtol", type=float, default=None,
                        dest=f"inner{blk}_rtol")
         p.add_argument(f"--inner{blk}-pc-type", default=None,
-                       dest=f"inner{blk}_pc", choices=["none", "jacobi"])
+                       dest=f"inner{blk}_pc", choices=["none", "jacobi", "mg"])
         p.add_argument(f"--outer{blk}-method", default=None,
                        dest=f"outer{blk}_method",
                        choices=["qr", "normal", "lsqr", "cgne"])

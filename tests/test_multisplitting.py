@@ -324,6 +324,50 @@ class TestInnerOptions:
         with pytest.raises(ValueError):
             ms.sm(op, b, inner=ms.InnerConfig(method="bicgstab"))
 
+    def test_mg_pc_cg_converges_fewer_sweeps_of_inner_work(self):
+        """pc='mg' + method='cg': each inner solve hits its tolerance in
+        a handful of PCG iterations, and the outer sweep count matches
+        the exact-inner-solve trajectory."""
+        op, b = _problem2d(32, 32)
+        base = ms.sm(op, b, rtol=1e-4, maxiter=2000,
+                     inner=ms.InnerConfig(maxiter=60, rtol=1e-8))
+        res = ms.sm(op, b, rtol=1e-4, maxiter=2000,
+                    inner=ms.InnerConfig(method="cg", pc="mg",
+                                         maxiter=15, rtol=1e-8))
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1e-4
+        # accurate inner solves => same outer trajectory
+        assert abs(int(res.sweeps) - int(base.sweeps)) <= 1
+
+    def test_mg_pc_gmres_converges(self):
+        """pc='mg' + method='gmres': left-preconditioned inner GMRES."""
+        op, b = _problem2d(32, 32)
+        res = ms.sm(op, b, rtol=1e-4, maxiter=2000,
+                    inner=ms.InnerConfig(method="gmres", pc="mg",
+                                         restart=10, maxiter=10, rtol=1e-8))
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1e-4
+
+    def test_mg_pc_3d(self):
+        op = blockops.block_poisson3d(16, 16, 16)
+        b = blockops.rhs_ones(op, jnp.float64)
+        res = ms.sm(op, b, rtol=1e-4, maxiter=2000,
+                    inner=ms.InnerConfig(method="cg", pc="mg",
+                                         maxiter=15, rtol=1e-8))
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1e-4
+
+    def test_mg_pc_rejected_for_ell(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson as pp
+
+        rows, cols, vals, shape = pp.poisson2d_coo(16, 16)
+        a_ii, a_ic = pp.block_split_ell(rows, cols, vals, shape, nblocks=2,
+                                        dtype=jnp.float64)
+        op = blockops.StackedELLOperator(a_ii=a_ii, a_ic=a_ic)
+        b = blockops.rhs_ones(op, jnp.float64)
+        with pytest.raises(ValueError, match="stencil-family"):
+            ms.sm(op, b, inner=ms.InnerConfig(pc="mg"))
+
 
 class TestPublishBasisCollection:
     """Staleness mitigation for async minimization: at staleness d the
