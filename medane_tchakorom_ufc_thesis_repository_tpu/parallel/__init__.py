@@ -19,6 +19,11 @@ from medane_tchakorom_ufc_thesis_repository_tpu.parallel.sharded import (  # noq
     sharded_gmres_solve,
     sharded_multisplit_solve,
 )
+from medane_tchakorom_ufc_thesis_repository_tpu.parallel.mgpcg import (  # noqa: F401
+    sharded_df_northstar,
+    sharded_df_refine,
+    sharded_mgpcg_solve,
+)
 from medane_tchakorom_ufc_thesis_repository_tpu.parallel.tiled import (  # noqa: F401
     make_tiled_mesh,
     tiled_gmres_solve,

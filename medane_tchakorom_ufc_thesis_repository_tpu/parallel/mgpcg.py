@@ -1,0 +1,443 @@
+"""Sharded MG-PCG + double-float refinement — the multi-chip north-star.
+
+The single-chip north-star recipe (BASELINE.json "3D Poisson to 1e-8")
+is multigrid-preconditioned f32 CG plus double-float residual refinement
+(``solvers/multigrid.py`` + ``solvers/df64.py``: 256^3 in 0.29 s, 512^3
+in 1.97 s on one v5e).  This module is the same recipe laid out over a
+device mesh ``('block', 'intra')`` so the flagship solve scales the way
+the reference's production runs do (np ranks over MPI,
+``iSolve:347-401``) — every piece stays inside one jitted SPMD program:
+
+* the grid is x-slab-sharded over all devices (the same canonical
+  layout as ``parallel/sharded.py``); stencil applies exchange one
+  boundary plane with each neighbor via ``ppermute`` with the
+  halo/compute overlap schedule (issue collectives, compute interior,
+  barrier, consume — the VecScatterBegin/End split);
+* the V-cycle coarsens ALL axes by 2 per level; because every level's
+  local slab keeps an even row count until it reaches one plane,
+  cell-centered restriction/prolongation are **entirely device-local**
+  (stride-2 pairwise adds + lane-axis pairing matmuls — the TPU-layout
+  lesson from ``solvers/multigrid.py``), so the only communication in
+  the whole cycle is the smoother's halo exchange;
+* coarsening stops when a device's slab is one plane thick (or the
+  cross dims hit ``min_size``); the coarsest level is solved with
+  Chebyshev under the analytic global Dirichlet bounds — dot-free, so
+  the coarse solve adds halo ppermutes but NO reductions;
+* PCG dot products psum over both mesh axes (the two-level reduction
+  hierarchy of ``computeFinalResidualNorm``, ``utils.c:575-595``);
+* refinement residuals are computed in double-float (two-f32 error-free
+  transforms) on the local slab with halo planes exchanged first, so
+  the multi-chip path reaches 1e-8..1e-12 relative residuals without
+  device f64 — only scalar norms leave the mesh.
+
+Reference anchors: the north-star metric itself (BASELINE.json), the
+weak-scaling goal (SURVEY.md §6: "3D Poisson to 1e-8 on a multi-host
+slice at >=80% weak-scaling efficiency"), and PETSc's distributed PCMG
+(the L1 capability the thesis never enables, ``config/petsc``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from medane_tchakorom_ufc_thesis_repository_tpu.parallel import sharded as sh
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers import df64, krylov
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import chebyshev
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.multigrid import (
+    _JACOBI_OMEGA,
+    _dirichlet_bounds,
+    _prolong,
+    _restrict,
+)
+
+
+def _grid_dims(opcfg) -> Tuple[int, ...]:
+    if isinstance(opcfg, sh.ShardedPoisson2D):
+        return (opcfg.m, opcfg.n)
+    if isinstance(opcfg, sh.ShardedPoisson3D):
+        return (opcfg.nx, opcfg.ny, opcfg.nz)
+    raise TypeError(
+        f"mgpcg supports ShardedPoisson2D/3D, got {type(opcfg).__name__}"
+    )
+
+
+def _interior_grid_mv(g: jax.Array, diag: float, off: float) -> jax.Array:
+    """Stencil apply on a grid-shaped local slab with zero external halos
+    (pad+slice form — one fused bandwidth-bound pass)."""
+    nd = g.ndim
+    p = jnp.pad(g, 1)
+    c, lo, hi = slice(1, -1), slice(0, -2), slice(2, None)
+    taps = 0.0
+    for ax in range(nd):
+        idx_lo = tuple(lo if i == ax else c for i in range(nd))
+        idx_hi = tuple(hi if i == ax else c for i in range(nd))
+        taps = taps + p[idx_lo] + p[idx_hi]
+    return diag * g + off * taps
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedMGPlan:
+    """Static level hierarchy for the sharded V-cycle: per-level GLOBAL
+    grid dims (local dims are ``dims[0]//ndev`` on axis 0)."""
+
+    dims: Tuple[Tuple[int, ...], ...]
+    diag: float
+    off: float
+    nu: int
+    coarse_iters: int
+    ndev: int
+
+
+def plan_sharded(opcfg, ndev: int, *, nu: int = 2, min_size: int = 4,
+                 coarse_iters: int = 40) -> ShardedMGPlan:
+    """Coarsen while (a) each device's slab keeps an even plane count
+    (so x-restriction never crosses a device boundary), and (b) the
+    non-split dims stay even and above ``min_size``."""
+    dims = _grid_dims(opcfg)
+    if dims[0] % ndev:
+        raise ValueError(
+            f"grid extent {dims[0]} not divisible by {ndev} devices"
+        )
+    levels = [dims]
+    while True:
+        d = levels[-1]
+        rows_loc = d[0] // ndev
+        if rows_loc % 2 or rows_loc < 2:
+            break
+        if any(n % 2 or n // 2 < min_size for n in d[1:]):
+            break
+        levels.append((d[0] // 2,) + tuple(n // 2 for n in d[1:]))
+    return ShardedMGPlan(
+        dims=tuple(levels), diag=float(opcfg.diag), off=float(opcfg.off),
+        nu=nu, coarse_iters=coarse_iters, ndev=ndev,
+    )
+
+
+def _make_halo_mv(mesh: Mesh, diag: float, off: float
+                  ) -> Tuple[Callable, Callable]:
+    """Whole-mesh stencil apply on a grid-shaped local slab: boundary
+    planes ppermute along 'intra' then wrap across 'block' (level-
+    independent — the same neighbor pairing at every grid size), with
+    the overlap schedule pinning collectives under the interior pass."""
+    ni = mesh.shape["intra"]
+    nb = mesh.shape["block"]
+    up_pairs = [(i, i + 1) for i in range(ni - 1)]
+    down_pairs = [(i, i - 1) for i in range(1, ni)]
+    blk_up = [(k, k + 1) for k in range(nb - 1)]
+    blk_down = [(k, k - 1) for k in range(1, nb)]
+
+    def halo_mv(g):
+        top_i = lax.ppermute(g[-1], "intra", up_pairs)
+        bot_i = lax.ppermute(g[0], "intra", down_pairs)
+        wrap_top = lax.ppermute(g[-1], "intra", [(ni - 1, 0)])
+        top_b = lax.ppermute(wrap_top, "block", blk_up)
+        wrap_bot = lax.ppermute(g[0], "intra", [(0, ni - 1)])
+        bot_b = lax.ppermute(wrap_bot, "block", blk_down)
+        y = _interior_grid_mv(g, diag, off)
+        y, top_i, bot_i, top_b, bot_b = lax.optimization_barrier(
+            (y, top_i, bot_i, top_b, bot_b)
+        )
+        y = y.at[0].add(off * (top_i + top_b))
+        y = y.at[-1].add(off * (bot_i + bot_b))
+        return y
+
+    def halos(g):
+        """Just the neighbor boundary planes (top from device i-1, bottom
+        from device i+1) — used by the df residual."""
+        top_i = lax.ppermute(g[-1], "intra", up_pairs)
+        bot_i = lax.ppermute(g[0], "intra", down_pairs)
+        wrap_top = lax.ppermute(g[-1], "intra", [(ni - 1, 0)])
+        top_b = lax.ppermute(wrap_top, "block", blk_up)
+        wrap_bot = lax.ppermute(g[0], "intra", [(0, ni - 1)])
+        bot_b = lax.ppermute(wrap_bot, "block", blk_down)
+        return top_i + top_b, bot_i + bot_b
+
+    return halo_mv, halos
+
+
+def _sharded_vcycle(plan: ShardedMGPlan, halo_mv: Callable, b: jax.Array,
+                    level: int = 0) -> jax.Array:
+    """One V(nu, nu) cycle from the zero guess on the local slab.  The
+    recursion is Python-static, so the whole cycle unrolls into one XLA
+    program per device (identical on all devices — SPMD-lockstep)."""
+    dims = plan.dims[level]
+    local_dims = (dims[0] // plan.ndev,) + dims[1:]
+    dtype = b.dtype
+    omega = jnp.asarray(_JACOBI_OMEGA[len(dims)] / plan.diag, dtype)
+    mv = halo_mv
+
+    if level == len(plan.dims) - 1:
+        lmin, lmax = _dirichlet_bounds(dims, plan.diag, plan.off)
+        return chebyshev(
+            mv, b, maxiter=plan.coarse_iters, lmin=lmin, lmax=lmax
+        ).x
+
+    x = omega * b
+    for _ in range(plan.nu - 1):
+        x = x + omega * (b - mv(x))
+
+    r = b - mv(x)
+    rc = 4.0 * _restrict(r, local_dims)
+    ec = _sharded_vcycle(plan, halo_mv, rc, level + 1)
+    coarse_local = (plan.dims[level + 1][0] // plan.ndev,) + plan.dims[level + 1][1:]
+    x = x + _prolong(ec, coarse_local).astype(dtype)
+
+    for _ in range(plan.nu):
+        x = x + omega * (b - mv(x))
+    return x
+
+
+def _grid_spec(nd: int) -> P:
+    return P(*((("block", "intra"),) + (None,) * (nd - 1)))
+
+
+def sharded_mgpcg_solve(
+    mesh: Mesh,
+    opcfg,
+    b: jax.Array,
+    *,
+    rtol: float = 1e-5,
+    atol: float = 0.0,
+    maxiter: int = 100,
+    nu: int = 2,
+    min_size: int = 4,
+    coarse_iters: int = 40,
+):
+    """Whole-mesh multigrid-preconditioned CG (true-residual norm test):
+    the sharded analog of ``cg(op.mv, b, precond=mg_preconditioner(op))``.
+    ``b`` is the global grid-shaped RHS; returns ``KrylovResult`` with a
+    global grid-shaped ``x``.
+    """
+    ndev = mesh.shape["block"] * mesh.shape["intra"]
+    plan = plan_sharded(opcfg, ndev, nu=nu, min_size=min_size,
+                        coarse_iters=coarse_iters)
+    dims = plan.dims[0]
+    halo_mv, _halos = _make_halo_mv(mesh, plan.diag, plan.off)
+
+    def body(b_loc):
+        res = krylov.cg(
+            halo_mv, b_loc,
+            maxiter=maxiter, rtol=rtol, atol=atol,
+            axis_name=("block", "intra"),
+            precond=lambda r: _sharded_vcycle(plan, halo_mv, r),
+        )
+        return res.x, res.iters, res.resnorm, res.resnorm0, res.converged
+
+    spec = _grid_spec(len(dims))
+    scalar = P()
+    run = shard_map(
+        body, mesh=mesh, in_specs=(spec,),
+        out_specs=(spec, scalar, scalar, scalar, scalar),
+        check_rep=False,
+    )
+    b_sh = jax.device_put(b, NamedSharding(mesh, spec))
+    x, iters, resnorm, resnorm0, converged = run(b_sh)
+    return krylov.KrylovResult(
+        x=x, iters=iters, resnorm=resnorm, resnorm0=resnorm0,
+        converged=converged,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Double-float residuals on the mesh
+# ---------------------------------------------------------------------------
+
+def _df_slab_residual(b_df, x_df, top_df, bot_df, diag: float, off: float):
+    """``r = b - A x`` in double-float on a grid-shaped local slab whose
+    x-halos (neighbor boundary planes, already summed across 'intra' and
+    'block' sources) are supplied explicitly.
+
+    Identical error-free-transform structure to
+    ``df64.stencil3d_df_residual`` — the halo planes are written into the
+    zero padding BEFORE the pairwise two-sum tree, so boundary rows get
+    the same ~2^-48 accuracy as the interior.
+    """
+    xhi, xlo = x_df
+    nd = xhi.ndim
+    cross = (slice(1, -1),) * (nd - 1)
+
+    def with_halos(g, top, bot):
+        p = jnp.pad(g, 1)
+        p = p.at[(0,) + cross].set(top)
+        p = p.at[(-1,) + cross].set(bot)
+        return p
+
+    phi = with_halos(xhi, top_df[0], bot_df[0])
+    plo = with_halos(xlo, top_df[1], bot_df[1])
+    c, lo, hi = slice(1, -1), slice(0, -2), slice(2, None)
+
+    def tap_pair(p, ax):
+        idx_lo = tuple(lo if i == ax else c for i in range(nd))
+        idx_hi = tuple(hi if i == ax else c for i in range(nd))
+        return p[idx_lo], p[idx_hi]
+
+    # compensated neighbor sum: two_sum per axis pair, then fold
+    nh = None
+    err = 0.0
+    for ax in range(nd):
+        a, bb = tap_pair(phi, ax)
+        s, e = df64.two_sum(a, bb)
+        err = err + e
+        if nh is None:
+            nh = s
+        else:
+            nh, e2 = df64.two_sum(nh, s)
+            err = err + e2
+    lo_taps = 0.0
+    for ax in range(nd):
+        a, bb = tap_pair(plo, ax)
+        lo_taps = lo_taps + a + bb
+    nl = err + lo_taps
+    ndf = df64._df_combine(nh, nl, off)
+    ddf = df64._int_coeff_mul(xhi, diag)
+    ddf = df64.df_add_f32(ddf, jnp.float32(diag) * xlo)
+    ax_ = df64.df_add(ddf, ndf)
+    return df64.df_add(b_df, df64.df_neg(ax_))
+
+
+def sharded_df_refine(
+    mesh: Mesh,
+    opcfg,
+    solve_f32: Callable,
+    b_df,
+    *,
+    rtol: float = 1e-8,
+    max_passes: int = 6,
+):
+    """Double-float iterative refinement on the mesh.
+
+    ``solve_f32(r_sharded) -> d_sharded`` is any sharded f32 approximate
+    solve on grid-shaped global arrays (e.g. a jitted
+    ``sharded_mgpcg_solve(...).x``); ``b_df = (bhi, blo)`` are sharded
+    grid-shaped f32 arrays.  The df residual + norm run under one
+    ``shard_map`` (halo planes for BOTH components ride the same
+    ppermutes); the correction update is elementwise df arithmetic under
+    plain jit, so XLA propagates the sharding.  Only scalar norms reach
+    the host.  Returns ``solvers.refine.RefineResult`` with ``x`` as the
+    sharded (hi, lo) pair.
+    """
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers.refine import (
+        RefineResult,
+    )
+
+    dims = _grid_dims(opcfg)
+    diag, off = float(opcfg.diag), float(opcfg.off)
+    _halo_mv, halos = _make_halo_mv(mesh, diag, off)
+    spec = _grid_spec(len(dims))
+    scalar = P()
+
+    def _residual_body(bhi, blo, xhi, xlo):
+        top_hi, bot_hi = halos(xhi)
+        top_lo, bot_lo = halos(xlo)
+        rhi, rlo = _df_slab_residual(
+            (bhi, blo), (xhi, xlo), (top_hi, top_lo), (bot_hi, bot_lo),
+            diag, off,
+        )
+        # f32-safe global norm: scale by the global max first
+        m = jnp.maximum(jnp.max(jnp.abs(rhi)), jnp.float32(1e-30))
+        m = lax.pmax(m, ("block", "intra"))
+        ss = lax.psum(jnp.sum(jnp.square(rhi / m)), ("block", "intra"))
+        return rhi, rlo, m * jnp.sqrt(ss)
+
+    residual_pass = jax.jit(shard_map(
+        _residual_body, mesh=mesh,
+        in_specs=(spec,) * 4,
+        out_specs=(spec, spec, scalar),
+        check_rep=False,
+    ))
+
+    @jax.jit
+    def apply_correction(xhi, xlo, d32, scale):
+        upd = df64.df_mul_f32((d32, jnp.zeros_like(d32)), scale)
+        return df64.df_add((xhi, xlo), upd)
+
+    bhi, blo = b_df
+    xhi = jnp.zeros_like(bhi)
+    xlo = jnp.zeros_like(blo)
+    # rnorm0 = ||b|| (x0 = 0): reuse the residual pass
+    _rh, _rl, rn0 = residual_pass(bhi, blo, xhi, xlo)
+    rnorm0 = float(rn0)
+    if rnorm0 == 0.0:
+        return RefineResult((xhi, xlo), 0, [], 0.0, 0.0, True)
+    history = []
+    rhi, rnorm = bhi, rnorm0
+    for p in range(max_passes):
+        if p > 0:
+            rhi, _rlo, rn = residual_pass(bhi, blo, xhi, xlo)
+            rnorm = float(rn)
+        rel = rnorm / rnorm0
+        history.append(rel)
+        if rel <= rtol:
+            return RefineResult((xhi, xlo), p, history, rnorm, rnorm0, True)
+        d32 = solve_f32(rhi / jnp.float32(rnorm))
+        xhi, xlo = apply_correction(xhi, xlo, d32, jnp.float32(rnorm))
+    rhi, _rlo, rn = residual_pass(bhi, blo, xhi, xlo)
+    rnorm = float(rn)
+    history.append(rnorm / rnorm0)
+    return RefineResult(
+        (xhi, xlo), max_passes, history, rnorm, rnorm0,
+        rnorm / rnorm0 <= rtol,
+    )
+
+
+def sharded_df_northstar(
+    mesh: Mesh,
+    opcfg,
+    *,
+    rtol: float = 1e-8,
+    inner_rtol: float = 1e-5,
+    pcg_maxiter: int = 40,
+    max_passes: int = 6,
+    nu: int = 2,
+    min_size: int = 4,
+    coarse_iters: int = 40,
+):
+    """The complete multi-chip north-star: solve ``A x = b`` with
+    ``b = A·1`` (exact small-integer entries, built on-mesh) to ``rtol``
+    relative TRUE residual via sharded MG-PCG + double-float refinement.
+
+    Single-chip twin: the 256^3/512^3 entries in BENCHMARKS.md (bench.py
+    north-star section).  Returns the ``RefineResult`` (x is the sharded
+    df pair) plus the per-pass PCG solver for reuse.
+    """
+    ndev = mesh.shape["block"] * mesh.shape["intra"]
+    plan = plan_sharded(opcfg, ndev, nu=nu, min_size=min_size,
+                        coarse_iters=coarse_iters)
+    dims = plan.dims[0]
+    halo_mv, _ = _make_halo_mv(mesh, plan.diag, plan.off)
+    spec = _grid_spec(len(dims))
+
+    def _pcg_body(r_loc):
+        res = krylov.cg(
+            halo_mv, r_loc,
+            maxiter=pcg_maxiter, rtol=inner_rtol,
+            axis_name=("block", "intra"),
+            precond=lambda v: _sharded_vcycle(plan, halo_mv, v),
+        )
+        return res.x
+
+    pcg = jax.jit(shard_map(
+        _pcg_body, mesh=mesh, in_specs=(spec,), out_specs=spec,
+        check_rep=False,
+    ))
+
+    def _rhs_body():
+        ones = jnp.ones((dims[0] // ndev,) + dims[1:], jnp.float32)
+        return halo_mv(ones)
+
+    make_b = jax.jit(shard_map(
+        _rhs_body, mesh=mesh, in_specs=(), out_specs=spec,
+        check_rep=False,
+    ))
+    bhi = make_b()
+    b_df = (bhi, jnp.zeros_like(bhi))
+    return sharded_df_refine(
+        mesh, opcfg, pcg, b_df, rtol=rtol, max_passes=max_passes,
+    )

@@ -29,7 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native two-stage multisplitting solver launcher",
     )
     p.add_argument("--alg", default="SM",
-                   help="GMRES | SM | AM | SMSM_{LOCAL,SEMI_LOCAL,GLOBAL} | "
+                   help="GMRES | CA_GMRES | MGPCG | SM | AM | "
+                        "SMSM_{LOCAL,SEMI_LOCAL,GLOBAL} | "
                         "AMAM_{LOCAL,SEMI_LOCAL,GLOBAL}")
     p.add_argument("--config", default=None,
                    help="JSON config file (defaults < file < CLI)")
@@ -421,6 +422,130 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
                 fence(kres.x)
                 elapsed = time.perf_counter() - t0
             x_flat = kres.x
+        result = dict(sweeps=int(kres.iters), cycles=0,
+                      inner_iters=int(kres.iters),
+                      converged=bool(kres.converged),
+                      rnorm=float(kres.resnorm), rnorm0=float(kres.resnorm0))
+    elif cfg.alg == "MGPCG":
+        # multigrid-preconditioned CG on the whole system (the bench.py
+        # north-star recipe as a first-class algorithm): V(2,2)-cycle
+        # preconditioning (solvers/multigrid.py — the PCMG analog) and,
+        # for rtol below the f32 attainable-accuracy floor, double-float
+        # residual refinement (solvers/df64.py) so 1e-8..1e-12 relative
+        # residuals are reachable on f64-less TPUs
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.krylov import (
+            cg as cg_solve,
+        )
+
+        gop = (poisson.poisson2d(cfg.m, cfg.n) if cfg.dim == 2
+               else poisson.poisson3d(cfg.m, cfg.n, cfg.nz))
+        gshape = ((cfg.m, cfg.n) if cfg.dim == 2
+                  else (cfg.m, cfg.n, cfg.nz))
+        b_grid = b.reshape(gshape)
+        pcg_rtol = cfg.inner_rtol if cfg.inner_rtol is not None else 1e-5
+        pcg_maxiter = cfg.inner_maxiter or 60
+        want_refine = dtype == jnp.float32 and cfg.rtol < 1e-5
+
+        if cfg.backend == "sharded":
+            from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
+                ShardedPoisson2D,
+                ShardedPoisson3D,
+                make_mesh,
+                sharded_df_northstar,
+                sharded_mgpcg_solve,
+            )
+
+            mesh = make_mesh(nblocks=cfg.nblocks, intra=cfg.intra)
+            opcfg = (ShardedPoisson2D(cfg.m, cfg.n) if cfg.dim == 2
+                     else ShardedPoisson3D(cfg.m, cfg.n, cfg.nz))
+            if want_refine:
+                with trace(profile_dir), pt.phase("I_Solver"):
+                    t0 = time.perf_counter()
+                    rres = sharded_df_northstar(
+                        mesh, opcfg, rtol=cfg.rtol,
+                        inner_rtol=pcg_rtol, pcg_maxiter=pcg_maxiter,
+                    )
+                    elapsed = time.perf_counter() - t0
+            else:
+                with trace(profile_dir), pt.phase("I_Solver"):
+                    t0 = time.perf_counter()
+                    kres = sharded_mgpcg_solve(
+                        mesh, opcfg, b_grid, rtol=cfg.rtol,
+                        maxiter=cfg.maxiter,
+                    )
+                    fence(kres.x)
+                    elapsed = time.perf_counter() - t0
+                x_flat = kres.x.reshape(-1)
+        elif cfg.backend == "stacked":
+            from medane_tchakorom_ufc_thesis_repository_tpu.solvers.multigrid import (
+                mg_preconditioner,
+            )
+
+            M = mg_preconditioner(gop)
+            if want_refine:
+                from medane_tchakorom_ufc_thesis_repository_tpu.solvers.refine import (
+                    df_iterative_refinement,
+                )
+
+                solve32 = jax.jit(lambda rr: cg_solve(
+                    gop.mv, rr, maxiter=pcg_maxiter, rtol=pcg_rtol,
+                    precond=M,
+                ).x)
+                b_df = (b_grid.astype(jnp.float32),
+                        jnp.zeros(gshape, jnp.float32))
+                with trace(profile_dir), pt.phase("I_Solver"):
+                    t0 = time.perf_counter()
+                    rres = df_iterative_refinement(
+                        gop, None, solve32, rtol=cfg.rtol, b_df=b_df,
+                    )
+                    elapsed = time.perf_counter() - t0
+            else:
+                solve = jax.jit(lambda bb: cg_solve(
+                    gop.mv, bb, maxiter=cfg.maxiter, rtol=cfg.rtol,
+                    precond=M,
+                ))
+                with trace(profile_dir), pt.phase("I_Solver"):
+                    t0 = time.perf_counter()
+                    kres = solve(b_grid)
+                    fence(kres.x)
+                    elapsed = time.perf_counter() - t0
+                x_flat = kres.x.reshape(-1)
+        else:
+            raise SystemExit(
+                "MGPCG supports backends 'stacked' and 'sharded'"
+            )
+
+        if want_refine:
+            # df-refined path: report the DF true-residual norm (an f32
+            # recombination of x would floor the reported residual at
+            # ~1e-7 — the very limit refinement exists to beat)
+            import numpy as np
+
+            from medane_tchakorom_ufc_thesis_repository_tpu.solvers import (
+                df64,
+            )
+
+            x64 = (np.asarray(rres.x, np.float64).reshape(-1)
+                   if not isinstance(rres.x, tuple)
+                   else df64.df_to_f64(rres.x).reshape(-1))
+            err = float(np.linalg.norm(x64 - 1.0))
+            result = dict(
+                sweeps=0, cycles=int(rres.passes), inner_iters=0,
+                converged=bool(rres.converged),
+                rnorm=float(rres.rnorm), rnorm0=float(rres.rnorm0),
+                refine_passes=int(rres.passes),
+                residual_history=[float(h) for h in rres.rel_history],
+                alg=cfg.alg, backend=cfg.backend, dim=cfg.dim,
+                grid=(f"{cfg.m}x{cfg.n}" if cfg.dim == 2
+                      else f"{cfg.m}x{cfg.n}x{cfg.nz}"),
+                elapsed_s=round(elapsed, 4),
+                final_true_rnorm=float(rres.rnorm),
+                rel_rnorm=(float(rres.rnorm / rres.rnorm0)
+                           if rres.rnorm0 else 0.0),
+                error_vs_ones=err,
+            )
+            return result, pt
         result = dict(sweeps=int(kres.iters), cycles=0,
                       inner_iters=int(kres.iters),
                       converged=bool(kres.converged),

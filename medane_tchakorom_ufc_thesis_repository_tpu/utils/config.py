@@ -27,6 +27,7 @@ from medane_tchakorom_ufc_thesis_repository_tpu.models.multisplitting import (
 ALGORITHMS = (
     "GMRES",
     "CA_GMRES",
+    "MGPCG",
     "SM",
     "AM",
     "SMSM_LOCAL",

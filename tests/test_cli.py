@@ -51,7 +51,7 @@ class TestConfig:
         assert cfg.alg == "SM" and cfg.m == 64 and cfg.n == 16
 
     def test_all_algorithms_enumerated(self):
-        assert len(ALGORITHMS) == 10  # 9 reference algs + CA_GMRES
+        assert len(ALGORITHMS) == 11  # 9 reference algs + CA_GMRES + MGPCG
 
 
 class TestCLI:

@@ -1,0 +1,142 @@
+"""Sharded MG-PCG + double-float refinement (parallel/mgpcg.py).
+
+The multi-chip north-star path: multigrid-preconditioned CG over the
+('block', 'intra') mesh with df residual refinement — the sharded twin
+of the bench.py 256^3/512^3 north-star recipe (BASELINE.json wall-time
+to 1e-8 on 3D Poisson).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
+    ShardedPoisson2D,
+    ShardedPoisson3D,
+)
+from medane_tchakorom_ufc_thesis_repository_tpu.parallel import mgpcg
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers import df64
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.krylov import cg
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.multigrid import (
+    mg_preconditioner,
+)
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.refine import (
+    stencil3d_mv_np,
+)
+
+
+class TestPlan:
+    def test_levels_stop_at_one_plane_per_device(self):
+        plan = mgpcg.plan_sharded(ShardedPoisson3D(64, 64, 64), 8)
+        # 64/8 = 8 local planes: 8 -> 4 -> 2 -> 1, stop (x cannot halve)
+        assert plan.dims == (
+            (64, 64, 64), (32, 32, 32), (16, 16, 16), (8, 8, 8))
+
+    def test_levels_respect_min_size(self):
+        plan = mgpcg.plan_sharded(ShardedPoisson2D(64, 8), 2, min_size=4)
+        # n: 8 -> 4 then 4//2 < min_size stops further coarsening
+        assert plan.dims == ((64, 8), (32, 4))
+
+    def test_indivisible_grid_raises(self):
+        with pytest.raises(ValueError, match="not divisible"):
+            mgpcg.plan_sharded(ShardedPoisson3D(12, 16, 16), 8)
+
+
+class TestShardedMGPCG:
+    def test_3d_matches_single_device_pcg_iterations(self, mesh8):
+        """Same math, different layout: the sharded MG-PCG must take the
+        same iteration count (+-1 roundoff) as the single-device
+        cg(precond=mg_preconditioner) on the identical problem."""
+        op = ShardedPoisson3D(32, 32, 32)
+        b = poisson.rhs_for_exact_ones(
+            poisson.poisson3d(32, 32, 32)
+        ).astype(jnp.float32).reshape(32, 32, 32)
+        res = mgpcg.sharded_mgpcg_solve(mesh8, op, b, rtol=1e-5, maxiter=40)
+        assert bool(res.converged)
+
+        gop = poisson.poisson3d(32, 32, 32)
+        ref = cg(gop.mv, b, rtol=1e-5, maxiter=40,
+                 precond=mg_preconditioner(gop))
+        assert abs(int(res.iters) - int(ref.iters)) <= 1
+        # true residual at the f32 attainable-accuracy floor
+        r = np.asarray(b) - np.asarray(gop.mv(res.x))
+        assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 5e-5
+
+    def test_2d_converges_grid_independent(self, mesh8):
+        iters = []
+        for m in (32, 64):
+            op = ShardedPoisson2D(m, m)
+            b = jnp.asarray(
+                np.random.RandomState(0).rand(m, m), jnp.float32)
+            res = mgpcg.sharded_mgpcg_solve(
+                mesh8, op, b, rtol=1e-5, maxiter=40)
+            assert bool(res.converged)
+            iters.append(int(res.iters))
+        # MG-preconditioned iteration counts must not grow with the grid
+        assert iters[1] <= iters[0] + 2
+
+
+class TestDFSlabResidual:
+    def test_matches_host_f64(self, mesh8):
+        """The halo-corrected df slab residual must agree with the exact
+        host f64 residual to ~double-float precision."""
+        rng = np.random.RandomState(7)
+        nx = ny = nz = 16
+        x64 = rng.rand(nx, ny, nz)
+        b64 = rng.rand(nx, ny, nz)
+        op = ShardedPoisson3D(nx, ny, nz)
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        import jax
+
+        spec = P(("block", "intra"), None, None)
+        put = lambda a: jax.device_put(a, NamedSharding(mesh8, spec))
+        bhi, blo = df64.df_from_f64(b64)
+        xhi, xlo = df64.df_from_f64(x64)
+
+        diag, off = float(op.diag), float(op.off)
+        _mv, halos = mgpcg._make_halo_mv(mesh8, diag, off)
+        from jax.experimental.shard_map import shard_map
+
+        def body(bh, bl, xh, xl):
+            th, bh_ = halos(xh)
+            tl, bl_ = halos(xl)
+            return mgpcg._df_slab_residual(
+                (bh, bl), (xh, xl), (th, tl), (bh_, bl_), diag, off)
+
+        rhi, rlo = shard_map(
+            body, mesh=mesh8, in_specs=(spec,) * 4,
+            out_specs=(spec, spec), check_rep=False,
+        )(put(bhi), put(blo), put(xhi), put(xlo))
+
+        mv64 = stencil3d_mv_np(nx, ny, nz)
+        r_exact = (b64.reshape(-1) - mv64(x64.reshape(-1))).reshape(
+            nx, ny, nz)
+        r_df = (np.asarray(rhi, np.float64)
+                + np.asarray(rlo, np.float64))
+        err = np.abs(r_df - r_exact).max() / np.abs(r_exact).max()
+        assert err < 1e-13, err
+
+
+class TestShardedNorthstar:
+    def test_3d_to_1e8(self, mesh8):
+        """The full multi-chip north-star: b = A·1 on-mesh, MG-PCG +
+        df refinement to 1e-8 relative TRUE residual, verified on the
+        host in f64 against the exact operator."""
+        nx = ny = nz = 32
+        op = ShardedPoisson3D(nx, ny, nz)
+        res = mgpcg.sharded_df_northstar(mesh8, op, rtol=1e-8)
+        assert res.converged
+        assert res.passes <= 3
+        x64 = df64.df_to_f64(res.x)
+        np.testing.assert_allclose(x64, 1.0, atol=1e-7)
+
+        mv64 = stencil3d_mv_np(nx, ny, nz)
+        b64 = mv64(np.ones(nx * ny * nz))
+        rel = (np.linalg.norm(b64 - mv64(x64.reshape(-1)))
+               / np.linalg.norm(b64))
+        assert rel <= 1e-8, rel
+        # the reported rnorm must match the host-verified one
+        np.testing.assert_allclose(
+            res.rnorm / res.rnorm0, rel, rtol=1e-2, atol=1e-15)
