@@ -66,6 +66,25 @@ class TestMultihostMatchesSingleProcess:
             )
             assert r["err_vs_ones"] < 0.1
 
+    def test_mgpcg_northstar(self):
+        """The flagship north-star recipe across 2 OS processes: sharded
+        MG-PCG + double-float refinement to 1e-8 over Gloo."""
+        results = multihost.launch(
+            [
+                "--alg", "MGPCG", "--dim", "3",
+                "--m", "16", "--n", "16", "--nz", "16",
+                "--rtol", "1e-8", "--dtype", "float32",
+            ],
+            num_processes=2, devices_per_process=4, timeout_s=420,
+        )
+        assert len(results) == 2
+        for r in results:
+            assert r["global_devices"] == 8
+            assert r["converged"]
+            assert r["cycles"] <= 3  # refinement passes
+            assert r["rnorm"] / r["rnorm0"] <= 1e-8
+            assert r["err_vs_ones"] < 1e-6
+
     def test_gmres_baseline(self, mesh8):
         cfg = ShardedPoisson2D(self.M, self.N)
         b = jnp.asarray(_b_ones(cfg))
