@@ -82,6 +82,35 @@ class TestCLI:
         )
         assert rc == 0 and rec["converged"]
 
+    def test_mgpcg(self):
+        # f64 -> plain MG-PCG path
+        rc, rec = self._run(
+            "--alg", "MGPCG", "--m", "32", "--n", "32",
+            "--rtol", "1e-6", "--dtype", "float64",
+        )
+        assert rc == 0 and rec["converged"]
+        assert rec["rel_rnorm"] <= 2e-6
+
+    def test_mgpcg_df_refined(self):
+        # f32 below the floor -> double-float refinement path
+        rc, rec = self._run(
+            "--alg", "MGPCG", "--dim", "3", "--m", "16", "--n", "16",
+            "--nz", "16", "--rtol", "1e-8", "--dtype", "float32",
+        )
+        assert rc == 0 and rec["converged"]
+        assert rec["rel_rnorm"] <= 1e-8
+        assert rec["refine_passes"] <= 3
+        assert rec["error_vs_ones"] < 1e-5
+
+    def test_mgpcg_sharded_df(self):
+        rc, rec = self._run(
+            "--alg", "MGPCG", "--backend", "sharded", "--nblocks", "2",
+            "--intra", "4", "--dim", "3", "--m", "16", "--n", "16",
+            "--nz", "16", "--rtol", "1e-8", "--dtype", "float32",
+        )
+        assert rc == 0 and rec["converged"]
+        assert rec["rel_rnorm"] <= 1e-8
+
     def test_sharded_backend(self):
         rc, rec = self._run(
             "--alg", "SM", "--backend", "sharded", "--nblocks", "2",
