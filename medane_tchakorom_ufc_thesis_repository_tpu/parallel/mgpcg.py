@@ -39,6 +39,7 @@ slice at >=80% weak-scaling efficiency"), and PETSc's distributed PCMG
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Tuple
 
 import jax
@@ -198,23 +199,15 @@ def _grid_spec(nd: int) -> P:
     return P(*((("block", "intra"),) + (None,) * (nd - 1)))
 
 
-def sharded_mgpcg_solve(
-    mesh: Mesh,
-    opcfg,
-    b: jax.Array,
-    *,
-    rtol: float = 1e-5,
-    atol: float = 0.0,
-    maxiter: int = 100,
-    nu: int = 2,
-    min_size: int = 4,
-    coarse_iters: int = 40,
-):
-    """Whole-mesh multigrid-preconditioned CG (true-residual norm test):
-    the sharded analog of ``cg(op.mv, b, precond=mg_preconditioner(op))``.
-    ``b`` is the global grid-shaped RHS; returns ``KrylovResult`` with a
-    global grid-shaped ``x``.
-    """
+@functools.lru_cache(maxsize=64)
+def _mgpcg_run(mesh: Mesh, opcfg, rtol: float, atol: float, maxiter: int,
+               nu: int, min_size: int, coarse_iters: int):
+    """Compiled-per-configuration MG-PCG body.  Cached so repeated solves
+    (refinement passes, benchmarks, CLI reruns in one process) reuse the
+    XLA program — per-call closures re-jit EVERY call, which under the
+    axon tunnel's sometimes-degraded compile service costs 15-300 s each
+    (the ``refine._df_refine_helpers`` lesson).  ``mesh`` and the frozen
+    operator dataclasses hash by value."""
     ndev = mesh.shape["block"] * mesh.shape["intra"]
     plan = plan_sharded(opcfg, ndev, nu=nu, min_size=min_size,
                         coarse_iters=coarse_iters)
@@ -232,10 +225,34 @@ def sharded_mgpcg_solve(
 
     spec = _grid_spec(len(dims))
     scalar = P()
-    run = shard_map(
+    run = jax.jit(shard_map(
         body, mesh=mesh, in_specs=(spec,),
         out_specs=(spec, scalar, scalar, scalar, scalar),
         check_rep=False,
+    ))
+    return run, spec
+
+
+def sharded_mgpcg_solve(
+    mesh: Mesh,
+    opcfg,
+    b: jax.Array,
+    *,
+    rtol: float = 1e-5,
+    atol: float = 0.0,
+    maxiter: int = 100,
+    nu: int = 2,
+    min_size: int = 4,
+    coarse_iters: int = 40,
+):
+    """Whole-mesh multigrid-preconditioned CG (true-residual norm test):
+    the sharded analog of ``cg(op.mv, b, precond=mg_preconditioner(op))``.
+    ``b`` is the global grid-shaped RHS; returns ``KrylovResult`` with a
+    global grid-shaped ``x``.
+    """
+    run, spec = _mgpcg_run(
+        mesh, opcfg, float(rtol), float(atol), int(maxiter),
+        int(nu), int(min_size), int(coarse_iters),
     )
     b_sh = jax.device_put(b, NamedSharding(mesh, spec))
     x, iters, resnorm, resnorm0, converged = run(b_sh)
@@ -302,31 +319,9 @@ def _df_slab_residual(b_df, x_df, top_df, bot_df, diag: float, off: float):
     return df64.df_add(b_df, df64.df_neg(ax_))
 
 
-def sharded_df_refine(
-    mesh: Mesh,
-    opcfg,
-    solve_f32: Callable,
-    b_df,
-    *,
-    rtol: float = 1e-8,
-    max_passes: int = 6,
-):
-    """Double-float iterative refinement on the mesh.
-
-    ``solve_f32(r_sharded) -> d_sharded`` is any sharded f32 approximate
-    solve on grid-shaped global arrays (e.g. a jitted
-    ``sharded_mgpcg_solve(...).x``); ``b_df = (bhi, blo)`` are sharded
-    grid-shaped f32 arrays.  The df residual + norm run under one
-    ``shard_map`` (halo planes for BOTH components ride the same
-    ppermutes); the correction update is elementwise df arithmetic under
-    plain jit, so XLA propagates the sharding.  Only scalar norms reach
-    the host.  Returns ``solvers.refine.RefineResult`` with ``x`` as the
-    sharded (hi, lo) pair.
-    """
-    from medane_tchakorom_ufc_thesis_repository_tpu.solvers.refine import (
-        RefineResult,
-    )
-
+@functools.lru_cache(maxsize=64)
+def _df_refine_helpers_sharded(mesh: Mesh, opcfg):
+    """Compiled df residual/correction passes, cached per (mesh, op)."""
     dims = _grid_dims(opcfg)
     diag, off = float(opcfg.diag), float(opcfg.off)
     _halo_mv, halos = _make_halo_mv(mesh, diag, off)
@@ -358,6 +353,35 @@ def sharded_df_refine(
         upd = df64.df_mul_f32((d32, jnp.zeros_like(d32)), scale)
         return df64.df_add((xhi, xlo), upd)
 
+    return residual_pass, apply_correction
+
+
+def sharded_df_refine(
+    mesh: Mesh,
+    opcfg,
+    solve_f32: Callable,
+    b_df,
+    *,
+    rtol: float = 1e-8,
+    max_passes: int = 6,
+):
+    """Double-float iterative refinement on the mesh.
+
+    ``solve_f32(r_sharded) -> d_sharded`` is any sharded f32 approximate
+    solve on grid-shaped global arrays (e.g. a jitted
+    ``sharded_mgpcg_solve(...).x``); ``b_df = (bhi, blo)`` are sharded
+    grid-shaped f32 arrays.  The df residual + norm run under one
+    ``shard_map`` (halo planes for BOTH components ride the same
+    ppermutes); the correction update is elementwise df arithmetic under
+    plain jit, so XLA propagates the sharding.  Only scalar norms reach
+    the host.  Returns ``solvers.refine.RefineResult`` with ``x`` as the
+    sharded (hi, lo) pair.
+    """
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers.refine import (
+        RefineResult,
+    )
+
+    residual_pass, apply_correction = _df_refine_helpers_sharded(mesh, opcfg)
     bhi, blo = b_df
     xhi = jnp.zeros_like(bhi)
     xlo = jnp.zeros_like(blo)
@@ -387,26 +411,11 @@ def sharded_df_refine(
     )
 
 
-def sharded_df_northstar(
-    mesh: Mesh,
-    opcfg,
-    *,
-    rtol: float = 1e-8,
-    inner_rtol: float = 1e-5,
-    pcg_maxiter: int = 40,
-    max_passes: int = 6,
-    nu: int = 2,
-    min_size: int = 4,
-    coarse_iters: int = 40,
-):
-    """The complete multi-chip north-star: solve ``A x = b`` with
-    ``b = A·1`` (exact small-integer entries, built on-mesh) to ``rtol``
-    relative TRUE residual via sharded MG-PCG + double-float refinement.
-
-    Single-chip twin: the 256^3/512^3 entries in BENCHMARKS.md (bench.py
-    north-star section).  Returns the ``RefineResult`` (x is the sharded
-    df pair) plus the per-pass PCG solver for reuse.
-    """
+@functools.lru_cache(maxsize=64)
+def _northstar_solvers(mesh: Mesh, opcfg, inner_rtol: float,
+                       pcg_maxiter: int, nu: int, min_size: int,
+                       coarse_iters: int):
+    """Compiled per-pass PCG + on-mesh RHS builder, cached per config."""
     ndev = mesh.shape["block"] * mesh.shape["intra"]
     plan = plan_sharded(opcfg, ndev, nu=nu, min_size=min_size,
                         coarse_iters=coarse_iters)
@@ -436,6 +445,33 @@ def sharded_df_northstar(
         _rhs_body, mesh=mesh, in_specs=(), out_specs=spec,
         check_rep=False,
     ))
+    return pcg, make_b
+
+
+def sharded_df_northstar(
+    mesh: Mesh,
+    opcfg,
+    *,
+    rtol: float = 1e-8,
+    inner_rtol: float = 1e-5,
+    pcg_maxiter: int = 40,
+    max_passes: int = 6,
+    nu: int = 2,
+    min_size: int = 4,
+    coarse_iters: int = 40,
+):
+    """The complete multi-chip north-star: solve ``A x = b`` with
+    ``b = A·1`` (exact small-integer entries, built on-mesh) to ``rtol``
+    relative TRUE residual via sharded MG-PCG + double-float refinement.
+
+    Single-chip twin: the 256^3/512^3 entries in BENCHMARKS.md (bench.py
+    north-star section).  Returns the ``RefineResult`` (x is the sharded
+    df pair) plus the per-pass PCG solver for reuse.
+    """
+    pcg, make_b = _northstar_solvers(
+        mesh, opcfg, float(inner_rtol), int(pcg_maxiter),
+        int(nu), int(min_size), int(coarse_iters),
+    )
     bhi = make_b()
     b_df = (bhi, jnp.zeros_like(bhi))
     return sharded_df_refine(

@@ -32,6 +32,7 @@ def run_weak_scaling(
     sweeps: int = 20,
     device_counts: List[int] = (2, 4, 8),
     inner_maxiter: int = 20,
+    alg: str = "SM",
 ) -> List[Dict]:
     import jax
     import jax.numpy as jnp
@@ -41,7 +42,9 @@ def run_weak_scaling(
     )
     from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
         ShardedPoisson2D,
+        ShardedPoisson3D,
         make_mesh,
+        sharded_df_northstar,
         sharded_multisplit_solve,
     )
 
@@ -58,6 +61,31 @@ def run_weak_scaling(
             continue
         mesh = make_mesh(nblocks=2, intra=nd // 2)
         m = rows_per_device * nd
+
+        if alg.upper() == "MGPCG":
+            # weak-scale the north-star itself: fixed x-planes per device
+            # on a 3D grid, full MG-PCG + df refinement to 1e-8.  MG
+            # iteration counts are grid-independent, so time-to-1e-8 at
+            # fixed per-device load is the honest weak-scaling metric.
+            cfg3 = ShardedPoisson3D(m, n, n)
+
+            res = sharded_df_northstar(mesh, cfg3, rtol=1e-8)  # compile
+            t0 = time.perf_counter()
+            res = sharded_df_northstar(mesh, cfg3, rtol=1e-8)
+            fence(res.x[0])
+            dt = time.perf_counter() - t0
+            rec = {
+                "devices": nd,
+                "grid": f"{m}x{n}x{n}",
+                "refine_passes": int(res.passes),
+                "rel_residual": f"{res.rnorm / res.rnorm0:.2e}",
+                "converged": bool(res.converged),
+                "wall_s": round(dt, 4),
+            }
+            records.append(rec)
+            print(f"[scaling] {json.dumps(rec)}")
+            continue
+
         cfg = ShardedPoisson2D(m, n)
         # b = A @ ones via the canonical host-side operator
         from medane_tchakorom_ufc_thesis_repository_tpu.solvers.refine import (
@@ -110,11 +138,14 @@ def main(argv=None) -> int:
     p.add_argument("--n", type=int, default=512)
     p.add_argument("--sweeps", type=int, default=20)
     p.add_argument("--devices", default="2,4,8")
+    p.add_argument("--alg", default="SM",
+                   help="SM (fixed sweeps) | MGPCG (north-star to 1e-8)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
     recs = run_weak_scaling(
         args.rows_per_device, args.n, args.sweeps,
         [int(x) for x in args.devices.split(",")],
+        alg=args.alg,
     )
     if args.out:
         with open(args.out, "w") as f:
