@@ -114,6 +114,10 @@ def _restrict(r: jax.Array, dims: Tuple[int, ...]) -> jax.Array:
     out = jax.lax.dot_general(
         out, pair, (((nd - 1,), (0,)), ((), ())),
         preferred_element_type=r.dtype,
+        # full f32: the TPU default matmul precision truncates the
+        # OPERANDS to bf16 (~3 decimal digits) — measured to stall
+        # left-MG-preconditioned inner GMRES at ~1e-2 relative residual
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out * (1.0 / (2 ** nd))
 
@@ -132,6 +136,7 @@ def _prolong(e: jax.Array, dims: Tuple[int, ...]) -> jax.Array:
     return jax.lax.dot_general(
         out, rep, (((nd - 1,), (0,)), ((), ())),
         preferred_element_type=e.dtype,
+        precision=jax.lax.Precision.HIGHEST,  # see _restrict
     )
 
 
