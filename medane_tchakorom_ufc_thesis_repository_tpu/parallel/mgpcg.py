@@ -4,29 +4,36 @@ The single-chip north-star recipe (BASELINE.json "3D Poisson to 1e-8")
 is multigrid-preconditioned f32 CG plus double-float residual refinement
 (``solvers/multigrid.py`` + ``solvers/df64.py``: 256^3 in 0.29 s, 512^3
 in 1.97 s on one v5e).  This module is the same recipe laid out over a
-device mesh ``('block', 'intra')`` so the flagship solve scales the way
-the reference's production runs do (np ranks over MPI,
-``iSolve:347-401``) — every piece stays inside one jitted SPMD program:
+device mesh so the flagship solve scales the way the reference's
+production runs do (np ranks over MPI, ``iSolve:347-401``) — every piece
+stays inside one jitted SPMD program.
 
-* the grid is x-slab-sharded over all devices (the same canonical
-  layout as ``parallel/sharded.py``); stencil applies exchange one
-  boundary plane with each neighbor via ``ppermute`` with the
-  halo/compute overlap schedule (issue collectives, compute interior,
-  barrier, consume — the VecScatterBegin/End split);
-* the V-cycle coarsens ALL axes by 2 per level; because every level's
-  local slab keeps an even row count until it reaches one plane,
-  cell-centered restriction/prolongation are **entirely device-local**
-  (stride-2 pairwise adds + lane-axis pairing matmuls — the TPU-layout
-  lesson from ``solvers/multigrid.py``), so the only communication in
-  the whole cycle is the smoother's halo exchange;
-* coarsening stops when a device's slab is one plane thick (or the
-  cross dims hit ``min_size``); the coarsest level is solved with
-  Chebyshev under the analytic global Dirichlet bounds — dot-free, so
-  the coarse solve adds halo ppermutes but NO reductions;
-* PCG dot products psum over both mesh axes (the two-level reduction
+Mesh-polymorphic: every public function accepts either the 1-D strip
+mesh ``('block', 'intra')`` (x-slab sharding, like ``parallel.sharded``)
+or the 2-D-tiled mesh ``('block', 'ir', 'ic')`` (torus-friendly
+perimeter halos, like ``parallel.tiled``), detected from the mesh axis
+names.
+
+Design:
+
+* stencil applies exchange one boundary plane per split axis via
+  ``ppermute`` with the halo/compute overlap schedule (issue
+  collectives, compute interior, barrier, consume — the
+  VecScatterBegin/End split);
+* the V-cycle coarsens ALL axes by 2 per level; every level's local
+  tile keeps an even extent along each split axis until it reaches one
+  plane, so cell-centered restriction/prolongation are **entirely
+  device-local** (stride-2 pairwise adds + lane-axis pairing matmuls —
+  the TPU-layout lesson from ``solvers/multigrid.py``); the only
+  communication in the whole cycle is the smoother's halo exchange;
+* coarsening stops when a device's tile is one plane thick on some
+  split axis (or an unsplit dim hits ``min_size``); the coarsest level
+  is solved with Chebyshev under the analytic global Dirichlet bounds —
+  dot-free, so the coarse solve adds halo ppermutes but NO reductions;
+* PCG dot products psum over all mesh axes (the two-level reduction
   hierarchy of ``computeFinalResidualNorm``, ``utils.c:575-595``);
 * refinement residuals are computed in double-float (two-f32 error-free
-  transforms) on the local slab with halo planes exchanged first, so
+  transforms) on the local tile with halo planes exchanged first, so
   the multi-chip path reaches 1e-8..1e-12 relative residuals without
   device f64 — only scalar norms leave the mesh.
 
@@ -69,8 +76,45 @@ def _grid_dims(opcfg) -> Tuple[int, ...]:
     )
 
 
+# ---------------------------------------------------------------------------
+# Mesh layout dispatch: 1-D strip ('block','intra') vs 2-D tile
+# ('block','ir','ic')
+# ---------------------------------------------------------------------------
+
+def _layout(mesh: Mesh) -> str:
+    names = tuple(mesh.axis_names)
+    if names == ("block", "intra"):
+        return "strip"
+    if names == ("block", "ir", "ic"):
+        return "tile"
+    raise ValueError(
+        f"mgpcg expects mesh axes ('block','intra') or "
+        f"('block','ir','ic'), got {names}"
+    )
+
+
+def _mesh_axes(mesh: Mesh) -> Tuple[str, ...]:
+    return tuple(mesh.axis_names)
+
+
+def _axis_splits(mesh: Mesh, nd: int) -> Tuple[int, ...]:
+    """Device count per GRID axis."""
+    if _layout(mesh) == "strip":
+        return (mesh.shape["block"] * mesh.shape["intra"],) + (1,) * (nd - 1)
+    if nd < 2:
+        raise ValueError("tiled mesh needs a >=2-D grid")
+    return ((mesh.shape["block"] * mesh.shape["ir"], mesh.shape["ic"])
+            + (1,) * (nd - 2))
+
+
+def _grid_spec(mesh: Mesh, nd: int) -> P:
+    if _layout(mesh) == "strip":
+        return P(*((("block", "intra"),) + (None,) * (nd - 1)))
+    return P(*((("block", "ir"), "ic") + (None,) * (nd - 2)))
+
+
 def _interior_grid_mv(g: jax.Array, diag: float, off: float) -> jax.Array:
-    """Stencil apply on a grid-shaped local slab with zero external halos
+    """Stencil apply on a grid-shaped local tile with zero external halos
     (pad+slice form — one fused bandwidth-bound pass)."""
     nd = g.ndim
     p = jnp.pad(g, 1)
@@ -83,93 +127,143 @@ def _interior_grid_mv(g: jax.Array, diag: float, off: float) -> jax.Array:
     return diag * g + off * taps
 
 
+def _make_halo_mv(mesh: Mesh, diag: float, off: float
+                  ) -> Tuple[Callable, Callable]:
+    """Whole-mesh stencil apply on a grid-shaped local tile.
+
+    Returns ``(halo_mv, halos)``: ``halo_mv(g)`` is the full stencil
+    (ppermutes issued first, interior computed while they fly, halos
+    consumed after an ``optimization_barrier`` — the overlap schedule);
+    ``halos(g)`` returns, per split grid axis, the ``(lo, hi)`` neighbor
+    boundary planes (used by the df residual).  The neighbor pairing is
+    level-independent — the same ppermutes serve every grid size.
+    """
+    if _layout(mesh) == "strip":
+        ni = mesh.shape["intra"]
+        nb = mesh.shape["block"]
+        up_pairs = [(i, i + 1) for i in range(ni - 1)]
+        down_pairs = [(i, i - 1) for i in range(1, ni)]
+        blk_up = [(k, k + 1) for k in range(nb - 1)]
+        blk_down = [(k, k - 1) for k in range(1, nb)]
+
+        def halos(g):
+            top_i = lax.ppermute(g[-1], "intra", up_pairs)
+            bot_i = lax.ppermute(g[0], "intra", down_pairs)
+            wrap_top = lax.ppermute(g[-1], "intra", [(ni - 1, 0)])
+            top_b = lax.ppermute(wrap_top, "block", blk_up)
+            wrap_bot = lax.ppermute(g[0], "intra", [(0, ni - 1)])
+            bot_b = lax.ppermute(wrap_bot, "block", blk_down)
+            return ((top_i + top_b, bot_i + bot_b),)
+
+        def halo_mv(g):
+            (top, bot), = halos(g)
+            y = _interior_grid_mv(g, diag, off)
+            y, top, bot = lax.optimization_barrier((y, top, bot))
+            y = y.at[0].add(off * top)
+            y = y.at[-1].add(off * bot)
+            return y
+
+        return halo_mv, halos
+
+    nb = mesh.shape["block"]
+    pr = mesh.shape["ir"]
+    pc = mesh.shape["ic"]
+    r_up = [(i, i + 1) for i in range(pr - 1)]
+    r_dn = [(i, i - 1) for i in range(1, pr)]
+    c_up = [(i, i + 1) for i in range(pc - 1)]
+    c_dn = [(i, i - 1) for i in range(1, pc)]
+    blk_up = [(k, k + 1) for k in range(nb - 1)]
+    blk_dn = [(k, k - 1) for k in range(1, nb)]
+
+    def halos(g):
+        north = lax.ppermute(g[-1], "ir", r_up)
+        south = lax.ppermute(g[0], "ir", r_dn)
+        wrap_n = lax.ppermute(g[-1], "ir", [(pr - 1, 0)])
+        cn = lax.ppermute(wrap_n, "block", blk_up)
+        wrap_s = lax.ppermute(g[0], "ir", [(0, pr - 1)])
+        cs = lax.ppermute(wrap_s, "block", blk_dn)
+        west = lax.ppermute(g[:, -1], "ic", c_up)
+        east = lax.ppermute(g[:, 0], "ic", c_dn)
+        return ((north + cn, south + cs), (west, east))
+
+    def halo_mv(g):
+        (top, bot), (west, east) = halos(g)
+        y = _interior_grid_mv(g, diag, off)
+        y, top, bot, west, east = lax.optimization_barrier(
+            (y, top, bot, west, east)
+        )
+        y = y.at[0].add(off * top)
+        y = y.at[-1].add(off * bot)
+        y = y.at[:, 0].add(off * west)
+        y = y.at[:, -1].add(off * east)
+        return y
+
+    return halo_mv, halos
+
+
+# ---------------------------------------------------------------------------
+# Level plan + distributed V-cycle
+# ---------------------------------------------------------------------------
+
 @dataclasses.dataclass(frozen=True)
 class ShardedMGPlan:
-    """Static level hierarchy for the sharded V-cycle: per-level GLOBAL
-    grid dims (local dims are ``dims[0]//ndev`` on axis 0)."""
+    """Static V-cycle description: per-level GLOBAL grid dims plus the
+    per-axis device splits (local dims = ``dims[i] // splits[i]``)."""
 
     dims: Tuple[Tuple[int, ...], ...]
     diag: float
     off: float
     nu: int
     coarse_iters: int
-    ndev: int
+    splits: Tuple[int, ...]
+
+    def local(self, level: int) -> Tuple[int, ...]:
+        return tuple(d // s for d, s in zip(self.dims[level], self.splits))
 
 
-def plan_sharded(opcfg, ndev: int, *, nu: int = 2, min_size: int = 4,
+def plan_sharded(opcfg, splits, *, nu: int = 2, min_size: int = 4,
                  coarse_iters: int = 40) -> ShardedMGPlan:
-    """Coarsen while (a) each device's slab keeps an even plane count
-    (so x-restriction never crosses a device boundary), and (b) the
-    non-split dims stay even and above ``min_size``."""
+    """Coarsen while (a) each device's tile keeps an even plane count
+    along every SPLIT axis (so restriction never crosses a device
+    boundary), and (b) unsplit dims stay even and above ``min_size``.
+    ``splits`` is the per-grid-axis device count (an int means the
+    leading axis only)."""
     dims = _grid_dims(opcfg)
-    if dims[0] % ndev:
-        raise ValueError(
-            f"grid extent {dims[0]} not divisible by {ndev} devices"
-        )
+    if isinstance(splits, int):
+        splits = (splits,) + (1,) * (len(dims) - 1)
+    splits = tuple(splits)
+    for d, s, ax in zip(dims, splits, range(len(dims))):
+        if d % s:
+            raise ValueError(
+                f"grid axis {ax} extent {d} not divisible by {s} devices"
+            )
     levels = [dims]
     while True:
         d = levels[-1]
-        rows_loc = d[0] // ndev
-        if rows_loc % 2 or rows_loc < 2:
+        stop = False
+        for n, s in zip(d, splits):
+            if s > 1:
+                loc = n // s
+                if loc % 2 or loc < 2:
+                    stop = True
+            else:
+                if n % 2 or n // 2 < min_size:
+                    stop = True
+        if stop:
             break
-        if any(n % 2 or n // 2 < min_size for n in d[1:]):
-            break
-        levels.append((d[0] // 2,) + tuple(n // 2 for n in d[1:]))
+        levels.append(tuple(n // 2 for n in d))
     return ShardedMGPlan(
         dims=tuple(levels), diag=float(opcfg.diag), off=float(opcfg.off),
-        nu=nu, coarse_iters=coarse_iters, ndev=ndev,
+        nu=nu, coarse_iters=coarse_iters, splits=splits,
     )
-
-
-def _make_halo_mv(mesh: Mesh, diag: float, off: float
-                  ) -> Tuple[Callable, Callable]:
-    """Whole-mesh stencil apply on a grid-shaped local slab: boundary
-    planes ppermute along 'intra' then wrap across 'block' (level-
-    independent — the same neighbor pairing at every grid size), with
-    the overlap schedule pinning collectives under the interior pass."""
-    ni = mesh.shape["intra"]
-    nb = mesh.shape["block"]
-    up_pairs = [(i, i + 1) for i in range(ni - 1)]
-    down_pairs = [(i, i - 1) for i in range(1, ni)]
-    blk_up = [(k, k + 1) for k in range(nb - 1)]
-    blk_down = [(k, k - 1) for k in range(1, nb)]
-
-    def halo_mv(g):
-        top_i = lax.ppermute(g[-1], "intra", up_pairs)
-        bot_i = lax.ppermute(g[0], "intra", down_pairs)
-        wrap_top = lax.ppermute(g[-1], "intra", [(ni - 1, 0)])
-        top_b = lax.ppermute(wrap_top, "block", blk_up)
-        wrap_bot = lax.ppermute(g[0], "intra", [(0, ni - 1)])
-        bot_b = lax.ppermute(wrap_bot, "block", blk_down)
-        y = _interior_grid_mv(g, diag, off)
-        y, top_i, bot_i, top_b, bot_b = lax.optimization_barrier(
-            (y, top_i, bot_i, top_b, bot_b)
-        )
-        y = y.at[0].add(off * (top_i + top_b))
-        y = y.at[-1].add(off * (bot_i + bot_b))
-        return y
-
-    def halos(g):
-        """Just the neighbor boundary planes (top from device i-1, bottom
-        from device i+1) — used by the df residual."""
-        top_i = lax.ppermute(g[-1], "intra", up_pairs)
-        bot_i = lax.ppermute(g[0], "intra", down_pairs)
-        wrap_top = lax.ppermute(g[-1], "intra", [(ni - 1, 0)])
-        top_b = lax.ppermute(wrap_top, "block", blk_up)
-        wrap_bot = lax.ppermute(g[0], "intra", [(0, ni - 1)])
-        bot_b = lax.ppermute(wrap_bot, "block", blk_down)
-        return top_i + top_b, bot_i + bot_b
-
-    return halo_mv, halos
 
 
 def _sharded_vcycle(plan: ShardedMGPlan, halo_mv: Callable, b: jax.Array,
                     level: int = 0) -> jax.Array:
-    """One V(nu, nu) cycle from the zero guess on the local slab.  The
+    """One V(nu, nu) cycle from the zero guess on the local tile.  The
     recursion is Python-static, so the whole cycle unrolls into one XLA
     program per device (identical on all devices — SPMD-lockstep)."""
     dims = plan.dims[level]
-    local_dims = (dims[0] // plan.ndev,) + dims[1:]
     dtype = b.dtype
     omega = jnp.asarray(_JACOBI_OMEGA[len(dims)] / plan.diag, dtype)
     mv = halo_mv
@@ -185,19 +279,19 @@ def _sharded_vcycle(plan: ShardedMGPlan, halo_mv: Callable, b: jax.Array,
         x = x + omega * (b - mv(x))
 
     r = b - mv(x)
-    rc = 4.0 * _restrict(r, local_dims)
+    # (2h)^2 / h^2 rescaling of the h^2-convention residual
+    rc = 4.0 * _restrict(r, plan.local(level))
     ec = _sharded_vcycle(plan, halo_mv, rc, level + 1)
-    coarse_local = (plan.dims[level + 1][0] // plan.ndev,) + plan.dims[level + 1][1:]
-    x = x + _prolong(ec, coarse_local).astype(dtype)
+    x = x + _prolong(ec, plan.local(level + 1)).astype(dtype)
 
     for _ in range(plan.nu):
         x = x + omega * (b - mv(x))
     return x
 
 
-def _grid_spec(nd: int) -> P:
-    return P(*((("block", "intra"),) + (None,) * (nd - 1)))
-
+# ---------------------------------------------------------------------------
+# MG-PCG solve
+# ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=64)
 def _mgpcg_run(mesh: Mesh, opcfg, rtol: float, atol: float, maxiter: int,
@@ -208,22 +302,22 @@ def _mgpcg_run(mesh: Mesh, opcfg, rtol: float, atol: float, maxiter: int,
     axon tunnel's sometimes-degraded compile service costs 15-300 s each
     (the ``refine._df_refine_helpers`` lesson).  ``mesh`` and the frozen
     operator dataclasses hash by value."""
-    ndev = mesh.shape["block"] * mesh.shape["intra"]
-    plan = plan_sharded(opcfg, ndev, nu=nu, min_size=min_size,
-                        coarse_iters=coarse_iters)
-    dims = plan.dims[0]
+    dims = _grid_dims(opcfg)
+    plan = plan_sharded(opcfg, _axis_splits(mesh, len(dims)), nu=nu,
+                        min_size=min_size, coarse_iters=coarse_iters)
     halo_mv, _halos = _make_halo_mv(mesh, plan.diag, plan.off)
+    axes = _mesh_axes(mesh)
 
     def body(b_loc):
         res = krylov.cg(
             halo_mv, b_loc,
             maxiter=maxiter, rtol=rtol, atol=atol,
-            axis_name=("block", "intra"),
+            axis_name=axes,
             precond=lambda r: _sharded_vcycle(plan, halo_mv, r),
         )
         return res.x, res.iters, res.resnorm, res.resnorm0, res.converged
 
-    spec = _grid_spec(len(dims))
+    spec = _grid_spec(mesh, len(dims))
     scalar = P()
     run = jax.jit(shard_map(
         body, mesh=mesh, in_specs=(spec,),
@@ -248,7 +342,7 @@ def sharded_mgpcg_solve(
     """Whole-mesh multigrid-preconditioned CG (true-residual norm test):
     the sharded analog of ``cg(op.mv, b, precond=mg_preconditioner(op))``.
     ``b`` is the global grid-shaped RHS; returns ``KrylovResult`` with a
-    global grid-shaped ``x``.
+    global grid-shaped ``x``.  Works on both the strip and tiled meshes.
     """
     run, spec = _mgpcg_run(
         mesh, opcfg, float(rtol), float(atol), int(maxiter),
@@ -266,28 +360,34 @@ def sharded_mgpcg_solve(
 # Double-float residuals on the mesh
 # ---------------------------------------------------------------------------
 
-def _df_slab_residual(b_df, x_df, top_df, bot_df, diag: float, off: float):
-    """``r = b - A x`` in double-float on a grid-shaped local slab whose
-    x-halos (neighbor boundary planes, already summed across 'intra' and
-    'block' sources) are supplied explicitly.
+def _df_tile_residual(b_df, x_df, axis_halos, diag: float, off: float):
+    """``r = b - A x`` in double-float on a grid-shaped local tile whose
+    halos (neighbor boundary planes, already summed across mesh sources)
+    are supplied per split axis as ``(axis, (lo_hi, lo_lo), (hi_hi,
+    hi_lo))`` triples.
 
     Identical error-free-transform structure to
-    ``df64.stencil3d_df_residual`` — the halo planes are written into the
+    ``df64.stencil3d_df_residual`` — halo planes are written into the
     zero padding BEFORE the pairwise two-sum tree, so boundary rows get
-    the same ~2^-48 accuracy as the interior.
+    the same ~2^-48 accuracy as the interior (corners stay zero: 5/7-
+    point stencils have no diagonal taps).
     """
     xhi, xlo = x_df
     nd = xhi.ndim
-    cross = (slice(1, -1),) * (nd - 1)
 
-    def with_halos(g, top, bot):
+    def with_halos(g, comp: int):
         p = jnp.pad(g, 1)
-        p = p.at[(0,) + cross].set(top)
-        p = p.at[(-1,) + cross].set(bot)
+        for axis, lo_df, hi_df in axis_halos:
+            idx_lo = tuple(
+                0 if i == axis else slice(1, -1) for i in range(nd))
+            idx_hi = tuple(
+                -1 if i == axis else slice(1, -1) for i in range(nd))
+            p = p.at[idx_lo].set(lo_df[comp])
+            p = p.at[idx_hi].set(hi_df[comp])
         return p
 
-    phi = with_halos(xhi, top_df[0], bot_df[0])
-    plo = with_halos(xlo, top_df[1], bot_df[1])
+    phi = with_halos(xhi, 0)
+    plo = with_halos(xlo, 1)
     c, lo, hi = slice(1, -1), slice(0, -2), slice(2, None)
 
     def tap_pair(p, ax):
@@ -319,26 +419,39 @@ def _df_slab_residual(b_df, x_df, top_df, bot_df, diag: float, off: float):
     return df64.df_add(b_df, df64.df_neg(ax_))
 
 
+def _df_slab_residual(b_df, x_df, top_df, bot_df, diag: float, off: float):
+    """1-D-split convenience wrapper over ``_df_tile_residual``:
+    ``top_df``/``bot_df`` are the (hi, lo) halo pairs on grid axis 0."""
+    return _df_tile_residual(
+        b_df, x_df, ((0, top_df, bot_df),), diag, off)
+
+
 @functools.lru_cache(maxsize=64)
 def _df_refine_helpers_sharded(mesh: Mesh, opcfg):
     """Compiled df residual/correction passes, cached per (mesh, op)."""
     dims = _grid_dims(opcfg)
     diag, off = float(opcfg.diag), float(opcfg.off)
     _halo_mv, halos = _make_halo_mv(mesh, diag, off)
-    spec = _grid_spec(len(dims))
+    spec = _grid_spec(mesh, len(dims))
+    axes = _mesh_axes(mesh)
+    nsplit = sum(1 for s in _axis_splits(mesh, len(dims)) if s > 1)
     scalar = P()
 
     def _residual_body(bhi, blo, xhi, xlo):
-        top_hi, bot_hi = halos(xhi)
-        top_lo, bot_lo = halos(xlo)
-        rhi, rlo = _df_slab_residual(
-            (bhi, blo), (xhi, xlo), (top_hi, top_lo), (bot_hi, bot_lo),
-            diag, off,
+        halos_hi = halos(xhi)
+        halos_lo = halos(xlo)
+        axis_halos = tuple(
+            (axis,
+             (halos_hi[axis][0], halos_lo[axis][0]),
+             (halos_hi[axis][1], halos_lo[axis][1]))
+            for axis in range(nsplit)
         )
+        rhi, rlo = _df_tile_residual(
+            (bhi, blo), (xhi, xlo), axis_halos, diag, off)
         # f32-safe global norm: scale by the global max first
         m = jnp.maximum(jnp.max(jnp.abs(rhi)), jnp.float32(1e-30))
-        m = lax.pmax(m, ("block", "intra"))
-        ss = lax.psum(jnp.sum(jnp.square(rhi / m)), ("block", "intra"))
+        m = lax.pmax(m, axes)
+        ss = lax.psum(jnp.sum(jnp.square(rhi / m)), axes)
         return rhi, rlo, m * jnp.sqrt(ss)
 
     residual_pass = jax.jit(shard_map(
@@ -416,18 +529,19 @@ def _northstar_solvers(mesh: Mesh, opcfg, inner_rtol: float,
                        pcg_maxiter: int, nu: int, min_size: int,
                        coarse_iters: int):
     """Compiled per-pass PCG + on-mesh RHS builder, cached per config."""
-    ndev = mesh.shape["block"] * mesh.shape["intra"]
-    plan = plan_sharded(opcfg, ndev, nu=nu, min_size=min_size,
+    dims = _grid_dims(opcfg)
+    splits = _axis_splits(mesh, len(dims))
+    plan = plan_sharded(opcfg, splits, nu=nu, min_size=min_size,
                         coarse_iters=coarse_iters)
-    dims = plan.dims[0]
     halo_mv, _ = _make_halo_mv(mesh, plan.diag, plan.off)
-    spec = _grid_spec(len(dims))
+    spec = _grid_spec(mesh, len(dims))
+    axes = _mesh_axes(mesh)
 
     def _pcg_body(r_loc):
         res = krylov.cg(
             halo_mv, r_loc,
             maxiter=pcg_maxiter, rtol=inner_rtol,
-            axis_name=("block", "intra"),
+            axis_name=axes,
             precond=lambda v: _sharded_vcycle(plan, halo_mv, v),
         )
         return res.x
@@ -438,7 +552,7 @@ def _northstar_solvers(mesh: Mesh, opcfg, inner_rtol: float,
     ))
 
     def _rhs_body():
-        ones = jnp.ones((dims[0] // ndev,) + dims[1:], jnp.float32)
+        ones = jnp.ones(plan.local(0), jnp.float32)
         return halo_mv(ones)
 
     make_b = jax.jit(shard_map(
@@ -466,7 +580,7 @@ def sharded_df_northstar(
 
     Single-chip twin: the 256^3/512^3 entries in BENCHMARKS.md (bench.py
     north-star section).  Returns the ``RefineResult`` (x is the sharded
-    df pair) plus the per-pass PCG solver for reuse.
+    df pair).  Works on both the strip and tiled meshes.
     """
     pcg, make_b = _northstar_solvers(
         mesh, opcfg, float(inner_rtol), int(pcg_maxiter),

@@ -447,7 +447,7 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
         pcg_maxiter = cfg.inner_maxiter or 60
         want_refine = dtype == jnp.float32 and cfg.rtol < 1e-5
 
-        if cfg.backend == "sharded":
+        if cfg.backend in ("sharded", "tiled"):
             from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
                 ShardedPoisson2D,
                 ShardedPoisson3D,
@@ -456,7 +456,14 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
                 sharded_mgpcg_solve,
             )
 
-            mesh = make_mesh(nblocks=cfg.nblocks, intra=cfg.intra)
+            if cfg.backend == "tiled":
+                from medane_tchakorom_ufc_thesis_repository_tpu.parallel.tiled import (
+                    make_tiled_mesh,
+                )
+
+                mesh = make_tiled_mesh(cfg.nblocks, cfg.ir, cfg.ic)
+            else:
+                mesh = make_mesh(nblocks=cfg.nblocks, intra=cfg.intra)
             opcfg = (ShardedPoisson2D(cfg.m, cfg.n) if cfg.dim == 2
                      else ShardedPoisson3D(cfg.m, cfg.n, cfg.nz))
             if want_refine:
@@ -513,7 +520,7 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
                 x_flat = kres.x.reshape(-1)
         else:
             raise SystemExit(
-                "MGPCG supports backends 'stacked' and 'sharded'"
+                "MGPCG supports backends 'stacked', 'sharded', and 'tiled'"
             )
 
         if want_refine:

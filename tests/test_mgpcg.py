@@ -100,8 +100,8 @@ class TestDFSlabResidual:
         from jax.experimental.shard_map import shard_map
 
         def body(bh, bl, xh, xl):
-            th, bh_ = halos(xh)
-            tl, bl_ = halos(xl)
+            (th, bh_), = halos(xh)
+            (tl, bl_), = halos(xl)
             return mgpcg._df_slab_residual(
                 (bh, bl), (xh, xl), (th, tl), (bh_, bl_), diag, off)
 
@@ -117,6 +117,58 @@ class TestDFSlabResidual:
                 + np.asarray(rlo, np.float64))
         err = np.abs(r_df - r_exact).max() / np.abs(r_exact).max()
         assert err < 1e-13, err
+
+
+class TestTiledMGPCG:
+    """The same solvers over the 2-D-tiled ('block','ir','ic') mesh —
+    perimeter halos on the TPU torus (parallel/tiled.py layout)."""
+
+    @pytest.fixture(scope="class")
+    def tmesh(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.parallel.tiled import (
+            make_tiled_mesh,
+        )
+
+        return make_tiled_mesh(2, 2, 2)  # 2 blocks x 2 row x 2 col tiles
+
+    def test_plan_respects_both_split_axes(self, tmesh):
+        plan = mgpcg.plan_sharded(
+            ShardedPoisson3D(32, 32, 32),
+            mgpcg._axis_splits(tmesh, 3),
+        )
+        # rows_loc (4-way split): 8->4->2, stops when halving would give
+        # a fractional plane; cols_loc (2-way): 16->8->4 (not binding)
+        assert plan.dims == (
+            (32, 32, 32), (16, 16, 16), (8, 8, 8), (4, 4, 4))
+
+    def test_3d_matches_strip_mesh(self, mesh8, tmesh):
+        """Identical math on both mesh topologies: same iteration count
+        and the same solution (different collective pattern only)."""
+        op = ShardedPoisson3D(32, 32, 32)
+        b = jnp.asarray(
+            np.random.RandomState(3).rand(32, 32, 32), jnp.float32)
+        res_t = mgpcg.sharded_mgpcg_solve(tmesh, op, b, rtol=1e-5,
+                                          maxiter=40)
+        res_s = mgpcg.sharded_mgpcg_solve(mesh8, op, b, rtol=1e-5,
+                                          maxiter=40)
+        assert bool(res_t.converged)
+        assert abs(int(res_t.iters) - int(res_s.iters)) <= 1
+        np.testing.assert_allclose(
+            np.asarray(res_t.x), np.asarray(res_s.x), rtol=2e-4, atol=2e-5)
+
+    def test_northstar_tiled(self, tmesh):
+        nx = ny = nz = 16
+        op = ShardedPoisson3D(nx, ny, nz)
+        res = mgpcg.sharded_df_northstar(tmesh, op, rtol=1e-8)
+        assert res.converged
+        x64 = df64.df_to_f64(res.x)
+        np.testing.assert_allclose(x64, 1.0, atol=1e-7)
+
+        mv64 = stencil3d_mv_np(nx, ny, nz)
+        b64 = mv64(np.ones(nx * ny * nz))
+        rel = (np.linalg.norm(b64 - mv64(x64.reshape(-1)))
+               / np.linalg.norm(b64))
+        assert rel <= 1e-8, rel
 
 
 class TestShardedNorthstar:
