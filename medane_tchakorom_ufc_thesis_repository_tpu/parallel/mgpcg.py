@@ -216,18 +216,29 @@ class ShardedMGPlan:
     nu: int
     coarse_iters: int
     splits: Tuple[int, ...]
+    agglomerate: bool = True
+    min_size: int = 4
 
     def local(self, level: int) -> Tuple[int, ...]:
         return tuple(d // s for d, s in zip(self.dims[level], self.splits))
 
 
 def plan_sharded(opcfg, splits, *, nu: int = 2, min_size: int = 4,
-                 coarse_iters: int = 40) -> ShardedMGPlan:
+                 coarse_iters: int = 40,
+                 agglomerate: bool = True) -> ShardedMGPlan:
     """Coarsen while (a) each device's tile keeps an even plane count
     along every SPLIT axis (so restriction never crosses a device
     boundary), and (b) unsplit dims stay even and above ``min_size``.
     ``splits`` is the per-grid-axis device count (an int means the
-    leading axis only)."""
+    leading axis only).
+
+    ``agglomerate``: continue the V-cycle below the distributed coarsest
+    level on a REPLICATED copy of the (tiny) coarse grid — see
+    ``_sharded_vcycle``.  Without it the distributed coarsest grows with
+    the device count (one plane per device) and a fixed-iteration
+    Chebyshev under-solves it at scale; with it the level hierarchy is
+    identical to the single-device plan at any device count.
+    """
     dims = _grid_dims(opcfg)
     if isinstance(splits, int):
         splits = (splits,) + (1,) * (len(dims) - 1)
@@ -255,20 +266,85 @@ def plan_sharded(opcfg, splits, *, nu: int = 2, min_size: int = 4,
     return ShardedMGPlan(
         dims=tuple(levels), diag=float(opcfg.diag), off=float(opcfg.off),
         nu=nu, coarse_iters=coarse_iters, splits=splits,
+        agglomerate=agglomerate, min_size=min_size,
     )
 
 
+def _make_agglomerator(mesh: Mesh, splits: Tuple[int, ...]):
+    """Gather a distributed grid onto EVERY device / slice the local
+    tile back out — the coarse-grid agglomeration step of distributed
+    multigrid.  ``all_gather`` with multiple axis names concatenates in
+    mesh-axis-major order, which matches the tile ownership order
+    (('block','ir') are the leading-axis owners, 'ic' the second-axis
+    owners)."""
+    layout = _layout(mesh)
+
+    if layout == "strip":
+        def gather(g):
+            return lax.all_gather(g, ("block", "intra"), axis=0, tiled=True)
+
+        def slice_local(full, local_dims):
+            ni = mesh.shape["intra"]
+            idx = lax.axis_index("block") * ni + lax.axis_index("intra")
+            zero = jnp.zeros((), idx.dtype)
+            start = ((idx * local_dims[0],)
+                     + (zero,) * (len(local_dims) - 1))
+            return lax.dynamic_slice(full, start, local_dims)
+
+        return gather, slice_local
+
+    def gather(g):
+        g = lax.all_gather(g, ("block", "ir"), axis=0, tiled=True)
+        return lax.all_gather(g, "ic", axis=1, tiled=True)
+
+    def slice_local(full, local_dims):
+        pr = mesh.shape["ir"]
+        r_idx = lax.axis_index("block") * pr + lax.axis_index("ir")
+        c_idx = lax.axis_index("ic")
+        zero = jnp.zeros((), r_idx.dtype)
+        start = ((r_idx * local_dims[0], c_idx * local_dims[1])
+                 + (zero,) * (len(local_dims) - 2))
+        return lax.dynamic_slice(full, start, local_dims)
+
+    return gather, slice_local
+
+
 def _sharded_vcycle(plan: ShardedMGPlan, halo_mv: Callable, b: jax.Array,
-                    level: int = 0) -> jax.Array:
+                    level: int = 0, agg=None) -> jax.Array:
     """One V(nu, nu) cycle from the zero guess on the local tile.  The
     recursion is Python-static, so the whole cycle unrolls into one XLA
-    program per device (identical on all devices — SPMD-lockstep)."""
+    program per device (identical on all devices — SPMD-lockstep).
+
+    Coarsest level: with ``agg`` (coarse-grid agglomeration — the
+    standard distributed-MG move), the tiny coarse grid is
+    ``all_gather``ed onto every device and the SINGLE-DEVICE V-cycle
+    recursion (``solvers.multigrid.vcycle``) continues on the replicated
+    copy down to ``min_size`` — every device redundantly computes the
+    identical correction (SPMD-lockstep by construction) and slices its
+    tile back out.  This makes the effective level hierarchy IDENTICAL
+    to the single-device plan at any device count; without it the
+    distributed coarsest grows with the mesh (one plane per device) and
+    the fixed-iteration Chebyshev under-solves it at scale."""
     dims = plan.dims[level]
     dtype = b.dtype
     omega = jnp.asarray(_JACOBI_OMEGA[len(dims)] / plan.diag, dtype)
     mv = halo_mv
 
     if level == len(plan.dims) - 1:
+        if agg is not None:
+            from medane_tchakorom_ufc_thesis_repository_tpu.solvers import (
+                multigrid as mg_mod,
+            )
+
+            gather, slice_local = agg
+            full = gather(b)
+            sub = mg_mod.plan(
+                mg_mod._make_op(dims, plan.diag, plan.off),
+                nu=plan.nu, min_size=plan.min_size,
+                coarse_iters=plan.coarse_iters,
+            )
+            e_full = mg_mod.vcycle(sub, full)
+            return slice_local(e_full, plan.local(level))
         lmin, lmax = _dirichlet_bounds(dims, plan.diag, plan.off)
         return chebyshev(
             mv, b, maxiter=plan.coarse_iters, lmin=lmin, lmax=lmax
@@ -281,7 +357,7 @@ def _sharded_vcycle(plan: ShardedMGPlan, halo_mv: Callable, b: jax.Array,
     r = b - mv(x)
     # (2h)^2 / h^2 rescaling of the h^2-convention residual
     rc = 4.0 * _restrict(r, plan.local(level))
-    ec = _sharded_vcycle(plan, halo_mv, rc, level + 1)
+    ec = _sharded_vcycle(plan, halo_mv, rc, level + 1, agg)
     x = x + _prolong(ec, plan.local(level + 1)).astype(dtype)
 
     for _ in range(plan.nu):
@@ -306,6 +382,7 @@ def _mgpcg_run(mesh: Mesh, opcfg, rtol: float, atol: float, maxiter: int,
     plan = plan_sharded(opcfg, _axis_splits(mesh, len(dims)), nu=nu,
                         min_size=min_size, coarse_iters=coarse_iters)
     halo_mv, _halos = _make_halo_mv(mesh, plan.diag, plan.off)
+    agg = _make_agglomerator(mesh, plan.splits) if plan.agglomerate else None
     axes = _mesh_axes(mesh)
 
     def body(b_loc):
@@ -313,7 +390,7 @@ def _mgpcg_run(mesh: Mesh, opcfg, rtol: float, atol: float, maxiter: int,
             halo_mv, b_loc,
             maxiter=maxiter, rtol=rtol, atol=atol,
             axis_name=axes,
-            precond=lambda r: _sharded_vcycle(plan, halo_mv, r),
+            precond=lambda r: _sharded_vcycle(plan, halo_mv, r, agg=agg),
         )
         return res.x, res.iters, res.resnorm, res.resnorm0, res.converged
 
@@ -534,6 +611,7 @@ def _northstar_solvers(mesh: Mesh, opcfg, inner_rtol: float,
     plan = plan_sharded(opcfg, splits, nu=nu, min_size=min_size,
                         coarse_iters=coarse_iters)
     halo_mv, _ = _make_halo_mv(mesh, plan.diag, plan.off)
+    agg = _make_agglomerator(mesh, plan.splits) if plan.agglomerate else None
     spec = _grid_spec(mesh, len(dims))
     axes = _mesh_axes(mesh)
 
@@ -542,7 +620,7 @@ def _northstar_solvers(mesh: Mesh, opcfg, inner_rtol: float,
             halo_mv, r_loc,
             maxiter=pcg_maxiter, rtol=inner_rtol,
             axis_name=axes,
-            precond=lambda v: _sharded_vcycle(plan, halo_mv, v),
+            precond=lambda v: _sharded_vcycle(plan, halo_mv, v, agg=agg),
         )
         return res.x
 
