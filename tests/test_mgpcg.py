@@ -77,6 +77,44 @@ class TestShardedMGPCG:
         assert iters[1] <= iters[0] + 2
 
 
+class TestAgglomerator:
+    @pytest.mark.parametrize("which", ["strip", "tile"])
+    def test_gather_slice_roundtrip(self, which, mesh8):
+        """slice_local(gather(g)) must be the identity on every device's
+        tile — the correctness core of coarse-grid agglomeration."""
+        import jax
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import NamedSharding
+
+        if which == "strip":
+            mesh = mesh8
+            splits = (8, 1, 1)
+        else:
+            from medane_tchakorom_ufc_thesis_repository_tpu.parallel.tiled import (
+                make_tiled_mesh,
+            )
+
+            mesh = make_tiled_mesh(2, 2, 2)
+            splits = (4, 2, 1)
+        dims = (8, 8, 4)
+        local = tuple(d // s for d, s in zip(dims, splits))
+        gather, slice_local = mgpcg._make_agglomerator(mesh, splits)
+        spec = mgpcg._grid_spec(mesh, 3)
+
+        g = jnp.asarray(
+            np.arange(np.prod(dims), dtype=np.float32).reshape(dims))
+        g_sh = jax.device_put(g, NamedSharding(mesh, spec))
+
+        def body(x):
+            return slice_local(gather(x), local)
+
+        out = shard_map(
+            body, mesh=mesh, in_specs=(spec,), out_specs=spec,
+            check_rep=False,
+        )(g_sh)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(g))
+
+
 class TestDFSlabResidual:
     def test_matches_host_f64(self, mesh8):
         """The halo-corrected df slab residual must agree with the exact
