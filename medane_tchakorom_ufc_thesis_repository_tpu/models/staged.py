@@ -111,9 +111,14 @@ def staged_multisplit_solve(
         if minimization == "global":
             Rf = Rb.reshape(nb * bs, s)
             alpha = _solve_ls(Rf, target.reshape(-1), outer_eff)
-            out_r = target.reshape(-1) - Rf @ alpha
+            # precision='highest': TPU matmuls default to bf16 operands;
+            # the production multisplit_solve path pins these (this
+            # module's contract is exact-iterate parity with it)
+            out_r = target.reshape(-1) - jnp.matmul(
+                Rf, alpha, precision="highest")
             outer_rnorm = jnp.sqrt(jnp.sum(out_r * out_r))
-            x_new = jnp.einsum("bns,s->bn", Sb, alpha)
+            x_new = jnp.einsum("bns,s->bn", Sb, alpha,
+                               precision="highest")
         else:
             if outer_pb is not None:
                 alpha = jnp.stack([
@@ -128,9 +133,11 @@ def staged_multisplit_solve(
                 alpha = jnp.broadcast_to(
                     jnp.mean(alpha, axis=0, keepdims=True), alpha.shape
                 )
-            out_r = target - jnp.einsum("bns,bs->bn", Rb, alpha)
+            out_r = target - jnp.einsum("bns,bs->bn", Rb, alpha,
+                                        precision="highest")
             outer_rnorm = jnp.sqrt(jnp.sum(out_r * out_r))
-            x_new = jnp.einsum("bns,bs->bn", Sb, alpha)
+            x_new = jnp.einsum("bns,bs->bn", Sb, alpha,
+                               precision="highest")
         return x_new, outer_rnorm
 
     @jax.jit

@@ -151,7 +151,8 @@ int connect_to(const std::pair<std::string, int>& addr,
   return -1;
 }
 
-int get_out_fd(Transport* t, int32_t dst, std::mutex*& lock_out) {
+int get_out_fd(Transport* t, int32_t dst, std::mutex*& lock_out,
+               double connect_timeout_s = 60.0) {
   std::unique_lock<std::mutex> lk(t->out_mu);
   auto it = t->out_locks.find(dst);
   if (it == t->out_locks.end()) {
@@ -161,7 +162,8 @@ int get_out_fd(Transport* t, int32_t dst, std::mutex*& lock_out) {
   auto fit = t->out_fds.find(dst);
   if (fit != t->out_fds.end()) return fit->second;
   lk.unlock();
-  int fd = connect_to(t->addrs[static_cast<size_t>(dst)], 60.0);
+  int fd = connect_to(t->addrs[static_cast<size_t>(dst)],
+                      connect_timeout_s);
   if (fd < 0) return -1;
   lk.lock();
   auto again = t->out_fds.find(dst);
@@ -175,9 +177,9 @@ int get_out_fd(Transport* t, int32_t dst, std::mutex*& lock_out) {
 
 bool send_frame(Transport* t, int32_t dst, int32_t kind, int32_t tag,
                 int32_t iter, int32_t pos, const uint8_t* payload,
-                int64_t plen) {
+                int64_t plen, double connect_timeout_s = 60.0) {
   std::mutex* lock = nullptr;
-  int fd = get_out_fd(t, dst, lock);
+  int fd = get_out_fd(t, dst, lock, connect_timeout_s);
   if (fd < 0) return false;
   std::vector<uint8_t> frame(kHdrSize + static_cast<size_t>(plen));
   pack_header(frame.data(), kind, t->rank, tag, iter, pos,
@@ -197,7 +199,11 @@ void handle_frame(Transport* t, const Header& h,
     s.iter = h.iter;
     s.version += 1;
   } else if (h.kind == kPingKind) {
-    send_frame(t, h.src, kPongKind, 0, h.iter, 0, nullptr, 0);
+    // pong replies run ON the router thread: a long connect retry to an
+    // unreachable pinger would stall ALL inbound traffic, so cap the
+    // connect budget (a dropped pong just reads as no-reply to the
+    // pinger's RTT probe)
+    send_frame(t, h.src, kPongKind, 0, h.iter, 0, nullptr, 0, 2.0);
   } else if (h.kind == kPongKind) {
     std::lock_guard<std::mutex> lg(t->d_mu);
     t->pongs.insert(h.iter);

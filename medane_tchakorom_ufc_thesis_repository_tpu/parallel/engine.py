@@ -116,9 +116,12 @@ def make_spmd_body(
         )
 
         lockstep = None if "block" in axes else "block"
+        # full-precision panel matvecs: TPU matmuls default to bf16
+        # inputs, which caps attainable LS accuracy far above outer.rtol
         res = lsqr(
-            lambda a: Rmat @ a,
-            lambda u: lax.psum(Rmat.T @ u, axes),
+            lambda a: jnp.matmul(Rmat, a, precision="highest"),
+            lambda u: lax.psum(
+                jnp.matmul(Rmat.T, u, precision="highest"), axes),
             tgt,
             n=s,
             maxiter=outer.maxiter,

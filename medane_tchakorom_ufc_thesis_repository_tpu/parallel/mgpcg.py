@@ -511,17 +511,22 @@ def _df_refine_helpers_sharded(mesh: Mesh, opcfg):
     _halo_mv, halos = _make_halo_mv(mesh, diag, off)
     spec = _grid_spec(mesh, len(dims))
     axes = _mesh_axes(mesh)
-    nsplit = sum(1 for s in _axis_splits(mesh, len(dims)) if s > 1)
     scalar = P()
 
     def _residual_body(bhi, blo, xhi, xlo):
+        # halos() returns one (lo, hi) pair per LAYOUT axis, positionally
+        # aligned with grid axes 0..k — consume them all (a degenerate
+        # 1-device axis yields zero halos, which matches its Dirichlet
+        # padding), rather than counting splits>1: on a tiled mesh with
+        # block*ir == 1 the split axis is axis 1, and a count-based pair
+        # would silently drop its real halos from the residual
         halos_hi = halos(xhi)
         halos_lo = halos(xlo)
         axis_halos = tuple(
             (axis,
-             (halos_hi[axis][0], halos_lo[axis][0]),
-             (halos_hi[axis][1], halos_lo[axis][1]))
-            for axis in range(nsplit)
+             (hh[0], hl[0]),
+             (hh[1], hl[1]))
+            for axis, (hh, hl) in enumerate(zip(halos_hi, halos_lo))
         )
         rhi, rlo = _df_tile_residual(
             (bhi, blo), (xhi, xlo), axis_halos, diag, off)

@@ -169,6 +169,43 @@ def _check_spmd_configs(inner, outer) -> None:
     # method (lsqr is already lockstep across 'block')
 
 
+def make_full_mv(opcfg, ni: int, nb: int):
+    """Whole-mesh stencil apply on the canonical ``(rows, fdim)`` local
+    layout, shared by the sharded GMRES/CA-GMRES baselines.
+
+    Halo/compute overlap schedule (the VecScatterBegin/End split — the
+    reference's VecScatterEnd wait is a top-6 hotspot): issue every
+    ppermute FIRST, compute the whole interior while the collectives are
+    in flight, and only then consume the halos.  The
+    ``optimization_barrier`` pins that order — XLA's latency-hiding
+    scheduler places collective-permute-start before the interior fusion
+    and collective-permute-done after it, so ICI transfer time hides
+    under the interior stencil pass.
+    """
+    off = opcfg.off
+    up_pairs = [(i, i + 1) for i in range(ni - 1)]
+    down_pairs = [(i, i - 1) for i in range(1, ni)]
+    blk_up = [(k, k + 1) for k in range(nb - 1)]
+    blk_down = [(k, k - 1) for k in range(1, nb)]
+
+    def full_mv(g):
+        top_i = lax.ppermute(g[-1, :], "intra", up_pairs)
+        bot_i = lax.ppermute(g[0, :], "intra", down_pairs)
+        wrap_top = lax.ppermute(g[-1, :], "intra", [(ni - 1, 0)])
+        top_b = lax.ppermute(wrap_top, "block", blk_up)
+        wrap_bot = lax.ppermute(g[0, :], "intra", [(0, ni - 1)])
+        bot_b = lax.ppermute(wrap_bot, "block", blk_down)
+        y = opcfg.interior_mv(g)
+        y, top_i, bot_i, top_b, bot_b = lax.optimization_barrier(
+            (y, top_i, bot_i, top_b, bot_b)
+        )
+        y = y.at[0, :].add(off * (top_i + top_b))
+        y = y.at[-1, :].add(off * (bot_i + bot_b))
+        return y
+
+    return full_mv
+
+
 def sharded_gmres_solve(
     mesh: Mesh,
     opcfg,
@@ -198,35 +235,7 @@ def sharded_gmres_solve(
     rows_loc = opcfg.split_extent // ndev
     fdim = opcfg.fdim
     lshape = (rows_loc, fdim)
-    off = opcfg.off
-
-    up_pairs = [(i, i + 1) for i in range(ni - 1)]
-    down_pairs = [(i, i - 1) for i in range(1, ni)]
-    blk_up = [(k, k + 1) for k in range(nb - 1)]
-    blk_down = [(k, k - 1) for k in range(1, nb)]
-
-    def full_mv(g):
-        # halo/compute overlap schedule (the VecScatterBegin/End split —
-        # the reference's VecScatterEnd wait is a top-6 hotspot): issue
-        # every ppermute FIRST, compute the whole interior while the
-        # collectives are in flight, and only then consume the halos.
-        # The optimization_barrier pins that order — XLA's latency-hiding
-        # scheduler places collective-permute-start before the interior
-        # fusion and collective-permute-done after it, so ICI transfer
-        # time hides under the interior stencil pass.
-        top_i = lax.ppermute(g[-1, :], "intra", up_pairs)
-        bot_i = lax.ppermute(g[0, :], "intra", down_pairs)
-        wrap_top = lax.ppermute(g[-1, :], "intra", [(ni - 1, 0)])
-        top_b = lax.ppermute(wrap_top, "block", blk_up)
-        wrap_bot = lax.ppermute(g[0, :], "intra", [(0, ni - 1)])
-        bot_b = lax.ppermute(wrap_bot, "block", blk_down)
-        y = opcfg.interior_mv(g)
-        y, top_i, bot_i, top_b, bot_b = lax.optimization_barrier(
-            (y, top_i, bot_i, top_b, bot_b)
-        )
-        y = y.at[0, :].add(off * (top_i + top_b))
-        y = y.at[-1, :].add(off * (bot_i + bot_b))
-        return y
+    full_mv = make_full_mv(opcfg, ni, nb)
 
     def body(b_loc):
         # the while_loop is SPMD-safe here: all reductions span the whole
@@ -314,27 +323,7 @@ def sharded_ca_gmres_solve(
     rows_loc = opcfg.split_extent // ndev
     fdim = opcfg.fdim
     lshape = (rows_loc, fdim)
-    off = opcfg.off
-
-    up_pairs = [(i, i + 1) for i in range(ni - 1)]
-    down_pairs = [(i, i - 1) for i in range(1, ni)]
-    blk_up = [(k, k + 1) for k in range(nb - 1)]
-    blk_down = [(k, k - 1) for k in range(1, nb)]
-
-    def full_mv(g):
-        top_i = lax.ppermute(g[-1, :], "intra", up_pairs)
-        bot_i = lax.ppermute(g[0, :], "intra", down_pairs)
-        wrap_top = lax.ppermute(g[-1, :], "intra", [(ni - 1, 0)])
-        top_b = lax.ppermute(wrap_top, "block", blk_up)
-        wrap_bot = lax.ppermute(g[0, :], "intra", [(0, ni - 1)])
-        bot_b = lax.ppermute(wrap_bot, "block", blk_down)
-        y = opcfg.interior_mv(g)
-        y, top_i, bot_i, top_b, bot_b = lax.optimization_barrier(
-            (y, top_i, bot_i, top_b, bot_b)
-        )
-        y = y.at[0, :].add(off * (top_i + top_b))
-        y = y.at[-1, :].add(off * (bot_i + bot_b))
-        return y
+    full_mv = make_full_mv(opcfg, ni, nb)
 
     def body(b_loc):
         res = ca_gmres(

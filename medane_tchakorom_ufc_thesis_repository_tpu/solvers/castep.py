@@ -220,18 +220,22 @@ def ca_gmres(
                 jnp.abs(diag)
             )
             rr = rr + jnp.diag(jnp.where(safe, 0.0, 1.0).astype(dtype))
-            qtr = jnp.where(safe, q.T @ r, 0.0)
+            qtr = jnp.where(
+                safe, jnp.matmul(q.T, r, precision="highest"), 0.0)
             y = jax.scipy.linalg.solve_triangular(rr, qtr, lower=False)
         else:
-            G = psum(C @ C.T)              # (s, s)
-            c = psum(C @ r)
+            # full precision: TPU matmuls default to bf16 operands — the
+            # kappa(W)^2-sensitive Gram cannot survive that (see
+            # cycle_single's measured note)
+            G = psum(jnp.matmul(C, C.T, precision="highest"))  # (s, s)
+            c = psum(jnp.matmul(C, r, precision="highest"))
             jitter = jnp.finfo(dtype).eps * (jnp.trace(G) / s + 1.0)
             Gj = G + jitter * jnp.eye(s, dtype=dtype)
             ch, low = jax.scipy.linalg.cho_factor(Gj, lower=True)
             y = jax.scipy.linalg.cho_solve((ch, low), c)
 
-        x_new = x + K[:s].T @ y
-        res = r - C.T @ y
+        x_new = x + jnp.matmul(K[:s].T, y, precision="highest")
+        res = r - jnp.matmul(C.T, y, precision="highest")
         rnorm_new = jnp.sqrt(pnorm2(res))
 
         active = jnp.logical_and(~converged, iters < maxiter)

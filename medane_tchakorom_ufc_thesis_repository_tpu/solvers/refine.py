@@ -124,7 +124,8 @@ def device_iterative_refinement(
     try:
         residual_pass, apply_correction = _device_refine_helpers(matvec)
     except TypeError:  # unhashable closure — fall back to per-call jits
-        _device_refine_helpers.cache_clear()
+        # (a failed lru_cache lookup raises BEFORE caching, so other
+        # operators' compiled helpers stay cached — do NOT cache_clear)
         residual_pass, apply_correction = _device_refine_helpers.__wrapped__(
             matvec
         )

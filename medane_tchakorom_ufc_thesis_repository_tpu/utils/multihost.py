@@ -199,6 +199,16 @@ def worker_main(argv: Optional[Sequence[str]] = None) -> int:
     b = np.asarray(_global_stencil_apply(opcfg, ones))
 
     alg = args.alg.upper()
+    known = ("GMRES", "MGPCG", "SM", "AM", "SMSM_LOCAL", "SMSM_SEMI_LOCAL",
+             "SMSM_GLOBAL", "AMAM_LOCAL", "AMAM_SEMI_LOCAL", "AMAM_GLOBAL")
+    if alg not in known:
+        # fail loudly: silently running a different algorithm than
+        # configured corrupts experiments (same rule as
+        # parallel.sharded._check_spmd_configs)
+        raise SystemExit(
+            f"multihost worker does not implement --alg {alg}; "
+            f"supported: {', '.join(known)}"
+        )
     err_override = None
     t0 = time.perf_counter()
     if alg == "GMRES":
