@@ -466,21 +466,16 @@ def launch_net_async(
 ) -> List[dict]:
     """Local fan-out: one OS process per block (the mpiexec analog for
     the TCP-async path).  Returns each rank's parsed JSON result."""
-    import os
-    import subprocess
-
     from medane_tchakorom_ufc_thesis_repository_tpu.utils.multihost import (
         free_port,
+        run_ranks,
         scrubbed_env,
     )
 
     ports = [free_port() for _ in range(nblocks)]
     env = scrubbed_env(1)
-    procs = []
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    for rank in range(nblocks):
-        cmd = [
+    cmds = [
+        [
             sys.executable, "-m",
             "medane_tchakorom_ufc_thesis_repository_tpu.models.net_async",
             "--rank", str(rank),
@@ -492,35 +487,9 @@ def launch_net_async(
             "--termination", termination,
             "--transport", transport,
         ]
-        procs.append(subprocess.Popen(
-            cmd, env=env, stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT, text=True, cwd=repo_root,
-        ))
-    outs, rcs = [], []
-    deadline = time.monotonic() + timeout_s
-    for p in procs:
-        left = max(1.0, deadline - time.monotonic())
-        try:
-            out, _ = p.communicate(timeout=left)
-        except subprocess.TimeoutExpired:
-            p.kill()
-            out, _ = p.communicate()
-            out += "\n[parent] TIMEOUT"
-        outs.append(out)
-        rcs.append(p.returncode)
-    if any(rc != 0 for rc in rcs):
-        blob = "\n".join(
-            f"--- rank {i} rc={rc}\n{o}"
-            for i, (rc, o) in enumerate(zip(rcs, outs))
-        )
-        raise RuntimeError(f"net_async launch failed:\n{blob}")
-    results = []
-    for i, out in enumerate(outs):
-        lines = [l for l in out.splitlines() if l.startswith("{")]
-        if not lines:
-            raise RuntimeError(f"rank {i} produced no JSON:\n{out}")
-        results.append(json.loads(lines[-1]))
-    return results
+        for rank in range(nblocks)
+    ]
+    return run_ranks(cmds, env, timeout_s=timeout_s, label="net_async")
 
 
 if __name__ == "__main__":

@@ -62,40 +62,26 @@ def scrubbed_env(devices_per_process: int) -> dict:
     return env
 
 
-def launch(
-    worker_args: Sequence[str],
-    *,
-    num_processes: int = 2,
-    devices_per_process: int = 4,
-    timeout_s: float = 600.0,
-    port: Optional[int] = None,
-) -> List[dict]:
-    """Spawn ``num_processes`` CPU workers running ``worker_main`` with
-    the given solve flags; return each worker's parsed JSON result.
+def repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 
-    Raises ``RuntimeError`` with the combined output if any rank fails —
-    the analog of mpiexec's nonzero exit on any-rank failure.
-    """
-    port = port or free_port()
-    env = scrubbed_env(devices_per_process)
-    procs = []
-    for pid in range(num_processes):
-        cmd = [
-            sys.executable, "-m",
-            "medane_tchakorom_ufc_thesis_repository_tpu.utils.multihost",
-            "--coordinator", f"localhost:{port}",
-            "--num-processes", str(num_processes),
-            "--process-id", str(pid),
-            *worker_args,
-        ]
-        procs.append(
-            subprocess.Popen(
-                cmd, env=env, stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT, text=True,
-                cwd=os.path.dirname(os.path.dirname(os.path.dirname(
-                    os.path.abspath(__file__)))),
-            )
+
+def run_ranks(cmds: Sequence[Sequence[str]], env: dict, *,
+              timeout_s: float, label: str) -> List[dict]:
+    """Spawn one subprocess per command, collect all under a SHARED
+    deadline (kill + mark on expiry), raise ``RuntimeError`` with the
+    combined output if any rank fails (the analog of mpiexec's
+    nonzero exit on any-rank failure), and parse each rank's last JSON
+    stdout line.  Shared by the jax.distributed fan-out here and the
+    TCP-async fan-out (``models.net_async.launch_net_async``)."""
+    procs = [
+        subprocess.Popen(
+            list(cmd), env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True, cwd=repo_root(),
         )
+        for cmd in cmds
+    ]
     outs, rcs = [], []
     deadline = time.monotonic() + timeout_s
     for p in procs:
@@ -110,9 +96,10 @@ def launch(
         rcs.append(p.returncode)
     if any(rc != 0 for rc in rcs):
         blob = "\n".join(
-            f"--- rank {i} rc={rc}\n{o}" for i, (rc, o) in enumerate(zip(rcs, outs))
+            f"--- rank {i} rc={rc}\n{o}"
+            for i, (rc, o) in enumerate(zip(rcs, outs))
         )
-        raise RuntimeError(f"multihost launch failed:\n{blob}")
+        raise RuntimeError(f"{label} launch failed:\n{blob}")
     results = []
     for i, out in enumerate(outs):
         line = [l for l in out.splitlines() if l.startswith("{")]
@@ -120,6 +107,32 @@ def launch(
             raise RuntimeError(f"rank {i} produced no JSON:\n{out}")
         results.append(json.loads(line[-1]))
     return results
+
+
+def launch(
+    worker_args: Sequence[str],
+    *,
+    num_processes: int = 2,
+    devices_per_process: int = 4,
+    timeout_s: float = 600.0,
+    port: Optional[int] = None,
+) -> List[dict]:
+    """Spawn ``num_processes`` CPU workers running ``worker_main`` with
+    the given solve flags; return each worker's parsed JSON result."""
+    port = port or free_port()
+    env = scrubbed_env(devices_per_process)
+    cmds = [
+        [
+            sys.executable, "-m",
+            "medane_tchakorom_ufc_thesis_repository_tpu.utils.multihost",
+            "--coordinator", f"localhost:{port}",
+            "--num-processes", str(num_processes),
+            "--process-id", str(pid),
+            *worker_args,
+        ]
+        for pid in range(num_processes)
+    ]
+    return run_ranks(cmds, env, timeout_s=timeout_s, label="multihost")
 
 
 # ---------------------------------------------------------------------------
