@@ -194,6 +194,28 @@ class TestTiledMGPCG:
         np.testing.assert_allclose(
             np.asarray(res_t.x), np.asarray(res_s.x), rtol=2e-4, atol=2e-5)
 
+    def test_northstar_column_only_split(self):
+        """Regression: a tiled mesh whose LEADING axis is unsplit
+        (block*ir == 1, ic > 1) must still feed the column halos into
+        the df residual — the positional pairing by count-of-splits
+        silently dropped them and certified a wrong-operator residual."""
+        from medane_tchakorom_ufc_thesis_repository_tpu.parallel.tiled import (
+            make_tiled_mesh,
+        )
+
+        mesh = make_tiled_mesh(1, 1, 2)
+        nx = ny = nz = 16
+        op = ShardedPoisson3D(nx, ny, nz)
+        res = mgpcg.sharded_df_northstar(mesh, op, rtol=1e-8)
+        assert res.converged
+        x64 = df64.df_to_f64(res.x)
+        np.testing.assert_allclose(x64, 1.0, atol=1e-7)
+        mv64 = stencil3d_mv_np(nx, ny, nz)
+        b64 = mv64(np.ones(nx * ny * nz))
+        rel = (np.linalg.norm(b64 - mv64(x64.reshape(-1)))
+               / np.linalg.norm(b64))
+        assert rel <= 1e-8, rel
+
     def test_northstar_tiled(self, tmesh):
         nx = ny = nz = 16
         op = ShardedPoisson3D(nx, ny, nz)
