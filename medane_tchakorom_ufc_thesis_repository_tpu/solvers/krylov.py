@@ -331,8 +331,12 @@ def cg(
         x = x + alpha * p
         r = r - alpha * ap
         z = M(r)
-        rz_new = psum(jnp.vdot(r, z))
-        rs_new = psum(jnp.vdot(r, r))
+        # ONE fused reduction for both post-update dots: on a mesh each
+        # psum is a latency-bound collective round-trip (the reference's
+        # measured hotspot is exactly these reductions, VecMDot/VecNorm)
+        # — stacking them cuts PCG from 3 to 2 collectives per iteration
+        rz_new, rs_new = psum(
+            jnp.stack([jnp.vdot(r, z), jnp.vdot(r, r)]))
         beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
         p = z + beta * p
         return x, r, p, rz_new, rs_new, iters + 1
@@ -342,8 +346,7 @@ def cg(
         return jnp.logical_and(jnp.sqrt(rs) > tol, iters < maxiter)
 
     z0 = M(r)
-    rz = psum(jnp.vdot(r, z0))
-    rs = psum(jnp.vdot(r, r))
+    rz, rs = psum(jnp.stack([jnp.vdot(r, z0), jnp.vdot(r, r)]))
     x, r, _, rz, rs, iters = lax.while_loop(
         cond, body, (x0, r, z0, rz, rs, jnp.zeros((), jnp.int32))
     )
