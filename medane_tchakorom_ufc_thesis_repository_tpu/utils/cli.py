@@ -53,6 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Jacobi blocks (np/npb analog)")
     p.add_argument("--intra", type=int, default=None,
                    help="devices per block (sharded backend)")
+    # the reference launcher's exact decomposition flags (iSolve:118-194):
+    # --np total workers, --npb workers per block => nblocks = np/npb,
+    # intra = npb.  Aliases for users switching from ./iSolve.
+    p.add_argument("--np", type=int, default=None, dest="np_flag",
+                   help="iSolve parity: total workers (= nblocks*npb)")
+    p.add_argument("--npb", type=int, default=None, dest="npb_flag",
+                   help="iSolve parity: workers per block (= intra)")
     p.add_argument("--backend", default=None,
                    choices=["stacked", "sharded", "tiled", "host_async"])
     p.add_argument("--ir", type=int, default=None,
@@ -234,6 +241,20 @@ def config_from_args(args) -> "RunConfig":
         load_config,
     )
 
+    # ./iSolve parity: --np/--npb derive the mesh decomposition
+    # (nblocks = np/npb, intra = npb; validation mirrors iSolve:332-338)
+    if args.npb_flag is not None or args.np_flag is not None:
+        if args.np_flag is None or args.npb_flag is None:
+            raise SystemExit("--np and --npb must be given together")
+        if args.npb_flag < 1 or args.np_flag % args.npb_flag:
+            raise SystemExit(
+                f"--np {args.np_flag} not divisible by --npb {args.npb_flag}"
+            )
+        if args.nblocks is None:
+            args.nblocks = args.np_flag // args.npb_flag
+        if args.intra is None:
+            args.intra = args.npb_flag
+
     inner_pb, outer_pb = _collect_per_block(args)
     pb_keys = {
         f"{kind}{blk}_{k}"
@@ -247,7 +268,7 @@ def config_from_args(args) -> "RunConfig":
         if v is not None and k not in (
             {"config", "json", "profile_dir", "multihost",
              "devices_per_process", "stage_timers", "record_history",
-             "net_async", "show_config"}
+             "net_async", "show_config", "np_flag", "npb_flag"}
             | pb_keys
         )
     }
