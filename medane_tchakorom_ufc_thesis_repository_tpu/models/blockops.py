@@ -477,7 +477,10 @@ def from_stacked_ell(op: StackedELLOperator,
         g = np.broadcast_to(rows_g, idx.shape)[nzmask]
         c = cols_g[nzmask]
         v = val[nzmask]
-        d_idx = np.array([omap[int(o)] for o in (c - g)])
+        # dtype pinned: an EMPTY part (e.g. block-diagonal system with a
+        # zero coupling half) yields a float64 array from the empty
+        # comprehension, which np.add.at rejects as an index
+        d_idx = np.array([omap[int(o)] for o in (c - g)], dtype=np.intp)
         np.add.at(data, (d_idx, g), v)
         return data, tuple(int(o) for o in offs)
 

@@ -120,10 +120,18 @@ class TcpTransport(Transport):
                         _, _, ver = self._data.get(src, (b"", 0, 0))
                         self._data[src] = (payload, it, ver + 1)
                 elif kind == _PING_KIND:
-                    # echo back for RTT measurement (comm.c:390-424)
-                    self._sendall(src, _HDR.pack(
-                        _PONG_KIND, self.rank, 0, it, 0, 0,
-                    ))
+                    # echo back for RTT measurement (comm.c:390-424).
+                    # Replies run ON this reader thread: cap the lazy
+                    # connect budget (a 60 s retry to an unreachable
+                    # pinger would stall all inbound frames on this
+                    # connection) and survive failure (a dropped pong
+                    # just reads as no-reply to the pinger's probe).
+                    try:
+                        self._sendall(src, _HDR.pack(
+                            _PONG_KIND, self.rank, 0, it, 0, 0,
+                        ), connect_timeout=2.0)
+                    except OSError:
+                        pass
                 elif kind == _PONG_KIND:
                     with self._dlock:
                         self._pongs.add(it)
@@ -138,13 +146,16 @@ class TcpTransport(Transport):
             conn.close()
 
     # -- send side -------------------------------------------------------
-    def _conn(self, dst: int) -> socket.socket:
+    def _conn(self, dst: int,
+              connect_timeout: Optional[float] = None) -> socket.socket:
         with self._olock:
             sock = self._out.get(dst)
             lock = self._olocks.setdefault(dst, threading.Lock())
         if sock is not None:
             return sock
-        deadline = time.monotonic() + self.connect_timeout
+        budget = (self.connect_timeout if connect_timeout is None
+                  else connect_timeout)
+        deadline = time.monotonic() + budget
         last_err: Optional[Exception] = None
         while time.monotonic() < deadline and not self._stop.is_set():
             try:
@@ -161,7 +172,8 @@ class TcpTransport(Transport):
             f"{self.addrs[dst]}: {last_err}"
         )
 
-    def _sendall(self, dst: int, frame: bytes) -> None:
+    def _sendall(self, dst: int, frame: bytes,
+                 connect_timeout: Optional[float] = None) -> None:
         """Best-effort once established: a peer that terminates after a
         positive verdict closes its listener while we may still be
         publishing — those sends must drop silently, matching the
@@ -171,7 +183,7 @@ class TcpTransport(Transport):
         if dst in self._departed:
             return
         try:
-            sock = self._conn(dst)
+            sock = self._conn(dst, connect_timeout)
             with self._olocks[dst]:
                 sock.sendall(frame)
             self._ok_sends.add(dst)

@@ -503,6 +503,14 @@ def _df_slab_residual(b_df, x_df, top_df, bot_df, diag: float, off: float):
         b_df, x_df, ((0, top_df, bot_df),), diag, off)
 
 
+@jax.jit
+def _b_norm(bhi):
+    """f32-safe global norm (scale by the max first): squares of tiny
+    values underflow f32 range."""
+    m = jnp.maximum(jnp.max(jnp.abs(bhi)), jnp.float32(1e-30))
+    return m * jnp.sqrt(jnp.sum(jnp.square(bhi / m)))
+
+
 @functools.lru_cache(maxsize=64)
 def _df_refine_helpers_sharded(mesh: Mesh, opcfg):
     """Compiled df residual/correction passes, cached per (mesh, op)."""
@@ -580,9 +588,10 @@ def sharded_df_refine(
     bhi, blo = b_df
     xhi = jnp.zeros_like(bhi)
     xlo = jnp.zeros_like(blo)
-    # rnorm0 = ||b|| (x0 = 0): reuse the residual pass
-    _rh, _rl, rn0 = residual_pass(bhi, blo, xhi, xlo)
-    rnorm0 = float(rn0)
+    # rnorm0 = ||b|| (x0 = 0 makes r = b by construction) — one f32-safe
+    # scaled norm under plain jit (XLA inserts the cross-device psums for
+    # the sharded array) instead of a full df residual pass
+    rnorm0 = float(_b_norm(bhi))
     if rnorm0 == 0.0:
         return RefineResult((xhi, xlo), 0, [], 0.0, 0.0, True)
     history = []

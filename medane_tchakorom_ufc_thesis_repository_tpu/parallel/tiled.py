@@ -61,21 +61,42 @@ def _make_tiled_inner(inner: InnerConfig, diag_mv, lshape, bounds_fn,
     on InnerConfig.method (silently substituting GMRES for a configured
     method would corrupt experiments).  ``diag_val`` enables the scalar
     Jacobi left-preconditioner for constant-diagonal stencils."""
-    if inner.method == "chebyshev" and inner.pc != "none":
-        raise ValueError("chebyshev inner solve does not compose with pc")
-    if inner.method == "chebyshev":
+    if inner.method in ("chebyshev", "ca_gmres") and inner.pc != "none":
+        raise ValueError(
+            f"{inner.method} inner solve does not compose with pc")
+    if inner.method in ("chebyshev", "ca_gmres"):
         if inner.eig_min is not None and inner.eig_max is not None:
             lo, hi = inner.eig_min, inner.eig_max
         else:
             lo, hi = bounds_fn()
 
-        def inner_solve(rhs, x):
-            return chebyshev(
-                lambda v: diag_mv(v.reshape(lshape)).reshape(-1),
-                rhs.reshape(-1), x.reshape(-1),
-                lmin=lo, lmax=hi, maxiter=inner.maxiter,
-                axis_name=("ir", "ic"),
+        if inner.method == "ca_gmres":
+            from medane_tchakorom_ufc_thesis_repository_tpu.solvers.castep import (
+                ca_gmres,
             )
+
+            def inner_solve(rhs, x):
+                # communication-avoiding inner solve: ONE ('ir','ic')
+                # psum per inner.restart matvecs; fixed_cycles keeps
+                # trip counts lockstep across 'block' (mirrors the 1-D
+                # sharded backend's dispatch)
+                return ca_gmres(
+                    lambda v: diag_mv(v.reshape(lshape)).reshape(-1),
+                    rhs.reshape(-1), x.reshape(-1),
+                    s=inner.restart, maxiter=inner.maxiter,
+                    rtol=inner.rtol, atol=inner.atol,
+                    lmin=lo, lmax=hi,
+                    axis_name=("ir", "ic"), fixed_cycles=True,
+                    reductions="single",
+                )
+        else:
+            def inner_solve(rhs, x):
+                return chebyshev(
+                    lambda v: diag_mv(v.reshape(lshape)).reshape(-1),
+                    rhs.reshape(-1), x.reshape(-1),
+                    lmin=lo, lmax=hi, maxiter=inner.maxiter,
+                    axis_name=("ir", "ic"),
+                )
     else:
         dinv = (1.0 / diag_val
                 if (inner.pc == "jacobi" and diag_val is not None) else 1.0)

@@ -126,6 +126,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "block each) exchanging iterates + Alg-5.15 "
                         "termination over TCP sockets (the reference's "
                         "inter-node async execution model)")
+    p.add_argument("--transport", default=None,
+                   choices=["auto", "python", "native"],
+                   help="net-async wire transport: pure-Python sockets or "
+                        "the C++ epoll router (native/src/comm.cpp); "
+                        "auto prefers native when it builds")
+    p.add_argument("--termination", default=None,
+                   choices=["protocol", "traversal"],
+                   help="net-async termination: Alg-5.15 protocol or the "
+                        "legacy 2x-traversal-time quiet-window guard "
+                        "(asynchronous-multisplitting.c.save:307-329)")
     p.add_argument("--multihost", type=int, default=None, metavar="NPROCS",
                    help="fan out NPROCS OS processes over jax.distributed "
                         "(the reference's mpiexec analog, iSolve:347-401); "
@@ -142,9 +152,17 @@ _MULTIHOST_PASSTHROUGH = {
     "nblocks": "--nblocks", "s": "--s", "rtol": "--rtol",
     "maxiter": "--maxiter", "staleness": "--staleness",
     "inner_maxiter": "--inner-maxiter", "inner_restart": "--inner-restart",
-    "inner_rtol": "--inner-rtol", "outer_method": "--outer-method",
+    "inner_rtol": "--inner-rtol", "inner_ksp": "--inner-ksp",
+    "inner_pc": "--inner-pc-type",
+    "basis_collection": "--basis-collection",
+    "outer_method": "--outer-method", "outer_maxiter": "--outer-maxiter",
+    "outer_rtol": "--outer-rtol",
     "min_convergence_count": "--min-convergence-count", "dtype": "--dtype",
 }
+
+# solver options the worker parser does NOT implement — reject loudly
+# instead of silently running a different configuration than requested
+_MULTIHOST_UNSUPPORTED = ("inner_basis", "ir", "ic", "intra")
 
 
 def run_multihost(args) -> dict:
@@ -152,6 +170,18 @@ def run_multihost(args) -> dict:
     return rank 0's result (all ranks' replicated scalars agree)."""
     from medane_tchakorom_ufc_thesis_repository_tpu.utils import multihost
 
+    for field in _MULTIHOST_UNSUPPORTED:
+        if getattr(args, field, None) is not None:
+            raise SystemExit(
+                f"--multihost does not implement --{field.replace('_', '-')}"
+            )
+    pb = [f for f in vars(args)
+          if (f.startswith(("inner1_", "inner2_", "outer1_", "outer2_"))
+              and getattr(args, f) is not None)]
+    if pb:
+        raise SystemExit(
+            f"--multihost does not implement per-block flags: {pb}"
+        )
     wargs = []
     for field, flag in _MULTIHOST_PASSTHROUGH.items():
         v = getattr(args, field, None)
@@ -204,6 +234,9 @@ def run_net_async(args) -> dict:
         rtol=args.rtol or 1e-4, maxiter=args.maxiter or 4000,
         min_convergence_count=args.min_convergence_count or 4,
         inner_maxiter=args.inner_maxiter or 20,
+        dtype=args.dtype or "float64",
+        termination=args.termination or "protocol",
+        transport=args.transport or "auto",
     )
     import jax.numpy as jnp
 
@@ -268,7 +301,8 @@ def config_from_args(args) -> "RunConfig":
         if v is not None and k not in (
             {"config", "json", "profile_dir", "multihost",
              "devices_per_process", "stage_timers", "record_history",
-             "net_async", "show_config", "np_flag", "npb_flag"}
+             "net_async", "show_config", "np_flag", "npb_flag",
+             "transport", "termination"}
             | pb_keys
         )
     }
@@ -303,10 +337,16 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
         trace,
     )
 
-    if stage_timers and (cfg.backend != "stacked" or cfg.alg == "GMRES"):
+    if stage_timers and (cfg.backend != "stacked"
+                         or cfg.alg in ("GMRES", "CA_GMRES", "MGPCG")):
         raise SystemExit(
             "--stage-timers runs the host-stepped profiling driver "
-            "(stacked backend, multisplitting algorithms)"
+            "(stacked backend, multisplitting algorithms only)"
+        )
+    if stage_timers and cfg.basis_collection == "publish":
+        raise SystemExit(
+            "--stage-timers (staged driver) does not implement "
+            "--basis-collection publish — drop one of the two flags"
         )
     if cfg.dtype == "float64" and not jax.config.read("jax_enable_x64"):
         jax.config.update("jax_enable_x64", True)

@@ -160,7 +160,13 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inner-maxiter", type=int, default=8)
     p.add_argument("--inner-restart", type=int, default=8)
     p.add_argument("--inner-rtol", type=float, default=1e-6)
+    p.add_argument("--inner-ksp", default="gmres")
+    p.add_argument("--inner-pc-type", default="none", dest="inner_pc")
+    p.add_argument("--basis-collection", default="sweep",
+                   dest="basis_collection")
     p.add_argument("--outer-method", default="qr")
+    p.add_argument("--outer-maxiter", type=int, default=200)
+    p.add_argument("--outer-rtol", type=float, default=1e-12)
     p.add_argument("--min-convergence-count", type=int, default=4)
     p.add_argument("--dtype", default="float64")
     return p
@@ -268,12 +274,16 @@ def worker_main(argv: Optional[Sequence[str]] = None) -> int:
             staleness=args.staleness if schedule == "async" else 1,
             minimization=minim, s=args.s,
             inner=InnerConfig(
+                method=args.inner_ksp, pc=args.inner_pc,
                 restart=args.inner_restart, maxiter=args.inner_maxiter,
                 rtol=args.inner_rtol,
             ),
-            outer=OuterConfig(method=args.outer_method),
+            outer=OuterConfig(method=args.outer_method,
+                              maxiter=args.outer_maxiter,
+                              rtol=args.outer_rtol),
             rtol=args.rtol, maxiter=args.maxiter,
             min_convergence_count=args.min_convergence_count,
+            basis_collection=args.basis_collection,
         )
         sweeps, cycles = int(res.sweeps), int(res.cycles)
         inner_iters = int(res.inner_iters)

@@ -101,6 +101,29 @@ class TestTiled:
         with pytest.raises(ValueError):
             tiled_multisplit_solve(mesh222, 30, 32, b[:30], rtol=1e-3)
 
+    def test_ca_gmres_inner_dispatched(self, mesh222):
+        """Regression: inner method='ca_gmres' must be honestly
+        dispatched (it used to fall into the GMRES else-branch and run a
+        different algorithm than configured).  Pin the dispatch via its
+        distinct composition rule: ca_gmres + pc raises, where the old
+        silent-GMRES path would happily run jacobi-preconditioned."""
+        from medane_tchakorom_ufc_thesis_repository_tpu.models.multisplitting import (
+            InnerConfig,
+        )
+
+        sop, b = _setup()
+        with pytest.raises(ValueError, match="does not compose with pc"):
+            tiled_multisplit_solve(
+                mesh222, 32, 32, b, rtol=1e-3,
+                inner=InnerConfig(method="ca_gmres", pc="jacobi"),
+            )
+        res = tiled_multisplit_solve(
+            mesh222, 32, 32, b, rtol=1e-3, maxiter=2000,
+            inner=InnerConfig(method="ca_gmres", restart=8, maxiter=16),
+        )
+        assert bool(res.converged)
+        assert _true_rel(sop, b, res.x) <= 1e-3
+
 
 class TestTiled3D:
     def test_3d_matches_stacked(self, mesh222):
