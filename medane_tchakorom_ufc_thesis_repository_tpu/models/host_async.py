@@ -403,7 +403,7 @@ def _host_async_intra_solve(
     (``iSolve --npb``, block sub-communicators ``utils.c:486-541``)."""
     from jax import lax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax>=0.8 home (was jax.experimental)
 
     from medane_tchakorom_ufc_thesis_repository_tpu.models.blockops import (
         StackedStencil2D,
@@ -483,7 +483,7 @@ def _host_async_intra_solve(
 
         fn = jax.jit(shard_map(
             body, mesh=sub, in_specs=(spec, spec),
-            out_specs=(spec, P()), check_rep=False,
+            out_specs=(spec, P()), check_vma=False,
         ))
         return fn, shd
 

@@ -472,24 +472,38 @@ def launch_net_async(
         scrubbed_env,
     )
 
-    ports = [free_port() for _ in range(nblocks)]
     env = scrubbed_env(1)
-    cmds = [
-        [
-            sys.executable, "-m",
-            "medane_tchakorom_ufc_thesis_repository_tpu.models.net_async",
-            "--rank", str(rank),
-            "--ports", ",".join(map(str, ports)),
-            "--m", str(m), "--n", str(n), "--rtol", str(rtol),
-            "--maxiter", str(maxiter),
-            "--min-convergence-count", str(min_convergence_count),
-            "--inner-maxiter", str(inner_maxiter), "--dtype", dtype,
-            "--termination", termination,
-            "--transport", transport,
+
+    def attempt():
+        ports = [free_port() for _ in range(nblocks)]
+        cmds = [
+            [
+                sys.executable, "-m",
+                "medane_tchakorom_ufc_thesis_repository_tpu.models.net_async",
+                "--rank", str(rank),
+                "--ports", ",".join(map(str, ports)),
+                "--m", str(m), "--n", str(n), "--rtol", str(rtol),
+                "--maxiter", str(maxiter),
+                "--min-convergence-count", str(min_convergence_count),
+                "--inner-maxiter", str(inner_maxiter), "--dtype", dtype,
+                "--termination", termination,
+                "--transport", transport,
+            ]
+            for rank in range(nblocks)
         ]
-        for rank in range(nblocks)
-    ]
-    return run_ranks(cmds, env, timeout_s=timeout_s, label="net_async")
+        return run_ranks(cmds, env, timeout_s=timeout_s, label="net_async")
+
+    try:
+        return attempt()
+    except RuntimeError as e:
+        # free_port() races under parallel launchers: a probed port can
+        # be re-bound by another process before a rank's listener comes
+        # up, surfacing as bind failures or unreachable-peer sends.  One
+        # retry on fresh ports covers the race.
+        msg = str(e).lower()
+        if "in use" in msg or "failed" in msg:
+            return attempt()
+        raise
 
 
 if __name__ == "__main__":

@@ -53,7 +53,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map  # jax>=0.8 home (was jax.experimental)
 
 from medane_tchakorom_ufc_thesis_repository_tpu.parallel import sharded as sh
 from medane_tchakorom_ufc_thesis_repository_tpu.solvers import df64, krylov
@@ -399,7 +399,7 @@ def _mgpcg_run(mesh: Mesh, opcfg, rtol: float, atol: float, maxiter: int,
     run = jax.jit(shard_map(
         body, mesh=mesh, in_specs=(spec,),
         out_specs=(spec, scalar, scalar, scalar, scalar),
-        check_rep=False,
+        check_vma=False,
     ))
     return run, spec
 
@@ -548,7 +548,7 @@ def _df_refine_helpers_sharded(mesh: Mesh, opcfg):
         _residual_body, mesh=mesh,
         in_specs=(spec,) * 4,
         out_specs=(spec, spec, scalar),
-        check_rep=False,
+        check_vma=False,
     ))
 
     @jax.jit
@@ -640,7 +640,7 @@ def _northstar_solvers(mesh: Mesh, opcfg, inner_rtol: float,
 
     pcg = jax.jit(shard_map(
         _pcg_body, mesh=mesh, in_specs=(spec,), out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     ))
 
     def _rhs_body():
@@ -649,7 +649,7 @@ def _northstar_solvers(mesh: Mesh, opcfg, inner_rtol: float,
 
     make_b = jax.jit(shard_map(
         _rhs_body, mesh=mesh, in_specs=(), out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     ))
     return pcg, make_b
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map  # jax>=0.8 home (was jax.experimental)
 
 
 def measure_collective_latency(
@@ -45,7 +45,7 @@ def measure_collective_latency(
     spec = P()  # replicated payload; ppermute moves full copies
     run = jax.jit(shard_map(
         body, mesh=mesh,
-        in_specs=(spec,), out_specs=spec, check_rep=False,
+        in_specs=(spec,), out_specs=spec, check_vma=False,
     ))
     x = jnp.ones((payload_floats,), jnp.float32)
     x = jax.device_put(x, NamedSharding(mesh, spec))

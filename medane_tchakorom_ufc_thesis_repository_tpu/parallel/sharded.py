@@ -42,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map  # jax>=0.8 home (was jax.experimental)
 
 from medane_tchakorom_ufc_thesis_repository_tpu.solvers import krylov
 from medane_tchakorom_ufc_thesis_repository_tpu.models.multisplitting import (
@@ -257,7 +257,7 @@ def sharded_gmres_solve(
         body, mesh=mesh,
         in_specs=(shard_spec,),
         out_specs=(shard_spec, scalar, scalar, scalar, scalar),
-        check_rep=False,
+        check_vma=False,
     )
     b_flat = b.reshape(opcfg.split_extent, fdim)
     b_sh = jax.device_put(b_flat, NamedSharding(mesh, shard_spec))
@@ -342,7 +342,7 @@ def sharded_ca_gmres_solve(
         body, mesh=mesh,
         in_specs=(shard_spec,),
         out_specs=(shard_spec, scalar, scalar, scalar, scalar),
-        check_rep=False,
+        check_vma=False,
     )
     b_flat = b.reshape(opcfg.split_extent, fdim)
     b_sh = jax.device_put(b_flat, NamedSharding(mesh, shard_spec))
@@ -559,7 +559,7 @@ def sharded_multisplit_solve(
         in_specs=(shard_spec, shard_spec),
         out_specs=(shard_spec, scalar, scalar, scalar, scalar, scalar,
                    P("block"), scalar, scalar, scalar),
-        check_rep=False,
+        check_vma=False,
     )
     b_flat = b.reshape(opcfg.split_extent, fdim)
     b_sh = jax.device_put(b_flat, NamedSharding(mesh, shard_spec))

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map  # jax>=0.8 home (was jax.experimental)
 
 from medane_tchakorom_ufc_thesis_repository_tpu.solvers import krylov
 from medane_tchakorom_ufc_thesis_repository_tpu.models.multisplitting import (
@@ -190,7 +190,7 @@ def _run(mesh, body_scalar, b, split0, split1, lshape, gshape, nb, dtype,
         in_specs=(shard_spec, shard_spec),
         out_specs=(shard_spec, scalar, scalar, scalar, scalar, scalar,
                    block_spec, scalar, scalar, scalar),
-        check_rep=False,
+        check_vma=False,
     )
     b_sh = jax.device_put(b, NamedSharding(mesh, shard_spec))
     x0_full = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
@@ -469,7 +469,7 @@ def tiled_gmres_solve(
         body, mesh=mesh,
         in_specs=(shard_spec,),
         out_specs=(shard_spec, scalar, scalar, scalar, scalar),
-        check_rep=False,
+        check_vma=False,
     )
     b_sh = jax.device_put(
         b.reshape(m, n), NamedSharding(mesh, shard_spec)
@@ -553,7 +553,7 @@ def tiled_gmres_solve_3d(
         body, mesh=mesh,
         in_specs=(shard_spec,),
         out_specs=(shard_spec, scalar, scalar, scalar, scalar),
-        check_rep=False,
+        check_vma=False,
     )
     b_sh = jax.device_put(
         b.reshape(nx, ny, nz), NamedSharding(mesh, shard_spec)

@@ -119,20 +119,32 @@ def launch(
 ) -> List[dict]:
     """Spawn ``num_processes`` CPU workers running ``worker_main`` with
     the given solve flags; return each worker's parsed JSON result."""
-    port = port or free_port()
     env = scrubbed_env(devices_per_process)
-    cmds = [
-        [
-            sys.executable, "-m",
-            "medane_tchakorom_ufc_thesis_repository_tpu.utils.multihost",
-            "--coordinator", f"localhost:{port}",
-            "--num-processes", str(num_processes),
-            "--process-id", str(pid),
-            *worker_args,
+
+    def attempt(p):
+        cmds = [
+            [
+                sys.executable, "-m",
+                "medane_tchakorom_ufc_thesis_repository_tpu.utils.multihost",
+                "--coordinator", f"localhost:{p}",
+                "--num-processes", str(num_processes),
+                "--process-id", str(pid),
+                *worker_args,
+            ]
+            for pid in range(num_processes)
         ]
-        for pid in range(num_processes)
-    ]
-    return run_ranks(cmds, env, timeout_s=timeout_s, label="multihost")
+        return run_ranks(cmds, env, timeout_s=timeout_s, label="multihost")
+
+    try:
+        return attempt(port or free_port())
+    except RuntimeError as e:
+        # free_port() is inherently racy under parallel launchers (xdist
+        # workers, concurrent fan-outs): another process can bind the
+        # probed port before the coordinator does.  One retry on a fresh
+        # port covers the race without masking real failures.
+        if port is None and "in use" in str(e).lower():
+            return attempt(free_port())
+        raise
 
 
 # ---------------------------------------------------------------------------

@@ -83,7 +83,7 @@ class TestAgglomerator:
         """slice_local(gather(g)) must be the identity on every device's
         tile — the correctness core of coarse-grid agglomeration."""
         import jax
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map  # jax>=0.8 home (was jax.experimental)
         from jax.sharding import NamedSharding
 
         if which == "strip":
@@ -110,7 +110,7 @@ class TestAgglomerator:
 
         out = shard_map(
             body, mesh=mesh, in_specs=(spec,), out_specs=spec,
-            check_rep=False,
+            check_vma=False,
         )(g_sh)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(g))
 
@@ -135,7 +135,7 @@ class TestDFSlabResidual:
 
         diag, off = float(op.diag), float(op.off)
         _mv, halos = mgpcg._make_halo_mv(mesh8, diag, off)
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map  # jax>=0.8 home (was jax.experimental)
 
         def body(bh, bl, xh, xl):
             (th, bh_), = halos(xh)
@@ -145,7 +145,7 @@ class TestDFSlabResidual:
 
         rhi, rlo = shard_map(
             body, mesh=mesh8, in_specs=(spec,) * 4,
-            out_specs=(spec, spec), check_rep=False,
+            out_specs=(spec, spec), check_vma=False,
         )(put(bhi), put(blo), put(xhi), put(xlo))
 
         mv64 = stencil3d_mv_np(nx, ny, nz)
