@@ -85,6 +85,23 @@ class TestMultihostMatchesSingleProcess:
             assert r["rnorm"] / r["rnorm0"] <= 1e-8
             assert r["err_vs_ones"] < 1e-6
 
+    def test_solver_flags_forwarded(self):
+        """The worker must honor forwarded solver options (they used to
+        be silently dropped): chebyshev inner + publish basis collection
+        on an async run."""
+        results = multihost.launch(
+            [
+                "--alg", "AMAM_GLOBAL", "--m", "32", "--n", "32",
+                "--s", "2", "--rtol", "1e-3", "--staleness", "2",
+                "--inner-ksp", "chebyshev", "--inner-maxiter", "16",
+                "--basis-collection", "publish",
+            ],
+            num_processes=2, devices_per_process=4, timeout_s=420,
+        )
+        for r in results:
+            assert r["converged"]
+            assert r["err_vs_ones"] < 0.1
+
     def test_gmres_baseline(self, mesh8):
         cfg = ShardedPoisson2D(self.M, self.N)
         b = jnp.asarray(_b_ones(cfg))
