@@ -499,9 +499,12 @@ def launch_net_async(
         # free_port() races under parallel launchers: a probed port can
         # be re-bound by another process before a rank's listener comes
         # up, surfacing as bind failures or unreachable-peer sends.  One
-        # retry on fresh ports covers the race.
+        # retry on fresh ports covers the race (match the specific
+        # startup symptoms only — other failures must surface).
         msg = str(e).lower()
-        if "in use" in msg or "failed" in msg:
+        if ("address already in use" in msg
+                or "could not reach rank" in msg
+                or "send_data to rank" in msg):
             return attempt()
         raise
 
