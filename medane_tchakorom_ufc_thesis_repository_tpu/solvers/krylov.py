@@ -303,9 +303,15 @@ def cg(
     rnorm0: Optional[jax.Array] = None,
     axis_name=None,
     precond: Optional[Callable] = None,
+    divtol: float = 1e5,
 ) -> KrylovResult:
     """Conjugate gradients for SPD systems (the reference's outer-CG config,
     ``config/default_run_variables`` outer ksp_type cg).
+
+    ``divtol``: divergence cutoff (PETSc KSPConvergedDefault divtol 1e5,
+    same convention as ``gmres``): stop iterating when the recurrence
+    residual exceeds ``divtol * rnorm0`` (e.g. an indefinite or wrongly
+    scaled operator); reported as NOT converged.  0 disables.
 
     ``precond``: optional SPD preconditioner apply ``M(r) -> z ~= A^{-1} r``
     (e.g. ``solvers.multigrid.mg_preconditioner``) — standard PCG with the
@@ -343,7 +349,11 @@ def cg(
 
     def cond(carry):
         _, _, _, _, rs, iters = carry
-        return jnp.logical_and(jnp.sqrt(rs) > tol, iters < maxiter)
+        keep = jnp.logical_and(jnp.sqrt(rs) > tol, iters < maxiter)
+        if divtol > 0.0:
+            keep = jnp.logical_and(
+                keep, jnp.sqrt(rs) <= divtol * rnorm0_)
+        return keep
 
     z0 = M(r)
     rz, rs = psum(jnp.stack([jnp.vdot(r, z0), jnp.vdot(r, r)]))

@@ -161,16 +161,24 @@ class MGLevels:
     off: float
     nu: int                              # pre/post smoothing sweeps
     coarse_iters: int
+    cycle: str = "v"                     # 'v' | 'w' (PCMG -pc_mg_cycle_type)
 
 
 def plan(op, *, nu: int = 2, min_size: int = 4,
-         max_levels: int = 32, coarse_iters: int = 40) -> MGLevels:
+         max_levels: int = 32, coarse_iters: int = 40,
+         cycle: str = "v") -> MGLevels:
     """Build the level hierarchy for a Stencil2D/3D operator.
 
     Coarsening halves every dimension while all of them stay even and
     above ``min_size``; the coarsest level is solved with ``coarse_iters``
-    Chebyshev steps under the analytic spectral bounds.
+    Chebyshev steps under the analytic spectral bounds.  ``cycle``: 'v'
+    (one recursive solve per level) or 'w' (two — PETSc's
+    ``-pc_mg_cycle_type w``; better contraction per cycle at ~2x the
+    coarse-level work, rarely worth it with PCG on Poisson but kept for
+    PCMG parity and harder operators).
     """
+    if cycle not in ("v", "w"):
+        raise ValueError(f"cycle must be 'v' or 'w', got {cycle!r}")
     dims = _op_dims(op)
     levels = [dims]
     while len(levels) < max_levels:
@@ -180,7 +188,7 @@ def plan(op, *, nu: int = 2, min_size: int = 4,
         levels.append(tuple(n // 2 for n in d))
     return MGLevels(
         dims=tuple(levels), diag=float(op.diag), off=float(op.off),
-        nu=nu, coarse_iters=coarse_iters,
+        nu=nu, coarse_iters=coarse_iters, cycle=cycle,
     )
 
 
@@ -208,6 +216,11 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0) -> jax.Array:
     # (2h)^2 / h^2 rescaling of the h^2-convention residual
     rc = 4.0 * _restrict(r, dims)
     ec = vcycle(levels, rc, level + 1)
+    if levels.cycle == "w" and level + 1 < len(levels.dims) - 1:
+        # W-cycle: re-solve the coarse problem on ITS residual (second
+        # recursive visit per level, skipped at the coarsest)
+        Ac = _make_op(levels.dims[level + 1], levels.diag, levels.off)
+        ec = ec + vcycle(levels, rc - Ac.mv(ec), level + 1)
     x = x + _prolong(ec, levels.dims[level + 1]).astype(dtype)
 
     for _ in range(levels.nu):
@@ -216,10 +229,12 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0) -> jax.Array:
 
 
 def mg_preconditioner(op, *, nu: int = 2, min_size: int = 4,
-                      coarse_iters: int = 40) -> Callable:
-    """Return ``M(r) -> z ~= A^{-1} r`` (one V-cycle), shape-polymorphic
-    like the stencil ``mv`` (flat or grid-shaped input)."""
-    levels = plan(op, nu=nu, min_size=min_size, coarse_iters=coarse_iters)
+                      coarse_iters: int = 40, cycle: str = "v") -> Callable:
+    """Return ``M(r) -> z ~= A^{-1} r`` (one V- or W-cycle, both
+    symmetric — valid CG preconditioners), shape-polymorphic like the
+    stencil ``mv`` (flat or grid-shaped input)."""
+    levels = plan(op, nu=nu, min_size=min_size, coarse_iters=coarse_iters,
+                  cycle=cycle)
     dims = levels.dims[0]
 
     def M(r: jax.Array) -> jax.Array:

@@ -101,6 +101,28 @@ class TestPCG:
         # known exact solution u = 1
         assert float(jnp.max(jnp.abs(res.x - 1.0))) < 1e-6
 
+    def test_w_cycle(self):
+        """W-cycle (PCMG -pc_mg_cycle_type w parity): symmetric — PCG
+        converges — and contracts at least as well per cycle as V."""
+        op = poisson.poisson2d(64, 64)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float64)
+        res_w = cg(op.mv, b, rtol=1e-8, maxiter=50,
+                   precond=mg_preconditioner(op, cycle="w"))
+        res_v = cg(op.mv, b, rtol=1e-8, maxiter=50,
+                   precond=mg_preconditioner(op))
+        assert bool(res_w.converged)
+        assert int(res_w.iters) <= int(res_v.iters)
+        assert float(jnp.max(jnp.abs(res_w.x - 1.0))) < 1e-6
+
+    def test_unknown_cycle_rejected(self):
+        import pytest as _pytest
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import (
+            multigrid as _mg,
+        )
+
+        with _pytest.raises(ValueError, match="cycle"):
+            _mg.plan(poisson.poisson2d(16, 16), cycle="f")
+
     def test_matches_dense_solution(self):
         op = poisson.poisson2d(8, 8)
         rng = np.random.default_rng(2)

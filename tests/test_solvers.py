@@ -185,6 +185,23 @@ class TestDivergence:
         assert int(res.iters) <= 30
         assert not bool(res.converged)
 
+    def test_cg_divtol_stops_without_false_convergence(self):
+        # same mechanical exercise as the GMRES case: a sub-1 divtol
+        # makes the initial residual already "diverged" — the loop must
+        # stop immediately and NOT report convergence
+        import jax.numpy as jnp
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import cg
+
+        op = poisson.poisson2d(16, 16)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float64)
+        res = cg(op.mv, b, rtol=1e-12, maxiter=10000, divtol=0.5)
+        assert int(res.iters) == 0
+        assert not bool(res.converged)
+        # disabled cutoff keeps the normal behavior
+        res2 = cg(op.mv, b, rtol=1e-8, maxiter=500, divtol=0.0)
+        assert bool(res2.converged)
+
     def test_divtol_disabled(self):
         import jax.numpy as jnp
         from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
