@@ -218,6 +218,7 @@ class ShardedMGPlan:
     splits: Tuple[int, ...]
     agglomerate: bool = True
     min_size: int = 4
+    cycle: str = "w"  # 'w' | 'v' (PCMG -pc_mg_cycle_type)
 
     def local(self, level: int) -> Tuple[int, ...]:
         return tuple(d // s for d, s in zip(self.dims[level], self.splits))
@@ -225,7 +226,8 @@ class ShardedMGPlan:
 
 def plan_sharded(opcfg, splits, *, nu: int = 2, min_size: int = 4,
                  coarse_iters: int = 40,
-                 agglomerate: bool = True) -> ShardedMGPlan:
+                 agglomerate: bool = True,
+                 cycle: str = "w") -> ShardedMGPlan:
     """Coarsen while (a) each device's tile keeps an even plane count
     along every SPLIT axis (so restriction never crosses a device
     boundary), and (b) unsplit dims stay even and above ``min_size``.
@@ -239,6 +241,8 @@ def plan_sharded(opcfg, splits, *, nu: int = 2, min_size: int = 4,
     Chebyshev under-solves it at scale; with it the level hierarchy is
     identical to the single-device plan at any device count.
     """
+    if cycle not in ("v", "w"):
+        raise ValueError(f"cycle must be 'v' or 'w', got {cycle!r}")
     dims = _grid_dims(opcfg)
     if isinstance(splits, int):
         splits = (splits,) + (1,) * (len(dims) - 1)
@@ -266,7 +270,7 @@ def plan_sharded(opcfg, splits, *, nu: int = 2, min_size: int = 4,
     return ShardedMGPlan(
         dims=tuple(levels), diag=float(opcfg.diag), off=float(opcfg.off),
         nu=nu, coarse_iters=coarse_iters, splits=splits,
-        agglomerate=agglomerate, min_size=min_size,
+        agglomerate=agglomerate, min_size=min_size, cycle=cycle,
     )
 
 
@@ -341,7 +345,7 @@ def _sharded_vcycle(plan: ShardedMGPlan, halo_mv: Callable, b: jax.Array,
             sub = mg_mod.plan(
                 mg_mod._make_op(dims, plan.diag, plan.off),
                 nu=plan.nu, min_size=plan.min_size,
-                coarse_iters=plan.coarse_iters,
+                coarse_iters=plan.coarse_iters, cycle=plan.cycle,
             )
             e_full = mg_mod.vcycle(sub, full)
             return slice_local(e_full, plan.local(level))
@@ -358,6 +362,12 @@ def _sharded_vcycle(plan: ShardedMGPlan, halo_mv: Callable, b: jax.Array,
     # (2h)^2 / h^2 rescaling of the h^2-convention residual
     rc = 4.0 * _restrict(r, plan.local(level))
     ec = _sharded_vcycle(plan, halo_mv, rc, level + 1, agg)
+    if plan.cycle == "w" and level + 1 < len(plan.dims) - 1:
+        # W-cycle: second recursive coarse visit on the coarse residual
+        # (halo_mv is shape-polymorphic — it applies the coarse-level
+        # operator with the same level-independent neighbor pairing)
+        ec = ec + _sharded_vcycle(
+            plan, halo_mv, rc - halo_mv(ec), level + 1, agg)
     x = x + _prolong(ec, plan.local(level + 1)).astype(dtype)
 
     for _ in range(plan.nu):
@@ -371,7 +381,8 @@ def _sharded_vcycle(plan: ShardedMGPlan, halo_mv: Callable, b: jax.Array,
 
 @functools.lru_cache(maxsize=64)
 def _mgpcg_run(mesh: Mesh, opcfg, rtol: float, atol: float, maxiter: int,
-               nu: int, min_size: int, coarse_iters: int):
+               nu: int, min_size: int, coarse_iters: int,
+               cycle: str = "w"):
     """Compiled-per-configuration MG-PCG body.  Cached so repeated solves
     (refinement passes, benchmarks, CLI reruns in one process) reuse the
     XLA program — per-call closures re-jit EVERY call, which under the
@@ -380,7 +391,8 @@ def _mgpcg_run(mesh: Mesh, opcfg, rtol: float, atol: float, maxiter: int,
     operator dataclasses hash by value."""
     dims = _grid_dims(opcfg)
     plan = plan_sharded(opcfg, _axis_splits(mesh, len(dims)), nu=nu,
-                        min_size=min_size, coarse_iters=coarse_iters)
+                        min_size=min_size, coarse_iters=coarse_iters,
+                        cycle=cycle)
     halo_mv, _halos = _make_halo_mv(mesh, plan.diag, plan.off)
     agg = _make_agglomerator(mesh, plan.splits) if plan.agglomerate else None
     axes = _mesh_axes(mesh)
@@ -415,6 +427,7 @@ def sharded_mgpcg_solve(
     nu: int = 2,
     min_size: int = 4,
     coarse_iters: int = 40,
+    cycle: str = "w",
 ):
     """Whole-mesh multigrid-preconditioned CG (true-residual norm test):
     the sharded analog of ``cg(op.mv, b, precond=mg_preconditioner(op))``.
@@ -423,7 +436,7 @@ def sharded_mgpcg_solve(
     """
     run, spec = _mgpcg_run(
         mesh, opcfg, float(rtol), float(atol), int(maxiter),
-        int(nu), int(min_size), int(coarse_iters),
+        int(nu), int(min_size), int(coarse_iters), cycle,
     )
     b_sh = jax.device_put(b, NamedSharding(mesh, spec))
     x, iters, resnorm, resnorm0, converged = run(b_sh)
@@ -618,12 +631,12 @@ def sharded_df_refine(
 @functools.lru_cache(maxsize=64)
 def _northstar_solvers(mesh: Mesh, opcfg, inner_rtol: float,
                        pcg_maxiter: int, nu: int, min_size: int,
-                       coarse_iters: int):
+                       coarse_iters: int, cycle: str = "w"):
     """Compiled per-pass PCG + on-mesh RHS builder, cached per config."""
     dims = _grid_dims(opcfg)
     splits = _axis_splits(mesh, len(dims))
     plan = plan_sharded(opcfg, splits, nu=nu, min_size=min_size,
-                        coarse_iters=coarse_iters)
+                        coarse_iters=coarse_iters, cycle=cycle)
     halo_mv, _ = _make_halo_mv(mesh, plan.diag, plan.off)
     agg = _make_agglomerator(mesh, plan.splits) if plan.agglomerate else None
     spec = _grid_spec(mesh, len(dims))
@@ -665,6 +678,7 @@ def sharded_df_northstar(
     nu: int = 2,
     min_size: int = 4,
     coarse_iters: int = 40,
+    cycle: str = "w",
 ):
     """The complete multi-chip north-star: solve ``A x = b`` with
     ``b = A·1`` (exact small-integer entries, built on-mesh) to ``rtol``
@@ -676,7 +690,7 @@ def sharded_df_northstar(
     """
     pcg, make_b = _northstar_solvers(
         mesh, opcfg, float(inner_rtol), int(pcg_maxiter),
-        int(nu), int(min_size), int(coarse_iters),
+        int(nu), int(min_size), int(coarse_iters), cycle,
     )
     bhi = make_b()
     b_df = (bhi, jnp.zeros_like(bhi))

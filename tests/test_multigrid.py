@@ -109,7 +109,7 @@ class TestPCG:
         res_w = cg(op.mv, b, rtol=1e-8, maxiter=50,
                    precond=mg_preconditioner(op, cycle="w"))
         res_v = cg(op.mv, b, rtol=1e-8, maxiter=50,
-                   precond=mg_preconditioner(op))
+                   precond=mg_preconditioner(op, cycle="v"))
         assert bool(res_w.converged)
         assert int(res_w.iters) <= int(res_v.iters)
         assert float(jnp.max(jnp.abs(res_w.x - 1.0))) < 1e-6
