@@ -201,59 +201,33 @@ def main():
     refine_s = time.perf_counter() - t0
 
     # --- north-star at scale: 3D 256^3 (16.8M unknowns) to 1e-8 ---------
-    # Multigrid-preconditioned f32 CG on-chip (V(2,2) cycle => ~13 PCG
-    # iterations grid-independently, vs ~1200 plain-CG — measured 0.096 s
-    # per 1e-5 solve) + DOUBLE-FLOAT residual refinement (two-f32
-    # error-free transforms, solvers/df64.py — TPU v5e emulated-f64
-    # costs 0.86 s per residual pass; df costs ~ms).  b = A·1 has
-    # small-integer entries, exactly representable on device, so the RHS
-    # df pair is built on-chip; only scalar norms cross the tunnel.
-    from medane_tchakorom_ufc_thesis_repository_tpu.solvers.krylov import cg
-    from medane_tchakorom_ufc_thesis_repository_tpu.solvers.multigrid import (
-        mg_preconditioner,
-    )
+    # Single-dispatch fused program (solvers/refine.df_northstar_fused):
+    # W-cycle-preconditioned f32 CG (5 grid-independent PCG iterations)
+    # + DOUBLE-FLOAT residual refinement (two-f32 error-free transforms,
+    # solvers/df64.py), the whole pass loop inside ONE lax.while_loop —
+    # only final scalars cross the tunnel (the host-loop driver pays ~4
+    # dispatches/pass, measured +130 ms at 256^3).  b = A·1 has
+    # small-integer entries, exactly representable on device.
     from medane_tchakorom_ufc_thesis_repository_tpu.solvers.refine import (
-        df_iterative_refinement,
+        df_northstar_fused,
     )
 
     b256hi = op.mv(jnp.ones((nx, ny, nz), jnp.float32))  # exact (integers)
     b256_df = (b256hi, jnp.zeros_like(b256hi))
-    M256 = mg_preconditioner(op)
-    pcg_solve = jax.jit(
-        lambda rr: cg(
-            op.mv, rr, maxiter=40, rtol=1e-5, precond=M256
-        ).x
-    )
-    _ = pcg_solve(jnp.zeros((nx, ny, nz), jnp.float32))
-    _fence(_)
-    # warm pass compiles the cached df residual/correction helpers;
-    # timed pass is then pure execution (device-resident result)
-    df_iterative_refinement(
-        op, None, pcg_solve, rtol=1e-8, b_df=b256_df, return_host=False
-    )
+    df_northstar_fused(op, b256_df, rtol=1e-8)  # compile
     t0 = time.perf_counter()
-    rres256 = df_iterative_refinement(
-        op, None, pcg_solve, rtol=1e-8, b_df=b256_df, return_host=False
-    )
+    rres256 = df_northstar_fused(op, b256_df, rtol=1e-8)
     _fence(rres256.x[0])
     refine256_s = time.perf_counter() - t0
 
     # --- HBM-scale north-star: 3D 512^3 (134M unknowns) to 1e-8 ---------
-    # same MG-PCG + df recipe at 8x the state (537 MB/array, slab-routed
+    # same fused recipe at 8x the state (537 MB/array, slab-routed
     # stencil applies); ~5 GB peak of the chip's 16 GB HBM
-    M512 = mg_preconditioner(op512)
-    pcg512 = jax.jit(
-        lambda rr: cg(op512.mv, rr, maxiter=40, rtol=1e-5, precond=M512).x
-    )
     b512hi = op512.mv(jnp.ones((512, 512, 512), jnp.float32))
     b512_df = (b512hi, jnp.zeros_like(b512hi))
-    df_iterative_refinement(
-        op512, None, pcg512, rtol=1e-8, b_df=b512_df, return_host=False
-    )
+    df_northstar_fused(op512, b512_df, rtol=1e-8)  # compile
     t0 = time.perf_counter()
-    rres512 = df_iterative_refinement(
-        op512, None, pcg512, rtol=1e-8, b_df=b512_df, return_host=False
-    )
+    rres512 = df_northstar_fused(op512, b512_df, rtol=1e-8)
     _fence(rres512.x[0])
     refine512_s = time.perf_counter() - t0
 

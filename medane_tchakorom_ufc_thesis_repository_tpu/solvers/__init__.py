@@ -18,6 +18,7 @@ from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import (  # no
     chebyshev,
 )
 from medane_tchakorom_ufc_thesis_repository_tpu.solvers.refine import (  # noqa: F401
+    df_northstar_fused,
     iterative_refinement,
 )
 from medane_tchakorom_ufc_thesis_repository_tpu.solvers.multigrid import (  # noqa: F401

@@ -65,6 +65,48 @@ class TestIterativeRefinement:
         assert res.converged and res.passes == 0
 
 
+class TestFusedNorthstar:
+    def test_single_dispatch_program_reaches_1e8(self):
+        """df_northstar_fused: the whole MG-PCG + df refinement in ONE
+        jitted while_loop — must match the host-loop driver's result,
+        host-f64-verified."""
+        import numpy as np
+
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import df64
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.refine import (
+            df_northstar_fused,
+            stencil3d_mv_np,
+        )
+
+        op = poisson.poisson3d(32, 32, 32)
+        res = df_northstar_fused(op, rtol=1e-8)
+        assert res.converged
+        assert res.passes <= 3
+        x64 = df64.df_to_f64(res.x)
+        mv64 = stencil3d_mv_np(32, 32, 32)
+        b64 = mv64(np.ones(32 ** 3))
+        rel = (np.linalg.norm(b64 - mv64(x64.reshape(-1)))
+               / np.linalg.norm(b64))
+        assert rel <= 1e-8, rel
+        np.testing.assert_allclose(x64, 1.0, atol=1e-7)
+
+    def test_2d(self):
+        import numpy as np
+
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import df64
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.refine import (
+            df_northstar_fused,
+        )
+
+        op = poisson.poisson2d(64, 64)
+        res = df_northstar_fused(op, rtol=1e-8)
+        assert res.converged
+        x64 = df64.df_to_f64(res.x)
+        np.testing.assert_allclose(x64, 1.0, atol=1e-7)
+
+
 class TestStagnation:
     def test_stagnation_stops_at_floor(self):
         op = poisson.poisson2d(16, 16)
