@@ -21,6 +21,7 @@ from medane_tchakorom_ufc_thesis_repository_tpu.parallel.sharded import (  # noq
 )
 from medane_tchakorom_ufc_thesis_repository_tpu.parallel.mgpcg import (  # noqa: F401
     sharded_df_northstar,
+    sharded_df_northstar_fused,
     sharded_df_refine,
     sharded_mgpcg_solve,
 )

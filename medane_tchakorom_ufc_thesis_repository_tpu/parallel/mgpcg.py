@@ -667,6 +667,110 @@ def _northstar_solvers(mesh: Mesh, opcfg, inner_rtol: float,
     return pcg, make_b
 
 
+@functools.lru_cache(maxsize=64)
+def _northstar_fused_run(mesh: Mesh, opcfg, rtol: float, inner_rtol: float,
+                         pcg_maxiter: int, max_passes: int, nu: int,
+                         min_size: int, coarse_iters: int, cycle: str):
+    """ONE jitted SPMD program for the whole multi-chip north-star:
+    b = A·1 on-mesh, then a ``lax.while_loop`` over refinement passes
+    (MG-PCG + df tile residual with halo exchange inside) — a single
+    dispatch instead of ~4 per pass (the single-device twin is
+    ``solvers.refine.df_northstar_fused``; on a real mesh every saved
+    dispatch is also a host round-trip)."""
+    dims = _grid_dims(opcfg)
+    splits = _axis_splits(mesh, len(dims))
+    plan = plan_sharded(opcfg, splits, nu=nu, min_size=min_size,
+                        coarse_iters=coarse_iters, cycle=cycle)
+    halo_mv, halos = _make_halo_mv(mesh, plan.diag, plan.off)
+    agg = _make_agglomerator(mesh, plan.splits) if plan.agglomerate else None
+    spec = _grid_spec(mesh, len(dims))
+    axes = _mesh_axes(mesh)
+    scalar = P()
+    diag, off = plan.diag, plan.off
+
+    def _norm(rhi):
+        m = jnp.maximum(jnp.max(jnp.abs(rhi)), jnp.float32(1e-30))
+        m = lax.pmax(m, axes)
+        ss = lax.psum(jnp.sum(jnp.square(rhi / m)), axes)
+        return m * jnp.sqrt(ss)
+
+    def _residual(bhi, blo, xhi, xlo):
+        halos_hi = halos(xhi)
+        halos_lo = halos(xlo)
+        axis_halos = tuple(
+            (axis, (hh[0], hl[0]), (hh[1], hl[1]))
+            for axis, (hh, hl) in enumerate(zip(halos_hi, halos_lo))
+        )
+        return _df_tile_residual(
+            (bhi, blo), (xhi, xlo), axis_halos, diag, off)
+
+    def body_fn(_dummy):
+        bhi = halo_mv(jnp.ones(plan.local(0), jnp.float32))
+        blo = jnp.zeros_like(bhi)
+        rnorm0 = _norm(bhi)
+        tol = jnp.float32(rtol) * rnorm0
+
+        def body(carry):
+            xhi, xlo, rhi, rnorm, passes = carry
+            d = krylov.cg(
+                halo_mv, rhi / rnorm,
+                maxiter=pcg_maxiter, rtol=inner_rtol, axis_name=axes,
+                precond=lambda v: _sharded_vcycle(plan, halo_mv, v,
+                                                  agg=agg),
+            ).x
+            upd = df64.df_mul_f32((d, jnp.zeros_like(d)), rnorm)
+            xhi2, xlo2 = df64.df_add((xhi, xlo), upd)
+            rhi2, _rlo2 = _residual(bhi, blo, xhi2, xlo2)
+            return xhi2, xlo2, rhi2, _norm(rhi2), passes + 1
+
+        def cond(carry):
+            _, _, _, rnorm, passes = carry
+            return jnp.logical_and(rnorm > tol, passes < max_passes)
+
+        x0 = jnp.zeros_like(bhi)
+        init = (x0, jnp.zeros_like(bhi), bhi, rnorm0,
+                jnp.zeros((), jnp.int32))
+        xhi, xlo, _rhi, rnorm, passes = lax.while_loop(cond, body, init)
+        return xhi, xlo, rnorm, rnorm0, passes
+
+    run = jax.jit(shard_map(
+        body_fn, mesh=mesh, in_specs=(P(),),
+        out_specs=(spec, spec, scalar, scalar, scalar),
+        check_vma=False,
+    ))
+    return run
+
+
+def sharded_df_northstar_fused(
+    mesh: Mesh,
+    opcfg,
+    *,
+    rtol: float = 1e-8,
+    inner_rtol: float = 1e-5,
+    pcg_maxiter: int = 40,
+    max_passes: int = 6,
+    nu: int = 2,
+    min_size: int = 4,
+    coarse_iters: int = 40,
+    cycle: str = "w",
+):
+    """Single-dispatch multi-chip north-star (see ``_northstar_fused_run``);
+    same result contract as ``sharded_df_northstar`` minus the per-pass
+    history (everything stays on the mesh — that is the point)."""
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers.refine import (
+        RefineResult,
+    )
+
+    run = _northstar_fused_run(
+        mesh, opcfg, float(rtol), float(inner_rtol), int(pcg_maxiter),
+        int(max_passes), int(nu), int(min_size), int(coarse_iters),
+        str(cycle),
+    )
+    xhi, xlo, rnorm, rnorm0, passes = run(jnp.zeros((), jnp.float32))
+    rn, rn0, p = float(rnorm), float(rnorm0), int(passes)
+    return RefineResult((xhi, xlo), p, [], rn, rn0, rn <= rtol * rn0)
+
+
 def sharded_df_northstar(
     mesh: Mesh,
     opcfg,

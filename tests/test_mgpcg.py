@@ -157,6 +157,34 @@ class TestDFSlabResidual:
         assert err < 1e-13, err
 
 
+class TestFusedShardedNorthstar:
+    @pytest.mark.parametrize("which", ["strip", "tile"])
+    def test_single_dispatch(self, which, mesh8):
+        """sharded_df_northstar_fused: the whole multi-chip north-star in
+        ONE jitted SPMD program — must match the host-loop driver and the
+        exact-ones solution, host-f64-verified."""
+        if which == "strip":
+            mesh = mesh8
+        else:
+            from medane_tchakorom_ufc_thesis_repository_tpu.parallel.tiled import (
+                make_tiled_mesh,
+            )
+
+            mesh = make_tiled_mesh(2, 2, 2)
+        nx = ny = nz = 16
+        op = ShardedPoisson3D(nx, ny, nz)
+        res = mgpcg.sharded_df_northstar_fused(mesh, op, rtol=1e-8)
+        assert res.converged
+        assert res.passes <= 3
+        x64 = df64.df_to_f64(res.x)
+        mv64 = stencil3d_mv_np(nx, ny, nz)
+        b64 = mv64(np.ones(nx * ny * nz))
+        rel = (np.linalg.norm(b64 - mv64(x64.reshape(-1)))
+               / np.linalg.norm(b64))
+        assert rel <= 1e-8, rel
+        np.testing.assert_allclose(x64, 1.0, atol=1e-7)
+
+
 class TestTiledMGPCG:
     """The same solvers over the 2-D-tiled ('block','ir','ic') mesh —
     perimeter halos on the TPU torus (parallel/tiled.py layout)."""
