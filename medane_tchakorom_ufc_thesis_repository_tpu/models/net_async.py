@@ -498,12 +498,14 @@ def launch_net_async(
     except RuntimeError as e:
         # free_port() races under parallel launchers: a probed port can
         # be re-bound by another process before a rank's listener comes
-        # up, surfacing as bind failures or unreachable-peer sends.  One
-        # retry on fresh ports covers the race (match the specific
-        # startup symptoms only — other failures must surface).
+        # up, surfacing as a bind failure in that rank or as a
+        # stolen-port send failure on the native router.  Match ONLY
+        # those race symptoms — 'could not reach rank' also fires when a
+        # peer dies at startup for a deterministic reason (bad flag,
+        # import error), and retrying would double the failure latency
+        # and mask the real traceback.
         msg = str(e).lower()
         if ("address already in use" in msg
-                or "could not reach rank" in msg
                 or "send_data to rank" in msg):
             return attempt()
         raise

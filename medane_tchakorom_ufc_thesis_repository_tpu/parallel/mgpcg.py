@@ -518,10 +518,9 @@ def _df_slab_residual(b_df, x_df, top_df, bot_df, diag: float, off: float):
 
 @jax.jit
 def _b_norm(bhi):
-    """f32-safe global norm (scale by the max first): squares of tiny
-    values underflow f32 range."""
-    m = jnp.maximum(jnp.max(jnp.abs(bhi)), jnp.float32(1e-30))
-    return m * jnp.sqrt(jnp.sum(jnp.square(bhi / m)))
+    """f32-safe global norm of a sharded array under plain jit (XLA
+    inserts the cross-device reductions)."""
+    return df64.scaled_norm(bhi)
 
 
 @functools.lru_cache(maxsize=64)
@@ -551,11 +550,7 @@ def _df_refine_helpers_sharded(mesh: Mesh, opcfg):
         )
         rhi, rlo = _df_tile_residual(
             (bhi, blo), (xhi, xlo), axis_halos, diag, off)
-        # f32-safe global norm: scale by the global max first
-        m = jnp.maximum(jnp.max(jnp.abs(rhi)), jnp.float32(1e-30))
-        m = lax.pmax(m, axes)
-        ss = lax.psum(jnp.sum(jnp.square(rhi / m)), axes)
-        return rhi, rlo, m * jnp.sqrt(ss)
+        return rhi, rlo, df64.scaled_norm(rhi, axes)
 
     residual_pass = jax.jit(shard_map(
         _residual_body, mesh=mesh,
@@ -689,10 +684,7 @@ def _northstar_fused_run(mesh: Mesh, opcfg, rtol: float, inner_rtol: float,
     diag, off = plan.diag, plan.off
 
     def _norm(rhi):
-        m = jnp.maximum(jnp.max(jnp.abs(rhi)), jnp.float32(1e-30))
-        m = lax.pmax(m, axes)
-        ss = lax.psum(jnp.sum(jnp.square(rhi / m)), axes)
-        return m * jnp.sqrt(ss)
+        return df64.scaled_norm(rhi, axes)
 
     def _residual(bhi, blo, xhi, xlo):
         halos_hi = halos(xhi)
@@ -704,7 +696,7 @@ def _northstar_fused_run(mesh: Mesh, opcfg, rtol: float, inner_rtol: float,
         return _df_tile_residual(
             (bhi, blo), (xhi, xlo), axis_halos, diag, off)
 
-    def body_fn(_dummy):
+    def body_fn():
         bhi = halo_mv(jnp.ones(plan.local(0), jnp.float32))
         blo = jnp.zeros_like(bhi)
         rnorm0 = _norm(bhi)
@@ -734,7 +726,7 @@ def _northstar_fused_run(mesh: Mesh, opcfg, rtol: float, inner_rtol: float,
         return xhi, xlo, rnorm, rnorm0, passes
 
     run = jax.jit(shard_map(
-        body_fn, mesh=mesh, in_specs=(P(),),
+        body_fn, mesh=mesh, in_specs=(),
         out_specs=(spec, spec, scalar, scalar, scalar),
         check_vma=False,
     ))
@@ -766,7 +758,7 @@ def sharded_df_northstar_fused(
         int(max_passes), int(nu), int(min_size), int(coarse_iters),
         str(cycle),
     )
-    xhi, xlo, rnorm, rnorm0, passes = run(jnp.zeros((), jnp.float32))
+    xhi, xlo, rnorm, rnorm0, passes = run()
     rn, rn0, p = float(rnorm), float(rnorm0), int(passes)
     return RefineResult((xhi, xlo), p, [], rn, rn0, rn <= rtol * rn0)
 

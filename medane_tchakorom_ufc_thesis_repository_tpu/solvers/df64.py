@@ -39,6 +39,21 @@ import numpy as np
 DF = Tuple[jax.Array, jax.Array]  # (hi, lo), value = hi + lo
 
 
+def scaled_norm(x, axes=None):
+    """f32-safe 2-norm: scale by the (global) max first — squares of
+    ~1e-11 values underflow the f32 range.  ``axes``: optional mesh axis
+    name(s) for SPMD use (pmax/psum across devices)."""
+    from jax import lax
+
+    m = jnp.maximum(jnp.max(jnp.abs(x)), jnp.float32(1e-30))
+    if axes is not None:
+        m = lax.pmax(m, axes)
+    ss = jnp.sum(jnp.square(x / m))
+    if axes is not None:
+        ss = lax.psum(ss, axes)
+    return m * jnp.sqrt(ss)
+
+
 def two_sum(a, b) -> DF:
     """Error-free transformation: a + b = s + e exactly (Knuth, 6 flops,
     branch-free — no magnitude ordering required)."""

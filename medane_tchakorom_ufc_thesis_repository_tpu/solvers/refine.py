@@ -170,11 +170,7 @@ def _df_refine_helpers(op):
     @jax.jit
     def residual_pass(bhi, blo, xhi, xlo):
         rhi, rlo = residual((bhi, blo), (xhi, xlo))
-        # f32-safe norm of the (possibly tiny) residual: scale by the max
-        # magnitude first — squares of ~1e-11 values underflow f32 range
-        m = jnp.maximum(jnp.max(jnp.abs(rhi)), jnp.float32(1e-30))
-        nrm = m * jnp.sqrt(jnp.sum(jnp.square(rhi / m)))
-        return rhi, rlo, nrm
+        return rhi, rlo, df64.scaled_norm(rhi)
 
     @jax.jit
     def apply_correction(xhi, xlo, d32, scale):
@@ -282,9 +278,7 @@ def _df_fused_program(op, rtol: float, max_passes: int,
     M = mg_preconditioner(op, nu=nu, min_size=min_size,
                           coarse_iters=coarse_iters, cycle=cycle)
 
-    def _norm(rhi):
-        m = jnp.maximum(jnp.max(jnp.abs(rhi)), jnp.float32(1e-30))
-        return m * jnp.sqrt(jnp.sum(jnp.square(rhi / m)))
+    _norm = df64.scaled_norm
 
     @jax.jit
     def run(bhi, blo):
