@@ -6,7 +6,7 @@ asynchronous two-stage multisplitting methods with Krylov minimization
 acceleration for large sparse systems from 2D/3D Poisson PDEs).
 
 Design stance (not a PETSc port):
-  * operators are immutable pytrees (stencil matrix-free, ELL, CSR, dense)
+  * operators are immutable pytrees (stencil matrix-free, ELL, DIA, dense)
   * solvers are pure functions under ``jax.lax.while_loop`` / ``scan``
   * block parallelism is a ``jax.sharding.Mesh`` with axes ``('block','intra')``;
     halo exchange is ``ppermute``, norm reductions are ``psum``

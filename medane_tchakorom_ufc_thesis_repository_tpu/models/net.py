@@ -48,6 +48,16 @@ _DATA_KIND = 255
 _PING_KIND = 254
 _PONG_KIND = 253
 
+# Startup-race symptoms matched (as substrings of captured worker
+# stderr) by net_async.run_blocks' one-shot retry.  Defined here, next
+# to the raise sites, so a rewording cannot silently disable the retry:
+# BIND_RACE_MARKER is the OS EADDRINUSE errno text surfaced by
+# ``socket.create_server`` in ``TcpTransport.__init__``;
+# STOLEN_PORT_MARKER is raised by ``NativeTransport._checked_send`` when
+# a first-ever send fails (the probed port was re-bound by a stranger).
+BIND_RACE_MARKER = "address already in use"
+STOLEN_PORT_MARKER = "send_data to rank"
+
 
 def _recvall(conn: socket.socket, n: int) -> Optional[bytes]:
     buf = b""
@@ -312,6 +322,8 @@ class NativeTcpTransport(Transport):
             self._ok_sends.add(dst)
             return
         if dst not in self._ok_sends:
+            # for what='send_data' the text contains STOLEN_PORT_MARKER —
+            # net_async.run_blocks' port-race retry matches on it
             raise OSError(f"native {what} to rank {dst} failed")
         self._departed.add(dst)
 

@@ -504,9 +504,13 @@ def launch_net_async(
         # peer dies at startup for a deterministic reason (bad flag,
         # import error), and retrying would double the failure latency
         # and mask the real traceback.
+        from medane_tchakorom_ufc_thesis_repository_tpu.models.net import (
+            BIND_RACE_MARKER,
+            STOLEN_PORT_MARKER,
+        )
+
         msg = str(e).lower()
-        if ("address already in use" in msg
-                or "send_data to rank" in msg):
+        if BIND_RACE_MARKER in msg or STOLEN_PORT_MARKER in msg:
             return attempt()
         raise
 

@@ -115,8 +115,23 @@ def _grid_spec(mesh: Mesh, nd: int) -> P:
 
 def _interior_grid_mv(g: jax.Array, diag: float, off: float) -> jax.Array:
     """Stencil apply on a grid-shaped local tile with zero external halos
-    (pad+slice form — one fused bandwidth-bound pass)."""
+    (pad+slice form — one fused bandwidth-bound pass).
+
+    3-D tiles above the VMEM-residency cutoff route through
+    ``Stencil3D.mv``'s x-slab form: whole-tile pad+slice degrades to ~10
+    memory passes past ~100 MB (XLA materializes the pad and splits the
+    tap-sum into sibling fusions), and weak-scaling per-device loads
+    exceed that (128x512x512 f32 = 134 MB).  ``Stencil3D.mv`` on the
+    LOCAL tile is exactly this interior apply (zero external halos) and
+    carries the measured auto-routing."""
     nd = g.ndim
+    if nd == 3:
+        from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+            Stencil3D,
+        )
+
+        nx, ny, nz = g.shape
+        return Stencil3D(nx, ny, nz, diag=diag, off=off).mv(g)
     p = jnp.pad(g, 1)
     c, lo, hi = slice(1, -1), slice(0, -2), slice(2, None)
     taps = 0.0

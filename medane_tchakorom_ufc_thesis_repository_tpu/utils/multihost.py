@@ -169,9 +169,12 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rtol", type=float, default=1e-4)
     p.add_argument("--maxiter", type=int, default=2000)
     p.add_argument("--staleness", type=int, default=2)
-    p.add_argument("--inner-maxiter", type=int, default=8)
+    # None = "not set on the command line": the multisplitting inner
+    # solve and the MGPCG preconditioner have different natural defaults
+    # (8/1e-6 vs 40/1e-5), so each path resolves None to its own.
+    p.add_argument("--inner-maxiter", type=int, default=None)
     p.add_argument("--inner-restart", type=int, default=8)
-    p.add_argument("--inner-rtol", type=float, default=1e-6)
+    p.add_argument("--inner-rtol", type=float, default=None)
     p.add_argument("--inner-ksp", default="gmres")
     p.add_argument("--inner-pc-type", default="none", dest="inner_pc")
     p.add_argument("--basis-collection", default="sweep",
@@ -257,8 +260,16 @@ def worker_main(argv: Optional[Sequence[str]] = None) -> int:
             sharded_mgpcg_solve,
         )
 
+        # forward explicitly-set inner flags (silently running different
+        # settings than requested corrupts experiments — same fail-loud
+        # rule as the alg guard above)
+        mg_kw = {}
+        if args.inner_rtol is not None:
+            mg_kw["inner_rtol"] = args.inner_rtol
+        if args.inner_maxiter is not None:
+            mg_kw["pcg_maxiter"] = args.inner_maxiter
         if dtype == jnp.float32 and args.rtol < 1e-5:
-            res = sharded_df_northstar(mesh, opcfg, rtol=args.rtol)
+            res = sharded_df_northstar(mesh, opcfg, rtol=args.rtol, **mg_kw)
             sweeps, cycles, inner_iters = 0, int(res.passes), 0
             rnorm, rnorm0 = float(res.rnorm), float(res.rnorm0)
             xhi, xlo = res.x
@@ -266,6 +277,13 @@ def worker_main(argv: Optional[Sequence[str]] = None) -> int:
             err_override = float(jax.jit(
                 lambda h, l: jnp.max(jnp.abs((h - 1.0) + l)))(xhi, xlo))
         else:
+            if mg_kw:
+                raise SystemExit(
+                    "--inner-rtol/--inner-maxiter configure the PCG inside "
+                    "df refinement; this run takes the plain MGPCG branch "
+                    "(f64 or rtol >= 1e-5) where they do not apply — use "
+                    "--rtol/--maxiter"
+                )
             res = sharded_mgpcg_solve(
                 mesh, opcfg, jnp.asarray(b),
                 rtol=args.rtol, maxiter=args.maxiter,
@@ -287,8 +305,10 @@ def worker_main(argv: Optional[Sequence[str]] = None) -> int:
             minimization=minim, s=args.s,
             inner=InnerConfig(
                 method=args.inner_ksp, pc=args.inner_pc,
-                restart=args.inner_restart, maxiter=args.inner_maxiter,
-                rtol=args.inner_rtol,
+                restart=args.inner_restart,
+                maxiter=8 if args.inner_maxiter is None
+                else args.inner_maxiter,
+                rtol=1e-6 if args.inner_rtol is None else args.inner_rtol,
             ),
             outer=OuterConfig(method=args.outer_method,
                               maxiter=args.outer_maxiter,

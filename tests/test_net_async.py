@@ -40,6 +40,37 @@ def _wait(pred, timeout=5.0):
     return False
 
 
+class TestRaceMarkers:
+    """The launcher's one-shot port-race retry matches stderr substrings;
+    these pin the markers to the actual raise sites so a rewording
+    cannot silently disable the retry (advisor round 2)."""
+
+    def test_bind_race_marker_matches_os_errno_text(self):
+        import socket
+
+        from medane_tchakorom_ufc_thesis_repository_tpu.models import net
+
+        port = free_port()
+        srv = socket.create_server(("127.0.0.1", port), reuse_port=False)
+        try:
+            with pytest.raises(OSError) as ei:
+                socket.create_server(("127.0.0.1", port), reuse_port=False)
+            assert net.BIND_RACE_MARKER in str(ei.value).lower()
+        finally:
+            srv.close()
+
+    def test_stolen_port_marker_matches_checked_send(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.models import net
+
+        class Dummy:
+            _ok_sends: set = set()
+            _departed: set = set()
+
+        with pytest.raises(OSError) as ei:
+            net.NativeTcpTransport._checked_send(Dummy(), 1, -1, "send_data")
+        assert net.STOLEN_PORT_MARKER in str(ei.value).lower()
+
+
 class TestTcpTransport:
     def test_protocol_roundtrip(self, pair):
         t0, t1 = pair
