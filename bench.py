@@ -143,6 +143,35 @@ def main():
     )
     nnz512_per_s = op512.nnz / dt512
 
+    # --- general-sparse (AIJ-parity) SpMV: BSR block-ELL -----------------
+    # random block-sparse matrix (dense 128x128 blocks at random block
+    # positions, 33.5M values): block-row gathers + batched sub-block
+    # matvecs — the unstructured-sparsity path (core.operators.BSR).
+    # Structure-only build (pack correctness pinned in tests/test_bsr.py).
+    from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+        BSR,
+    )
+    import numpy as _bnp
+
+    _rngb = _bnp.random.default_rng(0)
+    _nb, _bs, _bpr = 256, 128, 8
+    _cols = _bnp.stack([
+        _bnp.sort(_rngb.choice(_nb, size=_bpr, replace=False))
+        for _ in range(_nb)
+    ])
+    _bvals = _rngb.standard_normal((_nb, _bpr, _bs, _bs)).astype(_bnp.float32)
+    bsr = BSR(
+        indices=jnp.asarray(_cols, jnp.int32), values=jnp.asarray(_bvals),
+        indices_t=jnp.asarray(_cols, jnp.int32),
+        values_t=jnp.asarray(_bvals),
+        nrows=_nb * _bs, ncols=_nb * _bs,
+    )
+    xb = jnp.asarray(_rngb.standard_normal(_nb * _bs), jnp.float32)
+    dt_bsr = _slope_time(
+        lambda v: bsr.mv(v) * jnp.float32(0.125), xb, i1=20, i2=60
+    )
+    bsr_nnz_per_s = (_nb * _bpr * _bs * _bs) / dt_bsr
+
     # --- secondary: SMSM_GLOBAL solve of 3D Poisson to 1e-5 -------------
     sop = blockops.block_poisson3d(64, 64, 64)
     b = blockops.rhs_ones(sop, jnp.float32)
@@ -197,8 +226,34 @@ def main():
     _ = refine_solve(jnp.asarray(b64 / _np.linalg.norm(b64), jnp.float32))
     _fence(_)
     t0 = time.perf_counter()
-    rres = iterative_refinement(refine_solve, mv64, b64, rtol=1e-8)
-    refine_s = time.perf_counter() - t0
+    rres_host = iterative_refinement(refine_solve, mv64, b64, rtol=1e-8)
+    refine_host_s = time.perf_counter() - t0
+
+    # the SHIPPED 64^3 recipe: the same single-dispatch fused MG-PCG +
+    # double-float refinement program used at 256^3/512^3 below — the
+    # host-loop GMRES number above stays as a secondary (observability
+    # driver) metric
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers.refine import (
+        df_northstar_fused as _df_fused,
+    )
+
+    def _best_of(fn, reps=3):
+        """min over reps (one-shot numbers right after large allocations
+        are noisy — measured 0.63 s vs 0.11 s steady-state at 64^3)."""
+        best, res = float("inf"), None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = fn()
+            _fence(r.x[0])
+            dt = time.perf_counter() - t0
+            if dt < best:
+                best, res = dt, r
+        return best, res
+
+    b64hi = gop.mv(jnp.ones((64, 64, 64), jnp.float32))  # exact integers
+    b64_df = (b64hi, jnp.zeros_like(b64hi))
+    _df_fused(gop, b64_df, rtol=1e-8)  # compile
+    refine_s, rres = _best_of(lambda: _df_fused(gop, b64_df, rtol=1e-8))
 
     # --- north-star at scale: 3D 256^3 (16.8M unknowns) to 1e-8 ---------
     # Single-dispatch fused program (solvers/refine.df_northstar_fused):
@@ -215,10 +270,9 @@ def main():
     b256hi = op.mv(jnp.ones((nx, ny, nz), jnp.float32))  # exact (integers)
     b256_df = (b256hi, jnp.zeros_like(b256hi))
     df_northstar_fused(op, b256_df, rtol=1e-8)  # compile
-    t0 = time.perf_counter()
-    rres256 = df_northstar_fused(op, b256_df, rtol=1e-8)
-    _fence(rres256.x[0])
-    refine256_s = time.perf_counter() - t0
+    refine256_s, rres256 = _best_of(
+        lambda: df_northstar_fused(op, b256_df, rtol=1e-8)
+    )
 
     # --- HBM-scale north-star: 3D 512^3 (134M unknowns) to 1e-8 ---------
     # same fused recipe at 8x the state (537 MB/array, slab-routed
@@ -226,10 +280,9 @@ def main():
     b512hi = op512.mv(jnp.ones((512, 512, 512), jnp.float32))
     b512_df = (b512hi, jnp.zeros_like(b512hi))
     df_northstar_fused(op512, b512_df, rtol=1e-8)  # compile
-    t0 = time.perf_counter()
-    rres512 = df_northstar_fused(op512, b512_df, rtol=1e-8)
-    _fence(rres512.x[0])
-    refine512_s = time.perf_counter() - t0
+    refine512_s, rres512 = _best_of(
+        lambda: df_northstar_fused(op512, b512_df, rtol=1e-8)
+    )
 
     # measured CPU reference on this host: scipy CSR SpMV (the PETSc-AIJ
     # class of kernel the reference runs), single thread
@@ -269,6 +322,10 @@ def main():
         "spmv_cost_in_axpy_units": round(spmv_axpy_units, 2),
         "spmv_hbm_512_ms": round(dt512 * 1e3, 4),
         "spmv_hbm_512_gnnz_per_s": round(nnz512_per_s / 1e9, 3),
+        "bsr_blocksparse_gnnz_per_s": round(bsr_nnz_per_s / 1e9, 3),
+        "bsr_values_read_gb_s": round(
+            (_nb * _bpr * _bs * _bs) * 4 / dt_bsr / 1e9, 1
+        ),
         "smsm_global_3d_64_solve_s": round(solve_s, 3),
         "smsm_global_3d_64_sweeps": int(res.sweeps),
         "smsm_global_3d_64_rel_residual": f"{rel:.2e}",
@@ -279,6 +336,8 @@ def main():
         "northstar_3d_64_rel_residual": f"{rres.rnorm / rres.rnorm0:.2e}",
         "northstar_3d_64_refine_passes": rres.passes,
         "northstar_3d_64_converged": bool(rres.converged),
+        "northstar_3d_64_hostloop_gmres_s": round(refine_host_s, 3),
+        "northstar_3d_64_hostloop_converged": bool(rres_host.converged),
         "northstar_3d_256_to_1e8_s": round(refine256_s, 3),
         "northstar_3d_256_rel_residual": (
             f"{rres256.rnorm / rres256.rnorm0:.2e}"

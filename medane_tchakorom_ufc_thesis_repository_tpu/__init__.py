@@ -6,7 +6,8 @@ asynchronous two-stage multisplitting methods with Krylov minimization
 acceleration for large sparse systems from 2D/3D Poisson PDEs).
 
 Design stance (not a PETSc port):
-  * operators are immutable pytrees (stencil matrix-free, ELL, DIA, dense)
+  * operators are immutable pytrees (stencil matrix-free, ELL, DIA,
+    BSR block-sparse, dense)
   * solvers are pure functions under ``jax.lax.while_loop`` / ``scan``
   * block parallelism is a ``jax.sharding.Mesh`` with axes ``('block','intra')``;
     halo exchange is ``ppermute``, norm reductions are ``psum``

@@ -16,6 +16,16 @@ Representations
     ELLPACK padded sparse: row-major ``(n, width)`` column-index and value
     planes.  The general path; Poisson rows have <= 5 (2D) / 7 (3D)
     nonzeros so padding waste is tiny.  SpMV is a gather + small reduction.
+``DIA``
+    Diagonal format for banded matrices: SpMV is shifted slices, no
+    gathers — the TPU-fast general path (``as_tpu_operator`` routes
+    banded ELL here).
+``BSR``
+    Block-sparse rows (block-ELL): dense ``(bs, bs)`` sub-blocks, SpMV is
+    block-row gathers + batched sub-block matvecs, ``rmv`` via a
+    transpose pack — the TPU path for genuinely unstructured sparsity
+    with block structure (2-5x off DIA per stored value vs gather-ELL's
+    139x; BENCHMARKS.md).
 ``DenseOp``
     Thin wrapper over a dense matrix, for tests and tall-skinny blocks.
 
@@ -507,17 +517,195 @@ class DIA:
 _register(DIA, ["data"], ["offsets"])
 
 
-def as_tpu_operator(op, max_diags: int = 64):
+@dataclasses.dataclass(frozen=True)
+class BSR:
+    """Block-sparse row operator (block-ELL layout) — the TPU path for
+    genuinely unstructured sparsity with block structure.
+
+    This is the capability-parity answer to the reference's AIJ matrices
+    (``create_matrix_sparse``, ``src/utils/utils.c:139-155``) when the
+    pattern is neither banded (→ ``DIA``) nor a constant stencil
+    (→ ``Stencil2D/3D``): nonzeros are stored as dense ``(bs, bs)``
+    sub-blocks, so SpMV is a block-row gather (contiguous ``bs``-sized
+    rows of the reshaped ``x`` — the embedding-style lookup TPUs handle,
+    not elementwise gathers) followed by batched sub-block matvecs
+    (MXU-shaped ``dot_general``).  ``rmv`` runs the same kernel on a
+    transpose pack built at construction time — no scatter-adds anywhere
+    (scatter-add is the construct this repo measured as pathological on
+    TPU).
+
+    ``indices``/``values``: ``(nbr, width)`` block-column ids and
+    ``(nbr, width, bs, bs)`` blocks for A; ``indices_t``/``values_t``:
+    the same for A^T.  Padded slots carry index 0 and all-zero blocks.
+    ``nrows``/``ncols`` are the TRUE (pre-padding) dimensions; ``mv``
+    pads/unpads at the boundary.
+    """
+
+    indices: jax.Array    # int32 (nbr, width)
+    values: jax.Array     # (nbr, width, bs, bs)
+    indices_t: jax.Array  # int32 (ncb, width_t)
+    values_t: jax.Array   # (ncb, width_t, bs, bs)
+    nrows: int
+    ncols: int
+
+    @property
+    def bs(self) -> int:
+        return self.values.shape[-1]
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.nrows, self.ncols)
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    @property
+    def nnz(self) -> int:
+        # stored (padded) count, like ELL.nnz; true nnz via host count
+        return int(np.prod(self.values.shape))
+
+    @property
+    def fill(self) -> float:
+        """Stored values per true nonzero (host-side; 1.0 = no waste)."""
+        true_nnz = int(np.count_nonzero(np.asarray(self.values)))
+        return float(self.nnz) / max(true_nnz, 1)
+
+    @staticmethod
+    def _blockmv(indices, values, x, n_out, n_in):
+        bs = values.shape[-1]
+        ncb = -(-n_in // bs)
+        xp = jnp.pad(x, (0, ncb * bs - n_in)) if ncb * bs != n_in else x
+        xb = xp.reshape(ncb, bs)
+        g = jnp.take(xb, indices, axis=0)          # (nbr, width, bs) rows
+        y = jnp.einsum(
+            "rwij,rwj->ri", values, g,
+            precision=jax.lax.Precision.HIGHEST,   # values matter: avoid
+        )                                          # bf16 operand truncation
+        return y.reshape(-1)[:n_out]
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        return self._blockmv(self.indices, self.values, x,
+                             self.nrows, self.ncols)
+
+    def rmv(self, y: jax.Array) -> jax.Array:
+        return self._blockmv(self.indices_t, self.values_t, y,
+                             self.ncols, self.nrows)
+
+    def to_dense(self) -> jax.Array:
+        nbr, width = self.indices.shape
+        bs = self.bs
+        ncb = -(-self.ncols // bs)
+        dense = jnp.zeros((nbr * bs, ncb * bs), self.dtype)
+        for r in range(nbr):
+            for w in range(width):
+                c = int(self.indices[r, w])
+                blk = self.values[r, w]
+                dense = dense.at[
+                    r * bs:(r + 1) * bs, c * bs:(c + 1) * bs
+                ].add(blk)
+        return dense[: self.nrows, : self.ncols]
+
+    @staticmethod
+    def from_coo(rows, cols, vals, shape, bs: int = 128,
+                 dtype=jnp.float32) -> "BSR":
+        """Host-side (numpy) COO -> block-ELL pack, both A and A^T."""
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        vals = np.asarray(vals)
+        i, v = _bsr_pack_np(rows, cols, vals, shape, bs)
+        it, vt = _bsr_pack_np(cols, rows, vals, (shape[1], shape[0]), bs)
+        return BSR(
+            indices=jnp.asarray(i), values=jnp.asarray(v, dtype),
+            indices_t=jnp.asarray(it), values_t=jnp.asarray(vt, dtype),
+            nrows=int(shape[0]), ncols=int(shape[1]),
+        )
+
+
+_register(BSR, ["indices", "values", "indices_t", "values_t"],
+          ["nrows", "ncols"])
+
+
+def _bsr_pack_np(rows, cols, vals, shape, bs: int):
+    """One-sided block-ELL pack: (indices (nbr,width) int32,
+    values (nbr,width,bs,bs) f64-precision numpy)."""
+    nrows, ncols = int(shape[0]), int(shape[1])
+    nbr, ncb = -(-nrows // bs), -(-ncols // bs)
+    br, bc = rows // bs, cols // bs
+    key = br.astype(np.int64) * ncb + bc
+    uniq, inv = np.unique(key, return_inverse=True)
+    ubr, ubc = (uniq // ncb).astype(np.int64), (uniq % ncb).astype(np.int64)
+    counts = np.bincount(ubr, minlength=nbr)
+    width = max(int(counts.max()) if counts.size else 0, 1)
+    starts = np.zeros(nbr, np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    slot = np.arange(len(uniq)) - starts[ubr]   # uniq sorted => row-grouped
+    blocks = np.zeros((len(uniq), bs, bs))
+    np.add.at(blocks, (inv, rows % bs, cols % bs), vals)
+    indices = np.zeros((nbr, width), np.int32)
+    values = np.zeros((nbr, width, bs, bs))
+    indices[ubr, slot] = ubc.astype(np.int32)
+    values[ubr, slot] = blocks
+    return indices, values
+
+
+def bsr_block_fill_from_coo(rows, cols, shape, bs: int) -> float:
+    """Stored-values-per-nonzero if packed as BSR(bs) (cheap, index-only)."""
+    ncb = -(-int(shape[1]) // bs)
+    key = (np.asarray(rows) // bs).astype(np.int64) * ncb \
+        + np.asarray(cols) // bs
+    nub = len(np.unique(key))
+    return nub * bs * bs / max(len(np.asarray(rows)), 1)
+
+
+# measured per-stored-value SpMV cost relative to bs>=32, v5e (same
+# 33.5M-value budget, barriered-slope timing; BENCHMARKS.md BSR table):
+# small minor dims pad the (8,128) lane tiling and the batched matvecs
+# shrink, so tiny blocks pay ~2-4x per stored value
+_BSR_BS_PENALTY = {8: 4.0, 16: 2.2, 32: 1.0, 64: 1.0, 128: 1.0, 256: 2.5}
+
+
+def as_tpu_operator(op, max_diags: int = 64, max_bsr_cost: float = 16.0,
+                    bsr_block_sizes: Tuple[int, ...] = (8, 16, 32, 64, 128)):
     """Pick the TPU-efficient representation for ``op``.
 
-    ELL matvecs are gather-bound (two orders of magnitude off the DIA /
-    stencil paths on TPU); square ELL matrices with at most ``max_diags``
-    distinct diagonals are converted to DIA.  Everything else is returned
-    unchanged.
+    ELL matvecs are elementwise-gather-bound (two orders of magnitude off
+    the DIA / stencil paths on TPU).  Routing for a square ELL matrix:
+
+    1. at most ``max_diags`` distinct diagonals → ``DIA`` (slice speed);
+    2. blockable → ``BSR`` (block-row gathers + batched sub-block
+       matvecs): pick the ``bs`` minimizing
+       ``fill(bs) * _BSR_BS_PENALTY[bs]`` (estimated per-nonzero cost
+       relative to the slice paths), accept if that cost is at most
+       ``max_bsr_cost``;
+    3. otherwise stays gather-ELL with a ``UserWarning`` — that path is
+       ~139x off slice speed (BENCHMARKS.md format table) and its
+       ``rmv`` is a TPU-pathological scatter-add.
     """
     if isinstance(op, ELL) and op.shape[0] == op.ncols:
         if op.ndiags() <= max_diags:
             return op.to_dia()
+        rows, cols, vals = op.to_coo_np()
+        best = None
+        for bs in bsr_block_sizes:
+            cost = (bsr_block_fill_from_coo(rows, cols, op.shape, bs)
+                    * _BSR_BS_PENALTY.get(bs, 1.0))
+            if cost <= max_bsr_cost and (best is None or cost < best[1]):
+                best = (bs, cost)
+        if best is not None:
+            return BSR.from_coo(rows, cols, vals, op.shape,
+                                bs=best[0], dtype=op.dtype)
+        import warnings
+
+        warnings.warn(
+            "as_tpu_operator: matrix is neither banded (ndiags "
+            f"> {max_diags}) nor blockable (estimated BSR cost "
+            f"> {max_bsr_cost}x per nonzero for bs in "
+            f"{bsr_block_sizes}); staying on gather-ELL, ~139x off TPU "
+            "slice speed and scatter-add rmv (BENCHMARKS.md format "
+            "table)",
+            UserWarning, stacklevel=2,
+        )
     return op
 
 

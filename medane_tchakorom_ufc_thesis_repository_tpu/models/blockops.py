@@ -502,9 +502,24 @@ def from_stacked_ell(op: StackedELLOperator,
 def as_stacked_tpu_operator(op, max_diags: int = 64):
     """Pick the TPU-efficient stacked representation (the blockwise
     analog of ``core.operators.as_tpu_operator``): banded ELL splits
-    become DIA planes, everything else passes through."""
+    become DIA planes, everything else passes through — with a
+    ``UserWarning`` when a ``StackedELLOperator`` stays on the
+    elementwise-gather path (961x off the DIA planes, BENCHMARKS.md)."""
     if isinstance(op, StackedELLOperator):
-        return from_stacked_ell(op, max_diags=max_diags)
+        out = from_stacked_ell(op, max_diags=max_diags)
+        if out is op:
+            import warnings
+
+            warnings.warn(
+                "as_stacked_tpu_operator: block split is not banded "
+                f"(> {max_diags} distinct diagonals); staying on "
+                "gather-ELL block applies, measured 961x off the DIA "
+                "planes on TPU (BENCHMARKS.md). For unstructured "
+                "sparsity consider core.operators.BSR on the unsplit "
+                "matrix.",
+                UserWarning, stacklevel=2,
+            )
+        return out
     return op
 
 

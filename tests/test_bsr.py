@@ -1,0 +1,207 @@
+"""BSR (block-ELL) operator: scipy-verified correctness + routing.
+
+The reference's ``create_matrix_sparse`` (``src/utils/utils.c:139-155``)
+accepts ANY sparsity pattern; on TPU the elementwise-gather ELL path is
+~139x off slice speed, so ``as_tpu_operator`` routes banded → DIA and
+blockable → BSR (dense sub-blocks, block-row gathers + batched sub-block
+matvecs, transpose pack for ``rmv`` — no scatter-adds).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+    BSR,
+    DIA,
+    ELL,
+    as_tpu_operator,
+    bsr_block_fill_from_coo,
+)
+
+
+def _random_block_sparse(nb, bs, blocks_per_row, seed=0, spd=False):
+    """Random block-sparse matrix: dense (bs, bs) blocks at random block
+    positions — the natural BSR pattern (FEM multi-dof nodes)."""
+    rng = np.random.default_rng(seed)
+    n = nb * bs
+    A = sp.lil_matrix((n, n))
+    for r in range(nb):
+        cols = rng.choice(nb, size=min(blocks_per_row, nb), replace=False)
+        for c in cols:
+            A[r * bs:(r + 1) * bs, c * bs:(c + 1) * bs] = (
+                rng.standard_normal((bs, bs))
+            )
+    A = A.tocsr()
+    if spd:
+        A = (A @ A.T).tocsr() + sp.eye(n) * n
+    return A
+
+
+def _to_coo(A):
+    A = A.tocoo()
+    return A.row, A.col, A.data, A.shape
+
+
+class TestBsrCorrectness:
+    @pytest.mark.parametrize("bs", [4, 8, 16])
+    def test_mv_rmv_match_scipy(self, bs):
+        A = _random_block_sparse(nb=12, bs=bs, blocks_per_row=3, seed=1)
+        rows, cols, vals, shape = _to_coo(A)
+        op = BSR.from_coo(rows, cols, vals, shape, bs=bs, dtype=jnp.float64)
+        x = np.random.default_rng(2).standard_normal(shape[1])
+        np.testing.assert_allclose(
+            np.asarray(op.mv(jnp.asarray(x))), A @ x, rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(op.rmv(jnp.asarray(x))), A.T @ x, rtol=1e-12
+        )
+
+    def test_block_size_not_dividing_n(self):
+        # true n = 50, bs = 16 -> padded 64; mv/rmv pad+unpad correctly
+        rng = np.random.default_rng(3)
+        A = sp.random(50, 50, density=0.1, random_state=3).tocsr()
+        rows, cols, vals, shape = _to_coo(A)
+        op = BSR.from_coo(rows, cols, vals, shape, bs=16, dtype=jnp.float64)
+        assert op.shape == (50, 50)
+        x = rng.standard_normal(50)
+        np.testing.assert_allclose(
+            np.asarray(op.mv(jnp.asarray(x))), A @ x, rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(op.rmv(jnp.asarray(x))), A.T @ x, rtol=1e-12
+        )
+
+    def test_rectangular(self):
+        A = sp.random(40, 72, density=0.15, random_state=5).tocsr()
+        rows, cols, vals, shape = _to_coo(A)
+        op = BSR.from_coo(rows, cols, vals, shape, bs=8, dtype=jnp.float64)
+        x = np.random.default_rng(6).standard_normal(72)
+        y = np.random.default_rng(7).standard_normal(40)
+        np.testing.assert_allclose(
+            np.asarray(op.mv(jnp.asarray(x))), A @ x, rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(op.rmv(jnp.asarray(y))), A.T @ y, rtol=1e-12
+        )
+
+    def test_duplicate_coo_entries_sum(self):
+        rows = np.array([0, 0, 1, 5])
+        cols = np.array([1, 1, 2, 5])
+        vals = np.array([1.0, 2.0, 3.0, 4.0])
+        op = BSR.from_coo(rows, cols, vals, (6, 6), bs=4, dtype=jnp.float64)
+        d = np.asarray(op.to_dense())
+        assert d[0, 1] == 3.0 and d[1, 2] == 3.0 and d[5, 5] == 4.0
+
+    def test_permuted_poisson_mv(self):
+        # randomly permuted Poisson: genuinely non-banded, scipy-verified
+        rows, cols, vals, shape = poisson.poisson2d_coo(24, 24)
+        n = shape[0]
+        rng = np.random.default_rng(11)
+        perm = rng.permutation(n)
+        A = sp.csr_matrix((vals, (perm[rows], perm[cols])), shape=shape)
+        rows2, cols2, vals2, _ = _to_coo(A)
+        op = BSR.from_coo(rows2, cols2, vals2, shape, bs=16,
+                          dtype=jnp.float64)
+        x = rng.standard_normal(n)
+        np.testing.assert_allclose(
+            np.asarray(op.mv(jnp.asarray(x))), A @ x, rtol=1e-12
+        )
+
+    def test_fill_estimator_matches_pack(self):
+        A = _random_block_sparse(nb=6, bs=8, blocks_per_row=2, seed=9)
+        rows, cols, vals, shape = _to_coo(A)
+        est = bsr_block_fill_from_coo(rows, cols, shape, bs=8)
+        op = BSR.from_coo(rows, cols, vals, shape, bs=8, dtype=jnp.float64)
+        true_nnz = len(vals)
+        stored = int(np.count_nonzero(
+            np.asarray(op.values).reshape(op.indices.shape[0], -1)
+            .any(axis=-1)
+        ))
+        # estimator counts stored blocks * bs^2 / nnz (no padding slots)
+        nub = (sp.csr_matrix((np.ones_like(vals), (rows // 8, cols // 8)),
+                             shape=(shape[0] // 8, shape[1] // 8)).nnz)
+        assert est == pytest.approx(nub * 64 / true_nnz)
+
+    def test_krylov_solve_via_bsr(self):
+        # end-to-end: CG on a random block-sparse SPD matrix through BSR
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import cg
+
+        A = _random_block_sparse(nb=8, bs=8, blocks_per_row=2, seed=13,
+                                 spd=True)
+        rows, cols, vals, shape = _to_coo(A)
+        op = BSR.from_coo(rows, cols, vals, shape, bs=8, dtype=jnp.float64)
+        xstar = np.ones(shape[0])
+        b = A @ xstar
+        res = cg(op.mv, jnp.asarray(b), rtol=1e-10, maxiter=500)
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.x), xstar, atol=1e-7)
+
+    def test_lsqr_via_bsr_rmv(self):
+        # rmv (transpose pack) drives LSQR — the path that was a
+        # scatter-add on gather-ELL
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import lsqr
+
+        A = _random_block_sparse(nb=6, bs=8, blocks_per_row=2, seed=17,
+                                 spd=True)
+        rows, cols, vals, shape = _to_coo(A)
+        op = BSR.from_coo(rows, cols, vals, shape, bs=8, dtype=jnp.float64)
+        xstar = np.ones(shape[0])
+        b = A @ xstar
+        res = lsqr(op.mv, op.rmv, jnp.asarray(b), n=shape[1],
+                   rtol=1e-10, maxiter=500)
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.x), xstar, atol=1e-6)
+
+
+class TestRouting:
+    def test_banded_still_goes_dia(self):
+        ell = poisson.poisson2d_ell(16, 16, dtype=jnp.float64)
+        out = as_tpu_operator(ell)
+        assert isinstance(out, DIA)
+
+    def test_blockable_goes_bsr(self):
+        A = _random_block_sparse(nb=4, bs=16, blocks_per_row=2, seed=21)
+        rows, cols, vals, shape = _to_coo(A)
+        ell = poisson.coo_to_ell(rows, cols, vals, shape,
+                                 dtype=jnp.float64)
+        out = as_tpu_operator(ell, max_diags=8,
+                              bsr_block_sizes=(16,), max_bsr_cost=40.0)
+        assert isinstance(out, BSR)
+        x = np.random.default_rng(22).standard_normal(shape[1])
+        np.testing.assert_allclose(
+            np.asarray(out.mv(jnp.asarray(x))),
+            np.asarray(ell.mv(jnp.asarray(x))), rtol=1e-12,
+        )
+
+    def test_unblockable_warns_and_stays_ell(self):
+        # dense-random pattern: neither banded nor blockable
+        A = sp.random(256, 256, density=0.02, random_state=23).tocsr()
+        A = A + sp.eye(256)
+        rows, cols, vals, shape = _to_coo(A)
+        ell = poisson.coo_to_ell(rows, cols, vals, shape,
+                                 dtype=jnp.float64)
+        with pytest.warns(UserWarning, match="gather-ELL"):
+            out = as_tpu_operator(ell, max_diags=8, max_bsr_cost=4.0,
+                                  bsr_block_sizes=(128,))
+        assert isinstance(out, ELL)
+
+    def test_stacked_unbanded_warns(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.models import (
+            blockops,
+        )
+
+        rows, cols, vals, shape = poisson.poisson2d_coo(12, 12)
+        n = shape[0]
+        perm = np.random.default_rng(29).permutation(n)
+        a_ii, a_ic = poisson.block_split_ell(
+            perm[rows], perm[cols], vals, shape, nblocks=2,
+            dtype=jnp.float64,
+        )
+        op = blockops.StackedELLOperator(a_ii=a_ii, a_ic=a_ic)
+        with pytest.warns(UserWarning, match="gather-ELL"):
+            out = blockops.as_stacked_tpu_operator(op)
+        assert out is op
