@@ -12,3 +12,14 @@ from medane_tchakorom_ufc_thesis_repository_tpu.ops.stencil_pallas import (  # n
     stencil2d_mv_pallas,
     stencil3d_mv_pallas,
 )
+
+from medane_tchakorom_ufc_thesis_repository_tpu.ops.fused_pallas import (  # noqa: F401
+    maxpy_pallas,
+    mdot_pallas,
+    mosaic_available,
+    pallas_enabled,
+    residual_norm_sq,
+    spmm_panel,
+    stencil2d_mv_norm_pallas,
+    stencil2d_spmm_pallas,
+)

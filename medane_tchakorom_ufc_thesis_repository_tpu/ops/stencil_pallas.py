@@ -96,7 +96,7 @@ def stencil2d_mv_pallas(
     out = pl.pallas_call(
         partial(_kernel2d, tile_m=tile_m, n=n, diag=diag, off=off),
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (tile_m, n), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
@@ -179,7 +179,7 @@ def stencil3d_mv_pallas(
     out = pl.pallas_call(
         partial(_kernel3d, tile_m=tile_m, ny=ny, nz=nz, diag=diag, off=off),
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (tile_m, f), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),

@@ -1,0 +1,149 @@
+"""Pallas kernels: interpreter-mode exactness vs the XLA paths.
+
+Mosaic cannot compile through the axon tunnel (environment limitation;
+``fused_pallas.mosaic_available`` logs why), so the kernels are pinned
+EXACT against the XLA formulations in ``pltpu.force_tpu_interpret_mode``
+— the same arithmetic the real-chip compile would execute.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+from medane_tchakorom_ufc_thesis_repository_tpu.ops import (
+    fused_pallas as fp,
+)
+from medane_tchakorom_ufc_thesis_repository_tpu.ops.stencil_pallas import (
+    stencil2d_mv_pallas,
+    stencil3d_mv_pallas,
+)
+
+
+@pytest.fixture()
+def _interpret():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def _x(n, seed=0, dtype=jnp.float32):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(n), dtype
+    )
+
+
+@pytest.mark.usefixtures("_interpret")
+class TestStencilKernels:
+    def test_2d_mv_exact(self):
+        m = n = 64
+        op = poisson.poisson2d(m, n)
+        x = _x(m * n)
+        y = stencil2d_mv_pallas(x, m=m, n=n, tile_m=16)
+        np.testing.assert_array_equal(
+            np.asarray(y), np.asarray(op.mv(x))
+        )
+
+    def test_3d_mv_exact(self):
+        nx = ny = nz = 16
+        op = poisson.poisson3d(nx, ny, nz)
+        x = _x(nx * ny * nz)
+        y = stencil3d_mv_pallas(x, nx=nx, ny=ny, nz=nz, tile_m=4)
+        # tap-summation ORDER differs from the XLA formulation in 3D,
+        # so agreement is to f32 rounding, not bitwise
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(op.mv(x).reshape(-1)),
+            rtol=1e-6, atol=1e-6,
+        )
+
+
+@pytest.mark.usefixtures("_interpret")
+class TestFusedKernels:
+    def test_spmm_panel_exact(self):
+        m = n = 32
+        s = 5
+        op = poisson.poisson2d(m, n)
+        S = jnp.stack([_x(m * n, seed=i) for i in range(s)])
+        R = fp.stencil2d_spmm_pallas(S, m=m, n=n, tile_m=8)
+        np.testing.assert_array_equal(
+            np.asarray(R), np.asarray(jax.vmap(op.mv)(S))
+        )
+
+    def test_mv_norm_fused_exact(self):
+        m = n = 32
+        op = poisson.poisson2d(m, n)
+        x, b = _x(m * n, 1), _x(m * n, 2)
+        y, sq = fp.stencil2d_mv_norm_pallas(x, b, m=m, n=n, tile_m=8)
+        yx = op.mv(x)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(yx))
+        np.testing.assert_allclose(
+            float(sq), float(jnp.sum((b - yx) ** 2)), rtol=1e-6
+        )
+
+    def test_mdot_exact(self):
+        k, n = 7, 4096
+        V = jnp.stack([_x(n, seed=i) for i in range(k)])
+        w = _x(n, seed=99)
+        d = fp.mdot_pallas(V, w, tile_n=512)
+        # tiled accumulation order differs from the XLA dot
+        np.testing.assert_allclose(
+            np.asarray(d), np.asarray(V @ w), rtol=1e-4, atol=1e-4
+        )
+
+    def test_maxpy_exact(self):
+        k, n = 6, 2048
+        V = jnp.stack([_x(n, seed=i) for i in range(k)])
+        a = _x(k, seed=50)
+        y0 = _x(n, seed=51)
+        y = fp.maxpy_pallas(V, a, y0, tile_n=512)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y0 + a @ V), rtol=1e-5, atol=1e-6
+        )
+
+
+class TestProbeAndRouting:
+    # NOTE: no interpreter fixture on the probe test — the probe must
+    # see the real backend (where Mosaic is absent) to exercise the
+    # logging path
+    def test_probe_false_on_cpu_and_logs(self, caplog):
+        fp.mosaic_available.cache_clear()
+        import logging
+
+        with caplog.at_level(logging.INFO, logger=fp.__name__):
+            assert fp.mosaic_available() is False
+        assert any("unavailable" in r.message for r in caplog.records)
+        fp.mosaic_available.cache_clear()
+
+    def test_env_switch(self, monkeypatch):
+        monkeypatch.setenv("MEDANE_TPU_PALLAS", "0")
+        assert fp.pallas_enabled() is False
+        monkeypatch.setenv("MEDANE_TPU_PALLAS", "1")
+        assert fp.pallas_enabled() is True
+
+    @pytest.mark.usefixtures("_interpret")
+    def test_auto_route_forced_on_interpreter(self, monkeypatch):
+        # force-enable under the interpreter: the routed results match
+        # the XLA path bit-for-bit
+        monkeypatch.setenv("MEDANE_TPU_PALLAS", "1")
+        m = n = 32
+        op = poisson.poisson2d(m, n)
+        S = jnp.stack([_x(m * n, seed=i) for i in range(4)])
+        np.testing.assert_array_equal(
+            np.asarray(fp.spmm_panel(op, S)),
+            np.asarray(jax.vmap(op.mv)(S)),
+        )
+        x, b = _x(m * n, 5), _x(m * n, 6)
+        y, sq = fp.residual_norm_sq(op, x, b)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(op.mv(x)))
+
+    def test_auto_route_xla_fallback(self, monkeypatch):
+        monkeypatch.setenv("MEDANE_TPU_PALLAS", "0")
+        m = n = 16
+        op = poisson.poisson2d(m, n)
+        x, b = _x(m * n, 7), _x(m * n, 8)
+        y, sq = fp.residual_norm_sq(op, x, b)
+        np.testing.assert_allclose(
+            float(sq), float(jnp.sum((b - op.mv(x)) ** 2)), rtol=1e-6
+        )
