@@ -66,6 +66,40 @@ class TestMultihostMatchesSingleProcess:
             )
             assert r["err_vs_ones"] < 0.1
 
+    def test_smsm_global_four_processes(self, mesh8):
+        # the reference's active g5k runs use np=16 across sites
+        # (running_bulk_test_g5k); prove the fan-out is N-ary, not
+        # hardcoded 2: 4 procs x 2 devices = the same global 8-device
+        # mesh, so counts must match the single-process run exactly
+        cfg = ShardedPoisson2D(self.M, self.N)
+        b = jnp.asarray(_b_ones(cfg))
+        ref = sharded_multisplit_solve(
+            mesh8, cfg, b,
+            schedule="sync", minimization="global", s=4,
+            inner=InnerConfig(restart=8, maxiter=8, rtol=1e-6),
+            rtol=self.RTOL, maxiter=2000,
+        )
+        results = multihost.launch(
+            [
+                "--alg", "SMSM_GLOBAL", "--m", str(self.M), "--n", str(self.N),
+                "--s", "4", "--rtol", str(self.RTOL),
+                "--inner-maxiter", "8", "--inner-restart", "8",
+                "--inner-rtol", "1e-6",
+            ],
+            num_processes=4, devices_per_process=2, timeout_s=420,
+        )
+        assert len(results) == 4
+        for r in results:
+            assert r["global_devices"] == 8
+            assert r["local_devices"] == 2
+            assert r["converged"]
+            assert r["sweeps"] == int(ref.sweeps)
+            assert r["cycles"] == int(ref.cycles)
+            np.testing.assert_allclose(
+                r["rnorm"], float(ref.rnorm), rtol=1e-6
+            )
+            assert r["err_vs_ones"] < 0.1
+
     def test_mgpcg_northstar(self):
         """The flagship north-star recipe across 2 OS processes: sharded
         MG-PCG + double-float refinement to 1e-8 over Gloo."""

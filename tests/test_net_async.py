@@ -441,3 +441,47 @@ class TestThreeProcessAM:
             assert rel <= rtol
         else:
             assert rel <= 50 * rtol
+
+
+class TestFourProcessAM:
+    def test_four_blocks_native_router(self):
+        """N=4 over the C++ epoll router: leader election (rank 0 among
+        4), the complete verification graph, and the post-verdict
+        certification tail all have N-dependent corner cases — the
+        reference's active g5k runs use np=16/npb=8, so 2-3 process
+        coverage alone is not evidence (VERDICT round 2)."""
+        import jax.numpy as jnp
+
+        from medane_tchakorom_ufc_thesis_repository_tpu import native
+        from medane_tchakorom_ufc_thesis_repository_tpu.models import blockops
+        from medane_tchakorom_ufc_thesis_repository_tpu.models.net_async import (
+            launch_net_async,
+        )
+
+        if not native.comm_available():
+            pytest.skip(f"no native comm: {native.comm_build_error()}")
+
+        m, n = 44, 44   # 4 blocks x 11 grid rows
+        rtol = 1e-4
+        results = launch_net_async(
+            nblocks=4, m=m, n=n, rtol=rtol, maxiter=6000,
+            transport="native", timeout_s=300,
+        )
+        assert len(results) == 4
+        assert all(r["converged"] for r in results)
+        # the verification/verdict rounds ran (leader decided at N=4)
+        assert max(r["phase_tag"] for r in results) >= 1
+
+        op = blockops.block_poisson2d(m, n, nblocks=4)
+        b = blockops.rhs_ones(op, jnp.float64)
+        x = jnp.asarray(np.stack([
+            np.asarray(r["x_block"])
+            for r in sorted(results, key=lambda r: r["rank"])
+        ]))
+        r_true = b - op.full_mv(x)
+        rel = float(jnp.linalg.norm(r_true.reshape(-1))
+                    / jnp.linalg.norm(b.reshape(-1)))
+        if all(r["certified"] for r in results):
+            assert rel <= rtol
+        else:
+            assert rel <= 50 * rtol
