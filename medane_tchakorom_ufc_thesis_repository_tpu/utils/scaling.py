@@ -132,6 +132,97 @@ def run_weak_scaling(
     return records
 
 
+def run_structural(
+    rows_per_device: int = 128,
+    n: int = 512,
+    device_counts: List[int] = (2, 4, 8),
+    inner_maxiter: int = 20,
+    alg: str = "SM",
+) -> List[Dict]:
+    """STRUCTURAL weak-scaling evidence (no wall clock): lower the same
+    sharded program at each mesh size with fixed per-device load and
+    account the collectives in the compiled SPMD HLO (per-device
+    shapes).  The >=80% north-star holds structurally when
+    bytes-per-device stays flat as the mesh grows — virtual-CPU timing
+    cannot show this (host contention dominates), hardware being absent
+    this round.
+
+    For SM (fixed-sweep multisplitting) counts and bytes/device are
+    exactly mesh-size-independent.  For MGPCG the global grid grows
+    with N, so the V/W-cycle gains one level per doubling: collective
+    COUNT grows ~log(N) while bytes/device stay dominated by the finest
+    level (halo planes decay geometrically down the hierarchy).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from medane_tchakorom_ufc_thesis_repository_tpu.models.multisplitting import (
+        InnerConfig,
+    )
+    from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
+        ShardedPoisson2D,
+        ShardedPoisson3D,
+        make_mesh,
+        sharded_multisplit_solve,
+    )
+    from medane_tchakorom_ufc_thesis_repository_tpu.utils import hlostats
+
+    records = []
+    for nd in device_counts:
+        if nd % 2:
+            raise ValueError("device counts must be even (2 Jacobi blocks)")
+        if nd > len(jax.devices()):
+            print(f"[scaling] skipping {nd} devices (only "
+                  f"{len(jax.devices())} available)")
+            continue
+        mesh = make_mesh(nblocks=2, intra=nd // 2)
+        m = rows_per_device * nd
+
+        if alg.upper() == "MGPCG":
+            from medane_tchakorom_ufc_thesis_repository_tpu.parallel.mgpcg import (
+                _northstar_fused_run,
+            )
+
+            cfg3 = ShardedPoisson3D(m, n, n)
+            run = _northstar_fused_run(
+                mesh, cfg3, 1e-8, 1e-5, 40, 6, 2, 4, 40, "w",
+            )
+            stats = hlostats.jitted_collective_stats(run)
+            grid = f"{m}x{n}x{n}"
+        else:
+            cfg = ShardedPoisson2D(m, n)
+            b = jax.ShapeDtypeStruct((m, n), jnp.float32)
+            run = jax.jit(lambda bb, _mesh=mesh, _cfg=cfg: (
+                sharded_multisplit_solve(
+                    _mesh, _cfg, bb, rtol=1e-30, maxiter=20,
+                    inner=InnerConfig(maxiter=inner_maxiter, rtol=1e-10),
+                ).x
+            ))
+            stats = hlostats.jitted_collective_stats(run, b)
+            grid = f"{m}x{n}"
+
+        rec = {
+            "devices": nd,
+            "grid": grid,
+            "collectives": stats,
+            "total_count": hlostats.total_collective_count(stats),
+            "bytes_per_device": hlostats.total_collective_bytes(stats),
+        }
+        records.append(rec)
+        print(f"[scaling] {json.dumps(rec)}")
+
+    if len(records) >= 2:
+        base = records[0]["bytes_per_device"]
+        for r in records:
+            r["bytes_vs_smallest_mesh"] = round(
+                r["bytes_per_device"] / max(base, 1), 3
+            )
+        print(f"[scaling] bytes/device vs smallest mesh: "
+              f"{[(r['devices'], r['bytes_vs_smallest_mesh'])
+                  for r in records]}")
+    return records
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="scaling")
     p.add_argument("--rows-per-device", type=int, default=128)
@@ -140,13 +231,21 @@ def main(argv=None) -> int:
     p.add_argument("--devices", default="2,4,8")
     p.add_argument("--alg", default="SM",
                    help="SM (fixed sweeps) | MGPCG (north-star to 1e-8)")
+    p.add_argument("--structural", action="store_true",
+                   help="no wall clock: account collectives in the "
+                        "compiled SPMD HLO at each mesh size")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
-    recs = run_weak_scaling(
-        args.rows_per_device, args.n, args.sweeps,
-        [int(x) for x in args.devices.split(",")],
-        alg=args.alg,
-    )
+    counts = [int(x) for x in args.devices.split(",")]
+    if args.structural:
+        recs = run_structural(
+            args.rows_per_device, args.n, counts, alg=args.alg,
+        )
+    else:
+        recs = run_weak_scaling(
+            args.rows_per_device, args.n, args.sweeps, counts,
+            alg=args.alg,
+        )
     if args.out:
         with open(args.out, "w") as f:
             for r in recs:
