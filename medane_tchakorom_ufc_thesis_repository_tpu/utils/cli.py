@@ -116,6 +116,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="host-stepped solve with per-stage wall timers "
                         "(I_Solver/Exchange/O_Solver/Convergence — the "
                         "PetscLog-stage analog; stacked backend)")
+    p.add_argument("--flame", default=None, metavar="PATH", dest="flame",
+                   help="write the stage timers as a flamegraph-style "
+                        "HTML artifact (the performance_xml2html.xsl / "
+                        "-log_view ::ascii_flamegraph analog); implies "
+                        "--stage-timers for .html, or folded-stack text "
+                        "for a .txt path")
     p.add_argument("--record-history", action="store_true",
                    dest="record_history",
                    help="record + report per-cycle residual norms (the "
@@ -302,7 +308,7 @@ def config_from_args(args) -> "RunConfig":
             {"config", "json", "profile_dir", "multihost",
              "devices_per_process", "stage_timers", "record_history",
              "net_async", "show_config", "np_flag", "npb_flag",
-             "transport", "termination"}
+             "transport", "termination", "flame"}
             | pb_keys
         )
     }
@@ -820,11 +826,29 @@ def main(argv=None) -> int:
         print(json.dumps(
             {"resolved_config": _dc.asdict(cfg)}, default=str
         ))
+    stage_timers = args.stage_timers or bool(args.flame)
     result, pt = run(
         cfg, profile_dir=args.profile_dir,
-        stage_timers=args.stage_timers,
-        record_history=args.record_history or args.stage_timers,
+        stage_timers=stage_timers,
+        record_history=args.record_history or stage_timers,
     )
+
+    if args.flame:
+        from medane_tchakorom_ufc_thesis_repository_tpu.utils.report import (
+            folded,
+            render_flamegraph,
+        )
+
+        items = pt.items()
+        with open(args.flame, "w") as f:
+            if args.flame.endswith(".txt"):
+                f.write(folded(items))
+            else:
+                f.write(render_flamegraph(
+                    items,
+                    title=f"{cfg.alg} {result.get('grid', '')} stage timers",
+                ))
+        print(f"wrote {args.flame}", file=sys.stderr)
 
     if args.json:
         print(json.dumps(result))

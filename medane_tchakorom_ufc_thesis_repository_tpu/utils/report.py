@@ -67,6 +67,122 @@ tr.bad td:first-child {{ border-left: 4px solid #c33; }}
 """
 
 
+# Flamegraph stage colors: the validated default categorical order
+# (dataviz reference palette, fixed assignment by first appearance —
+# never cycled).  Bars are light tints with a solid hue keel so labels
+# stay in ink tokens; (light, dark) per slot.
+_FLAME_SERIES = [
+    ("#2a78d6", "#3987e5"),   # blue
+    ("#eb6834", "#d95926"),   # orange
+    ("#1baf7a", "#199e70"),   # aqua
+    ("#eda100", "#c98500"),   # yellow
+    ("#e87ba4", "#d55181"),   # magenta
+    ("#008300", "#008300"),   # green
+    ("#4a3aa7", "#9085e9"),   # violet
+    ("#e34948", "#e66767"),   # red
+]
+
+
+def folded(items) -> str:
+    """PhaseTimer items -> folded-stack lines (``stage;sub value_us``),
+    the format ``-log_view ::ascii_flamegraph`` emits and external
+    flamegraph tools (speedscope, flamegraph.pl) ingest.  Nested stages
+    use '/' in the phase name."""
+    out = []
+    for name, secs, _calls in items:
+        out.append(f"{name.replace('/', ';')} {int(secs * 1e6)}")
+    return "\n".join(out) + "\n"
+
+
+def render_flamegraph(items, title: str = "stage timers") -> str:
+    """PhaseTimer items -> self-contained flamegraph-style HTML (the
+    ``performance_xml2html.xsl`` / ``-log_view ::ascii_flamegraph``
+    analog): one row per nesting level, bar width proportional to wall
+    time, plus the exact numbers as a table."""
+    # aggregate into a tree on '/'-separated stage paths
+    tree: Dict = {}
+    for name, secs, calls in items:
+        node, path = tree, name.split("/")
+        for seg in path:
+            node = node.setdefault(seg, {"_t": 0.0, "_c": 0, "_kids": {}})
+            node["_t"] += secs
+            node["_c"] += calls
+            node = node["_kids"]
+    total = sum(v["_t"] for v in tree.values()) or 1.0
+
+    slot_of: Dict[str, int] = {}
+
+    def slot(seg: str) -> int:
+        if seg not in slot_of:
+            slot_of[seg] = len(slot_of) % len(_FLAME_SERIES)
+        return slot_of[seg]
+
+    rows: List[List[str]] = []
+
+    def emit(level: Dict, depth: int, offset: float):
+        while len(rows) <= depth:
+            rows.append([])
+        off = offset
+        for seg, v in level.items():
+            w = 100.0 * v["_t"] / total
+            s = slot(seg)
+            tip = (f"{seg}: {v['_t']:.4f} s, {v['_c']} calls, "
+                   f"{100.0 * v['_t'] / total:.1f}%")
+            rows[depth].append(
+                f'<div class="f s{s}" style="left:{off:.3f}%;'
+                f'width:{max(w - 0.15, 0.05):.3f}%" title="{html.escape(tip)}">'
+                f'<span>{html.escape(seg)} {v["_t"]:.3f}s</span></div>'
+            )
+            emit(v["_kids"], depth + 1, off)
+            off += w
+
+    emit(tree, 0, 0.0)
+    lanes = "\n".join(
+        f'<div class="lane">{"".join(r)}</div>' for r in rows if r
+    )
+    series_css = "\n".join(
+        f".s{i} {{ background: {light}26; border-left: 3px solid {light}; }}\n"
+        f"@media (prefers-color-scheme: dark) {{ "
+        f".s{i} {{ background: {dark}33; border-left-color: {dark}; }} }}"
+        for i, (light, dark) in enumerate(_FLAME_SERIES)
+    )
+    trs = "\n".join(
+        f"<tr><td>{html.escape(name)}</td><td>{secs:.4f}</td>"
+        f"<td>{calls}</td><td>{100.0 * secs / total:.1f}%</td></tr>"
+        for name, secs, calls in items
+    )
+    return f"""<!doctype html>
+<html><head><meta charset="utf-8"><title>{html.escape(title)}</title>
+<style>
+:root {{ --surface: #fcfcfb; --ink: #0b0b0b; --ink2: #52514e; }}
+@media (prefers-color-scheme: dark) {{
+  :root {{ --surface: #1a1a19; --ink: #ffffff; --ink2: #c3c2b7; }}
+}}
+body {{ font: 14px system-ui, sans-serif; margin: 2em;
+       background: var(--surface); color: var(--ink); }}
+.lane {{ position: relative; height: 28px; margin-bottom: 2px; }}
+.f {{ position: absolute; top: 0; height: 26px; border-radius: 4px;
+     overflow: hidden; white-space: nowrap; box-sizing: border-box; }}
+.f span {{ font-size: 12px; color: var(--ink); padding: 5px 4px;
+          display: inline-block; }}
+{series_css}
+table {{ border-collapse: collapse; margin-top: 1.5em; }}
+th, td {{ border: 1px solid var(--ink2); padding: 4px 10px;
+         text-align: right; }}
+th {{ text-align: left; }}
+caption, h1 {{ text-align: left; }}
+</style></head><body>
+<h1>{html.escape(title)}</h1>
+<p style="color: var(--ink2)">total {total:.4f} s — widths are share of
+total wall time (PetscLog-stage analog; hover for exact numbers)</p>
+{lanes}
+<table><thead><tr><th>stage</th><th>time s</th><th>calls</th>
+<th>share</th></tr></thead><tbody>
+{trs}
+</tbody></table></body></html>
+"""
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="report")
     p.add_argument("jsonl", help="bulk-run JSONL log")

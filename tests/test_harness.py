@@ -54,3 +54,54 @@ class TestBulk:
         )
         assert rec.get("converged") is True
         assert rec["returncode"] == 0
+
+
+class TestFlamegraph:
+    """The -log_view ::ascii_flamegraph / performance_xml2html.xsl
+    analog: PhaseTimer stages -> folded-stack text + HTML artifact."""
+
+    ITEMS = [
+        ("Loading", 0.5, 1),
+        ("I_Solver", 2.0, 10),
+        ("I_Solver/Exchange", 0.4, 10),
+        ("Convergence", 0.1, 10),
+    ]
+
+    def test_folded_format(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.utils.report import (
+            folded,
+        )
+
+        lines = folded(self.ITEMS).strip().splitlines()
+        assert lines[0] == "Loading 500000"
+        assert lines[2] == "I_Solver;Exchange 400000"
+
+    def test_html_artifact(self, tmp_path):
+        from medane_tchakorom_ufc_thesis_repository_tpu.utils.report import (
+            render_flamegraph,
+        )
+
+        html_text = render_flamegraph(self.ITEMS, title="t")
+        # every stage appears with its time; nested stage lands in a
+        # second lane; widths are shares of total
+        assert "Loading 0.500s" in html_text
+        assert "Exchange 0.400s" in html_text
+        assert html_text.count('<div class="lane">') == 2
+        assert "title=" in html_text            # hover layer
+        assert "<table>" in html_text           # table view
+        assert "prefers-color-scheme: dark" in html_text
+        out = tmp_path / "flame.html"
+        out.write_text(html_text)
+        assert out.stat().st_size > 1000
+
+    def test_cli_flame_flag(self, tmp_path):
+        from medane_tchakorom_ufc_thesis_repository_tpu.utils import cli
+
+        out = tmp_path / "fl.html"
+        rc = cli.main([
+            "--alg", "SM", "--m", "16", "--n", "16", "--json",
+            "--maxiter", "200", "--flame", str(out),
+        ])
+        assert rc == 0
+        text = out.read_text()
+        assert "I_Solver" in text and "lane" in text
