@@ -609,15 +609,22 @@ class BSR:
     @staticmethod
     def from_coo(rows, cols, vals, shape, bs: int = 128,
                  dtype=jnp.float32) -> "BSR":
-        """Host-side (numpy) COO -> block-ELL pack, both A and A^T."""
+        """Host-side (numpy) COO -> block-ELL pack, both A and A^T.
+        Symmetric matrices (detected exactly) reuse the forward pack for
+        the transpose — zero extra memory."""
         rows = np.asarray(rows)
         cols = np.asarray(cols)
         vals = np.asarray(vals)
         i, v = _bsr_pack_np(rows, cols, vals, shape, bs)
-        it, vt = _bsr_pack_np(cols, rows, vals, (shape[1], shape[0]), bs)
+        iv, vv = jnp.asarray(i), jnp.asarray(v, dtype)
+        if shape[0] == shape[1] and _coo_symmetric(rows, cols, vals):
+            it, vt = iv, vv          # A^T = A: same buffers
+        else:
+            it_, vt_ = _bsr_pack_np(cols, rows, vals,
+                                    (shape[1], shape[0]), bs)
+            it, vt = jnp.asarray(it_), jnp.asarray(vt_, dtype)
         return BSR(
-            indices=jnp.asarray(i), values=jnp.asarray(v, dtype),
-            indices_t=jnp.asarray(it), values_t=jnp.asarray(vt, dtype),
+            indices=iv, values=vv, indices_t=it, values_t=vt,
             nrows=int(shape[0]), ncols=int(shape[1]),
         )
 
@@ -647,6 +654,73 @@ def _bsr_pack_np(rows, cols, vals, shape, bs: int):
     indices[ubr, slot] = ubc.astype(np.int32)
     values[ubr, slot] = blocks
     return indices, values
+
+
+def _coo_symmetric(rows, cols, vals) -> bool:
+    """Exact (structural + numeric) symmetry check, host-side: the
+    canonically-sorted (r, c, v) triples of A and A^T coincide.
+    Duplicate COO entries are coalesced first (packs sum them)."""
+    def canon(r, c, v):
+        key = r.astype(np.int64) * (c.max() + 1 if c.size else 1) + c
+        order = np.argsort(key, kind="stable")
+        k, r2, c2, v2 = key[order], r[order], c[order], v[order]
+        uniq, inv = np.unique(k, return_inverse=True)
+        vs = np.zeros(len(uniq), np.float64)
+        np.add.at(vs, inv, v2.astype(np.float64))
+        first = np.searchsorted(k, uniq)
+        return r2[first], c2[first], vs
+
+    ra, ca, va = canon(rows, cols, vals)
+    rb, cb, vb = canon(cols, rows, vals)
+    return (len(ra) == len(rb)
+            and bool(np.array_equal(ra, rb))
+            and bool(np.array_equal(ca, cb))
+            and bool(np.array_equal(va, vb)))
+
+
+def operator_from_coo(rows, cols, vals, shape, dtype=jnp.float32,
+                      max_diags: int = 64, max_bsr_cost: float = 16.0,
+                      bsr_block_sizes: Tuple[int, ...] = (8, 16, 32, 64,
+                                                          128)):
+    """The ``create_matrix_sparse`` entry point (reference
+    ``src/utils/utils.c:139-155``): accept ANY sparsity pattern as COO
+    and return the TPU-efficient operator directly — banded → ``DIA``,
+    blockable → ``BSR``, rectangular or residual → ``ELL`` (with the
+    gather-path warning from ``as_tpu_operator``'s policy)."""
+    from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    vals = np.asarray(vals)
+    if shape[0] == shape[1]:
+        if len(np.unique(cols - rows)) <= max_diags:
+            return poisson.coo_to_dia(rows, cols, vals, shape, dtype=dtype)
+        best = None
+        for bs in bsr_block_sizes:
+            cost = (bsr_block_fill_from_coo(rows, cols, shape, bs)
+                    * _BSR_BS_PENALTY.get(bs, 1.0))
+            if cost <= max_bsr_cost and (best is None or cost < best[1]):
+                best = (bs, cost)
+        if best is not None:
+            return BSR.from_coo(rows, cols, vals, shape, bs=best[0],
+                                dtype=dtype)
+        import warnings
+
+        warnings.warn(
+            "operator_from_coo: matrix is neither banded nor blockable; "
+            "returning gather-ELL (~139x off TPU slice speed — "
+            "BENCHMARKS.md format table)",
+            UserWarning, stacklevel=2,
+        )
+    return poisson.coo_to_ell(rows, cols, vals, shape, dtype=dtype)
+
+
+def from_scipy(A, dtype=jnp.float32, **route_kw):
+    """``operator_from_coo`` over a ``scipy.sparse`` matrix — the
+    drop-in for users arriving from the reference's AIJ assembly."""
+    coo = A.tocoo()
+    return operator_from_coo(coo.row, coo.col, coo.data, coo.shape,
+                             dtype=dtype, **route_kw)
 
 
 def bsr_block_fill_from_coo(rows, cols, shape, bs: int) -> float:

@@ -205,3 +205,66 @@ class TestRouting:
         with pytest.warns(UserWarning, match="gather-ELL"):
             out = blockops.as_stacked_tpu_operator(op)
         assert out is op
+
+
+class TestFromScipy:
+    """operator_from_coo / from_scipy: the create_matrix_sparse entry
+    point (reference utils.c:139-155) — any scipy matrix in, the
+    TPU-routed operator out."""
+
+    def test_banded_routes_dia(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+            from_scipy,
+        )
+
+        rows, cols, vals, shape = poisson.poisson2d_coo(16, 16)
+        A = sp.csr_matrix((vals, (rows, cols)), shape=shape)
+        op = from_scipy(A, dtype=jnp.float64)
+        assert isinstance(op, DIA)
+        x = np.random.default_rng(1).standard_normal(shape[0])
+        np.testing.assert_allclose(
+            np.asarray(op.mv(jnp.asarray(x))), A @ x, rtol=1e-12
+        )
+
+    def test_blocky_routes_bsr_and_symmetric_shares_buffers(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+            from_scipy,
+        )
+
+        A = _random_block_sparse(nb=6, bs=16, blocks_per_row=2, seed=31,
+                                 spd=True)
+        op = from_scipy(A, dtype=jnp.float64,
+                        bsr_block_sizes=(16,), max_bsr_cost=64.0)
+        assert isinstance(op, BSR)
+        # symmetric: transpose pack is the SAME buffer, not a copy
+        assert op.values_t is op.values
+        assert op.indices_t is op.indices
+        x = np.random.default_rng(2).standard_normal(A.shape[0])
+        np.testing.assert_allclose(
+            np.asarray(op.rmv(jnp.asarray(x))), A.T @ x, rtol=1e-11
+        )
+
+    def test_nonsymmetric_gets_real_transpose_pack(self):
+        A = sp.random(64, 64, density=0.08, random_state=37).tocsr()
+        A = A + sp.eye(64)
+        rows, cols, vals, shape = _to_coo(A)
+        op = BSR.from_coo(rows, cols, vals, shape, bs=8,
+                          dtype=jnp.float64)
+        assert op.values_t is not op.values
+        x = np.random.default_rng(3).standard_normal(64)
+        np.testing.assert_allclose(
+            np.asarray(op.rmv(jnp.asarray(x))), A.T @ x, rtol=1e-12
+        )
+
+    def test_rectangular_routes_ell(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+            from_scipy,
+        )
+
+        A = sp.random(30, 50, density=0.1, random_state=41).tocsr()
+        op = from_scipy(A, dtype=jnp.float64)
+        assert isinstance(op, ELL)
+        x = np.random.default_rng(4).standard_normal(50)
+        np.testing.assert_allclose(
+            np.asarray(op.mv(jnp.asarray(x))), A @ x, rtol=1e-12
+        )
