@@ -578,8 +578,13 @@ class BSR:
         xp = jnp.pad(x, (0, ncb * bs - n_in)) if ncb * bs != n_in else x
         xb = xp.reshape(ncb, bs)
         g = jnp.take(xb, indices, axis=0)          # (nbr, width, bs) rows
+        # blocks are stored TRANSPOSED (values[r, w, j, i] = A_blk[i, j])
+        # so the contraction runs over the SUBLANE dim: measured 140 vs
+        # 95 Gnnz/s for the untransposed 'rwij,rwj->ri' form at bs=128
+        # (86% of the values-read roofline; the gather itself is 35 us
+        # of the 239 us pass — BENCHMARKS.md BSR table)
         y = jnp.einsum(
-            "rwij,rwj->ri", values, g,
+            "rwji,rwj->ri", values, g,
             precision=jax.lax.Precision.HIGHEST,   # values matter: avoid
         )                                          # bf16 operand truncation
         return y.reshape(-1)[:n_out]
@@ -600,7 +605,7 @@ class BSR:
         for r in range(nbr):
             for w in range(width):
                 c = int(self.indices[r, w])
-                blk = self.values[r, w]
+                blk = self.values[r, w].T   # stored transposed
                 dense = dense.at[
                     r * bs:(r + 1) * bs, c * bs:(c + 1) * bs
                 ].add(blk)
@@ -648,7 +653,9 @@ def _bsr_pack_np(rows, cols, vals, shape, bs: int):
     starts[1:] = np.cumsum(counts)[:-1]
     slot = np.arange(len(uniq)) - starts[ubr]   # uniq sorted => row-grouped
     blocks = np.zeros((len(uniq), bs, bs))
-    np.add.at(blocks, (inv, rows % bs, cols % bs), vals)
+    # stored transposed: blocks[b, j, i] = A_blk[i, j] (sublane-dim
+    # contraction in BSR._blockmv — see the measurement note there)
+    np.add.at(blocks, (inv, cols % bs, rows % bs), vals)
     indices = np.zeros((nbr, width), np.int32)
     values = np.zeros((nbr, width, bs, bs))
     indices[ubr, slot] = ubc.astype(np.int32)
@@ -732,11 +739,13 @@ def bsr_block_fill_from_coo(rows, cols, shape, bs: int) -> float:
     return nub * bs * bs / max(len(np.asarray(rows)), 1)
 
 
-# measured per-stored-value SpMV cost relative to bs>=32, v5e (same
-# 33.5M-value budget, barriered-slope timing; BENCHMARKS.md BSR table):
-# small minor dims pad the (8,128) lane tiling and the batched matvecs
-# shrink, so tiny blocks pay ~2-4x per stored value
-_BSR_BS_PENALTY = {8: 4.0, 16: 2.2, 32: 1.0, 64: 1.0, 128: 1.0, 256: 2.5}
+# measured per-stored-value SpMV cost relative to bs=128, v5e (same
+# 33.5M-value budget, barriered-slope timing, transposed-block layout;
+# BENCHMARKS.md BSR table: 187/164/130/63/21 Gnnz/s for
+# bs=128/16/32/64/8): bs=8 pads the (8,128) lane tiling 16x; the bs=64
+# dip reproduced across runs (XLA picks a worse batched-contraction
+# schedule there)
+_BSR_BS_PENALTY = {8: 8.0, 16: 1.3, 32: 1.5, 64: 3.0, 128: 1.0, 256: 2.5}
 
 
 def as_tpu_operator(op, max_diags: int = 64, max_bsr_cost: float = 16.0,

@@ -201,6 +201,7 @@ class TestAlg515OverTcp:
         assert n0.state is State.FINISHED and n1.state is State.FINISHED
 
 
+@pytest.mark.slow
 class TestTwoProcessAM:
     def test_end_to_end(self):
         """Two OS processes, one Jacobi block each: iterates + protocol
@@ -242,6 +243,7 @@ class TestTwoProcessAM:
             assert rel <= 50 * rtol
 
 
+@pytest.mark.slow
 class TestTraversalGuard:
     def test_rtt_probe(self, pair):
         """Ping-pong RTT (the comm.c:390-424 startup probe analog)."""
@@ -410,6 +412,7 @@ class TestNativeTransport:
             assert rel <= 50 * rtol
 
 
+@pytest.mark.slow
 class TestThreeProcessAM:
     def test_three_blocks_over_tcp(self):
         """The Alg-5.15 protocol is N-node (complete graph over block
@@ -443,6 +446,7 @@ class TestThreeProcessAM:
             assert rel <= 50 * rtol
 
 
+@pytest.mark.slow
 class TestFourProcessAM:
     def test_four_blocks_native_router(self):
         """N=4 over the C++ epoll router: leader election (rank 0 among
