@@ -147,3 +147,51 @@ class TestPCG:
         np.testing.assert_allclose(
             np.asarray(plain.x), np.asarray(ident.x), rtol=1e-12
         )
+
+
+class TestCyclePrecision:
+    """bf16 cycle arithmetic (auto at bandwidth-bound sizes; measured
+    512^3 north-star 0.87 -> 0.63 s on v5e at identical 2-pass
+    convergence — BENCHMARKS.md)."""
+
+    def test_explicit_bf16_cycle_preconditions_cg(self):
+        import jax.numpy as jnp
+
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import cg
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.multigrid import (
+            mg_preconditioner,
+        )
+
+        op = poisson.poisson2d(32, 32)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float32)
+        M = mg_preconditioner(op, dtype=jnp.bfloat16)
+        z = M(b)
+        assert z.dtype == jnp.float32   # cast back to the input dtype
+        res = cg(op.mv, b, rtol=1e-6, maxiter=60, precond=M)
+        assert bool(res.converged)
+        # a bf16 cycle is a weaker (but still SPD) preconditioner:
+        # iteration count stays in the grid-independent regime
+        assert int(res.iters) <= 20
+
+    def test_auto_threshold_selects_by_size(self, monkeypatch):
+        import jax.numpy as jnp
+
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import (
+            multigrid as mgm,
+        )
+
+        op = poisson.poisson2d(16, 16)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float32)
+        # tiny threshold -> bf16 cycle; result dtype still follows input
+        monkeypatch.setattr(mgm, "_BF16_CYCLE_BYTES", 1)
+        z = mgm.mg_preconditioner(op)(b)
+        assert z.dtype == jnp.float32
+        # huge threshold -> input-dtype cycle, exact same as explicit f32
+        monkeypatch.setattr(mgm, "_BF16_CYCLE_BYTES", 10**15)
+        z32 = mgm.mg_preconditioner(op)(b)
+        zexp = mgm.mg_preconditioner(op, dtype=jnp.float32)(b)
+        import numpy as np
+
+        np.testing.assert_array_equal(np.asarray(z32), np.asarray(zexp))
