@@ -328,6 +328,31 @@ def _make_agglomerator(mesh: Mesh, splits: Tuple[int, ...]):
     return gather, slice_local
 
 
+def _cycle_precond(plan: "ShardedMGPlan", halo_mv: Callable, agg) -> Callable:
+    """The V/W-cycle as a CG preconditioner, with the same auto bf16
+    cycle precision as the single-chip ``mg_preconditioner``: above
+    ``_BF16_CYCLE_BYTES`` of LOCAL level-0 tile the whole cycle —
+    including its halo ppermutes, so ICI traffic halves too — runs in
+    bf16 (measured 1.39x on the 512^3 single-chip north-star; one extra
+    PCG iteration)."""
+    import math as _math
+
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers.multigrid import (
+        _BF16_CYCLE_BYTES,
+    )
+
+    bf16 = 4 * _math.prod(plan.local(0)) > _BF16_CYCLE_BYTES
+
+    def M(r: jax.Array) -> jax.Array:
+        if bf16:
+            z = _sharded_vcycle(plan, halo_mv, r.astype(jnp.bfloat16),
+                                agg=agg)
+            return z.astype(r.dtype)
+        return _sharded_vcycle(plan, halo_mv, r, agg=agg)
+
+    return M
+
+
 def _sharded_vcycle(plan: ShardedMGPlan, halo_mv: Callable, b: jax.Array,
                     level: int = 0, agg=None) -> jax.Array:
     """One V(nu, nu) cycle from the zero guess on the local tile.  The
@@ -417,7 +442,7 @@ def _mgpcg_run(mesh: Mesh, opcfg, rtol: float, atol: float, maxiter: int,
             halo_mv, b_loc,
             maxiter=maxiter, rtol=rtol, atol=atol,
             axis_name=axes,
-            precond=lambda r: _sharded_vcycle(plan, halo_mv, r, agg=agg),
+            precond=_cycle_precond(plan, halo_mv, agg),
         )
         return res.x, res.iters, res.resnorm, res.resnorm0, res.converged
 
@@ -657,7 +682,7 @@ def _northstar_solvers(mesh: Mesh, opcfg, inner_rtol: float,
             halo_mv, r_loc,
             maxiter=pcg_maxiter, rtol=inner_rtol,
             axis_name=axes,
-            precond=lambda v: _sharded_vcycle(plan, halo_mv, v, agg=agg),
+            precond=_cycle_precond(plan, halo_mv, agg),
         )
         return res.x
 
@@ -722,8 +747,7 @@ def _northstar_fused_run(mesh: Mesh, opcfg, rtol: float, inner_rtol: float,
             d = krylov.cg(
                 halo_mv, rhi / rnorm,
                 maxiter=pcg_maxiter, rtol=inner_rtol, axis_name=axes,
-                precond=lambda v: _sharded_vcycle(plan, halo_mv, v,
-                                                  agg=agg),
+                precond=_cycle_precond(plan, halo_mv, agg),
             ).x
             upd = df64.df_mul_f32((d, jnp.zeros_like(d)), rnorm)
             xhi2, xlo2 = df64.df_add((xhi, xlo), upd)
