@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import DIA, ELL
+from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import BSR, DIA, ELL
 from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson as _poisson
 
 
@@ -447,6 +447,102 @@ jax.tree_util.register_dataclass(
 )
 
 
+@dataclasses.dataclass(frozen=True)
+class StackedBSROperator(BlockOperator):
+    """Blockable general-sparse path: the multisplitting analog of
+    ``core.operators.BSR`` (MPIAIJ parity for patterns that are neither
+    banded nor a constant stencil, ``utils.c:139-155``).
+
+    ``ii_idx``/``ii_val``: per-Jacobi-block diagonal parts as block-ELL
+    with a shared width — ``(nb, nbr, w)`` int32 LOCAL sub-block-column
+    ids and ``(nb, nbr, w, c, c)`` TRANSPOSED ``(c, c)`` sub-blocks
+    (sublane-contraction layout, measured 1.5x — see ``BSR``).
+    ``ii_diag``: ``(nb, bs)`` diagonal of each A_ii (Jacobi pc hook).
+    ``ic``: the cross-block coupling as one global ``BSR`` over the
+    merged ``(nb*bs,)`` vector.  Build with ``from_stacked_ell``.
+    """
+
+    ii_idx: jax.Array
+    ii_val: jax.Array
+    ii_diag: jax.Array
+    ic: BSR
+    nblocks: int
+    block_size: int
+
+    @property
+    def shape(self):
+        n = self.nblocks * self.block_size
+        return (n, n)
+
+    @property
+    def nnz(self) -> int:
+        return int((np.asarray(self.ii_val) != 0).sum()
+                   + (np.asarray(self.ic.values) != 0).sum())
+
+    @property
+    def dtype(self):
+        return self.ii_val.dtype
+
+    @staticmethod
+    def _bell_mv(idx, val, xb, bs):
+        """Block-ELL matvec on one block's local vector (length bs)."""
+        c = val.shape[-1]
+        nbr = val.shape[0]
+        xp = jnp.pad(xb, (0, nbr * c - bs)) if nbr * c != bs else xb
+        g = jnp.take(xp.reshape(nbr, c), idx, axis=0)   # (nbr, w, c)
+        y = jnp.einsum("rwji,rwj->ri", val, g,
+                       precision=jax.lax.Precision.HIGHEST)
+        return y.reshape(-1)[:bs]
+
+    def diag_mv(self, x):
+        bs = self.block_size
+        return jax.vmap(
+            lambda i, v, xb: self._bell_mv(i, v, xb, bs)
+        )(self.ii_idx, self.ii_val, x)
+
+    def coupling_mv(self, x):
+        return self.ic.mv(x.reshape(-1)).reshape(x.shape)
+
+    # per-block hooks for the vmapped inner solves -----------------------
+    @property
+    def diag_mv_args(self):
+        return (self.ii_idx, self.ii_val, self.ii_diag)
+
+    def single_diag_mv(self, args, xb):
+        idx, val, _ = args
+        return self._bell_mv(idx, val, xb, xb.shape[0])
+
+    def single_diag_vector(self, args, n):
+        _, _, dvec = args
+        return dvec
+
+    def to_dense(self):
+        nb, bs = self.nblocks, self.block_size
+        n = nb * bs
+        dense = jnp.asarray(self.ic.to_dense())
+        c = self.ii_val.shape[-1]
+        for b in range(nb):
+            nbr, w = self.ii_idx.shape[1], self.ii_idx.shape[2]
+            sub = np.zeros((nbr * c, nbr * c), np.float64)
+            for r in range(nbr):
+                for k in range(w):
+                    cc = int(self.ii_idx[b, r, k])
+                    sub[r * c:(r + 1) * c, cc * c:(cc + 1) * c] += (
+                        np.asarray(self.ii_val[b, r, k]).T
+                    )
+            dense = dense.at[b * bs:(b + 1) * bs, b * bs:(b + 1) * bs].add(
+                jnp.asarray(sub[:bs, :bs], self.dtype)
+            )
+        return dense
+
+
+jax.tree_util.register_dataclass(
+    StackedBSROperator,
+    data_fields=["ii_idx", "ii_val", "ii_diag", "ic"],
+    meta_fields=["nblocks", "block_size"],
+)
+
+
 def from_stacked_ell(op: StackedELLOperator,
                      max_diags: int = 64):
     """Convert a banded ``StackedELLOperator`` to ``StackedDIAOperator``.
@@ -499,27 +595,128 @@ def from_stacked_ell(op: StackedELLOperator,
     )
 
 
-def as_stacked_tpu_operator(op, max_diags: int = 64):
+def stacked_bsr_from_ell(op: StackedELLOperator,
+                         block_sizes: Tuple[int, ...] = (8, 16, 32, 64),
+                         max_cost: float = 16.0):
+    """Convert a blockable (non-banded) ``StackedELLOperator`` to
+    ``StackedBSROperator``.  Returns None when no sub-block size in
+    ``block_sizes`` keeps the estimated per-nonzero cost (fill x
+    measured layout penalty, shared with ``as_tpu_operator``) under
+    ``max_cost`` for BOTH the diagonal parts and the coupling."""
+    from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+        _BSR_BS_PENALTY,
+        _bsr_pack_np,
+        bsr_block_fill_from_coo,
+    )
+
+    nb, bsz = op.nblocks, op.block_size
+    n = nb * bsz
+    ii_idx = np.asarray(op.a_ii.indices)
+    ii_val = np.asarray(op.a_ii.values)
+    ic_idx = np.asarray(op.a_ic.indices)
+    ic_val = np.asarray(op.a_ic.values)
+    rows_local = np.broadcast_to(
+        np.arange(bsz)[None, :, None], ii_idx.shape
+    )
+
+    def part_coo(idx, val, globalize_rows):
+        mask = val != 0
+        r = np.broadcast_to(
+            np.arange(bsz)[None, :, None], idx.shape)[mask]
+        if globalize_rows:
+            b = np.broadcast_to(
+                np.arange(nb)[:, None, None], idx.shape)[mask]
+            r = r + b * bsz
+        return r, idx[mask], val[mask]
+
+    # candidate cost over diag blocks (worst block) + coupling
+    total_nnz_ii = int((ii_val != 0).sum())
+    total_nnz_ic = int((ic_val != 0).sum())
+    best = None
+    for c in block_sizes:
+        stored = 0
+        for b in range(nb):
+            mask = ii_val[b] != 0
+            r = rows_local[b][mask]
+            cc = ii_idx[b][mask]
+            stored += bsr_block_fill_from_coo(
+                r, cc, (bsz, bsz), c) * mask.sum()
+        rg, cg, _ = part_coo(ic_idx, ic_val, True)
+        if total_nnz_ic:
+            stored += bsr_block_fill_from_coo(rg, cg, (n, n), c) \
+                * total_nnz_ic
+        cost = (stored / max(total_nnz_ii + total_nnz_ic, 1)
+                * _BSR_BS_PENALTY.get(c, 1.0))
+        if cost <= max_cost and (best is None or cost < best[1]):
+            best = (c, cost)
+    if best is None:
+        return None
+    c = best[0]
+    dtype = op.a_ii.values.dtype
+
+    # per-block diagonal packs with a SHARED width (pad to max)
+    packs = []
+    for b in range(nb):
+        mask = ii_val[b] != 0
+        packs.append(_bsr_pack_np(
+            rows_local[b][mask], ii_idx[b][mask], ii_val[b][mask],
+            (bsz, bsz), c,
+        ))
+    w = max(p[0].shape[1] for p in packs)
+    nbr = packs[0][0].shape[0]
+    idx_all = np.zeros((nb, nbr, w), np.int32)
+    val_all = np.zeros((nb, nbr, w, c, c))
+    for b, (i_, v_) in enumerate(packs):
+        idx_all[b, :, : i_.shape[1]] = i_
+        val_all[b, :, : v_.shape[1]] = v_
+
+    # diagonal vector of each A_ii (Jacobi pc hook)
+    dvec = np.zeros((nb, bsz))
+    diag_mask = (ii_idx == rows_local) & (ii_val != 0)
+    np.add.at(
+        dvec,
+        (np.broadcast_to(np.arange(nb)[:, None, None],
+                         ii_idx.shape)[diag_mask],
+         rows_local[diag_mask]),
+        ii_val[diag_mask],
+    )
+
+    rg, cg, vg = part_coo(ic_idx, ic_val, True)
+    ic_bsr = BSR.from_coo(rg, cg, vg, (n, n), bs=c, dtype=dtype)
+    return StackedBSROperator(
+        ii_idx=jnp.asarray(idx_all),
+        ii_val=jnp.asarray(val_all, dtype),
+        ii_diag=jnp.asarray(dvec, dtype),
+        ic=ic_bsr, nblocks=nb, block_size=bsz,
+    )
+
+
+def as_stacked_tpu_operator(op, max_diags: int = 64,
+                            max_bsr_cost: float = 16.0,
+                            bsr_block_sizes: Tuple[int, ...] = (8, 16, 32,
+                                                                64)):
     """Pick the TPU-efficient stacked representation (the blockwise
     analog of ``core.operators.as_tpu_operator``): banded ELL splits
-    become DIA planes, everything else passes through — with a
-    ``UserWarning`` when a ``StackedELLOperator`` stays on the
-    elementwise-gather path (961x off the DIA planes, BENCHMARKS.md)."""
+    become DIA planes, blockable splits become ``StackedBSROperator``,
+    and anything left passes through with a ``UserWarning`` (the
+    elementwise-gather path is 961x off the DIA planes, BENCHMARKS.md)."""
     if isinstance(op, StackedELLOperator):
         out = from_stacked_ell(op, max_diags=max_diags)
-        if out is op:
-            import warnings
+        if out is not op:
+            return out
+        bsr = stacked_bsr_from_ell(op, bsr_block_sizes, max_bsr_cost)
+        if bsr is not None:
+            return bsr
+        import warnings
 
-            warnings.warn(
-                "as_stacked_tpu_operator: block split is not banded "
-                f"(> {max_diags} distinct diagonals); staying on "
-                "gather-ELL block applies, measured 961x off the DIA "
-                "planes on TPU (BENCHMARKS.md). For unstructured "
-                "sparsity consider core.operators.BSR on the unsplit "
-                "matrix.",
-                UserWarning, stacklevel=2,
-            )
-        return out
+        warnings.warn(
+            "as_stacked_tpu_operator: block split is neither banded "
+            f"(> {max_diags} distinct diagonals) nor blockable "
+            f"(estimated BSR cost > {max_bsr_cost}x per nonzero); "
+            "staying on gather-ELL block applies, measured 961x off "
+            "the DIA planes on TPU (BENCHMARKS.md).",
+            UserWarning, stacklevel=2,
+        )
     return op
 
 
