@@ -171,34 +171,95 @@ def stencil2d_df_residual(m: int, n: int, diag: float, off: float):
     return residual
 
 
+def _df_residual_core_3d(phi, plo, bhi_s, blo_s, diag: float, off: float):
+    """The 3D EFT residual tree on PADDED (n+2, ny+2, nz+2) hi/lo windows
+    (zero or halo boundary planes already written in) against the
+    matching unpadded b slabs.  Shared by the whole-array and x-slab
+    forms — identical operations, so results are bit-identical."""
+    def taps(p):
+        return (
+            p[:-2, 1:-1, 1:-1] + p[2:, 1:-1, 1:-1]
+            + p[1:-1, :-2, 1:-1] + p[1:-1, 2:, 1:-1]
+            + p[1:-1, 1:-1, :-2] + p[1:-1, 1:-1, 2:]
+        )
+
+    s1, e1 = two_sum(phi[:-2, 1:-1, 1:-1], phi[2:, 1:-1, 1:-1])
+    s2, e2 = two_sum(phi[1:-1, :-2, 1:-1], phi[1:-1, 2:, 1:-1])
+    s3, e3 = two_sum(phi[1:-1, 1:-1, :-2], phi[1:-1, 1:-1, 2:])
+    t1, e4 = two_sum(s1, s2)
+    nh, e5 = two_sum(t1, s3)
+    nl = (((e1 + e2) + (e3 + e4)) + e5) + taps(plo)
+    ndf = _df_combine(nh, nl, off)
+    xhi_c = phi[1:-1, 1:-1, 1:-1]
+    xlo_c = plo[1:-1, 1:-1, 1:-1]
+    ddf = _int_coeff_mul(xhi_c, diag)
+    ddf = df_add_f32(ddf, jnp.float32(diag) * xlo_c)
+    ax = df_add(ddf, ndf)
+    return df_add((bhi_s, blo_s), df_neg(ax))
+
+
 def stencil3d_df_residual(nx: int, ny: int, nz: int, diag: float, off: float):
-    """As ``stencil2d_df_residual`` for the 3D 7-point stencil."""
+    """As ``stencil2d_df_residual`` for the 3D 7-point stencil.
 
-    def residual(b: DF, x: DF) -> DF:
+    HBM-scale grids (above the same ~100 MB residency cutoff as
+    ``Stencil3D.mv``) route through an x-slab loop: the whole-array form
+    pads TWO 537 MB arrays at 512^3 and XLA splits the tap sums into
+    sibling fusions re-reading them — measured 13.7 ms vs the ~4 ms
+    traffic floor.  Slab windows carry one neighbor plane each side
+    (concat, not post-add — two_sum is nonlinear), so the EFT tree runs
+    unchanged per slab and results are bit-identical."""
+    from jax import lax
+
+    from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+        _VMEM_RESIDENT_BYTES,
+        _slab_planes,
+    )
+
+    def residual_whole(b: DF, x: DF) -> DF:
         xhi, xlo = x
+        phi = jnp.pad(xhi, 1)
+        plo = jnp.pad(xlo, 1)
+        return _df_residual_core_3d(phi, plo, b[0], b[1], diag, off)
 
-        def taps(g):
-            p = jnp.pad(g, 1)
-            return (
-                p[:-2, 1:-1, 1:-1] + p[2:, 1:-1, 1:-1]
-                + p[1:-1, :-2, 1:-1] + p[1:-1, 2:, 1:-1]
-                + p[1:-1, 1:-1, :-2] + p[1:-1, 1:-1, 2:]
-            )
+    nbytes = 4 * nx * ny * nz
+    if nbytes <= _VMEM_RESIDENT_BYTES:
+        return residual_whole
+    sl = _slab_planes(nx, ny * nz * 4)
+    if sl >= nx:
+        return residual_whole
 
-        p = jnp.pad(xhi, 1)
-        s1, e1 = two_sum(p[:-2, 1:-1, 1:-1], p[2:, 1:-1, 1:-1])
-        s2, e2 = two_sum(p[1:-1, :-2, 1:-1], p[1:-1, 2:, 1:-1])
-        s3, e3 = two_sum(p[1:-1, 1:-1, :-2], p[1:-1, 1:-1, 2:])
-        t1, e4 = two_sum(s1, s2)
-        nh, e5 = two_sum(t1, s3)
-        nl = (((e1 + e2) + (e3 + e4)) + e5) + taps(xlo)
-        ndf = _df_combine(nh, nl, off)
-        ddf = _int_coeff_mul(xhi, diag)
-        ddf = df_add_f32(ddf, jnp.float32(diag) * xlo)
-        ax = df_add(ddf, ndf)
-        return df_add(b, df_neg(ax))
+    def residual_slab(b: DF, x: DF) -> DF:
+        bhi, blo = b
+        xhi, xlo = x
+        zero_plane = jnp.zeros((1, ny, nz), xhi.dtype)
 
-    return residual
+        def window(g, start):
+            s = lax.dynamic_slice(g, (start, 0, 0), (sl, ny, nz))
+            up = lax.dynamic_slice(
+                g, (jnp.maximum(start - 1, 0), 0, 0), (1, ny, nz))
+            up = jnp.where(start == 0, zero_plane, up)
+            dn = lax.dynamic_slice(
+                g, (jnp.minimum(start + sl, nx - 1), 0, 0), (1, ny, nz))
+            dn = jnp.where(start + sl >= nx, zero_plane, dn)
+            w = jnp.concatenate([up, s, dn], axis=0)
+            return jnp.pad(w, ((0, 0), (1, 1), (1, 1)))
+
+        def body(i, out):
+            rhi, rlo = out
+            start = i * sl
+            phi = window(xhi, start)
+            plo = window(xlo, start)
+            bh = lax.dynamic_slice(bhi, (start, 0, 0), (sl, ny, nz))
+            bl = lax.dynamic_slice(blo, (start, 0, 0), (sl, ny, nz))
+            sh, slo_ = _df_residual_core_3d(phi, plo, bh, bl, diag, off)
+            rhi = lax.dynamic_update_slice(rhi, sh, (start, 0, 0))
+            rlo = lax.dynamic_update_slice(rlo, slo_, (start, 0, 0))
+            return rhi, rlo
+
+        init = (jnp.empty_like(xhi), jnp.empty_like(xlo))
+        return lax.fori_loop(0, nx // sl, body, init)
+
+    return residual_slab
 
 
 def _df_combine(hi, lo, coeff: float) -> DF:
