@@ -23,3 +23,7 @@ from medane_tchakorom_ufc_thesis_repository_tpu.ops.fused_pallas import (  # noq
     stencil2d_mv_norm_pallas,
     stencil2d_spmm_pallas,
 )
+
+from medane_tchakorom_ufc_thesis_repository_tpu.ops.bsr_pallas import (  # noqa: F401
+    bsr_mv_pallas,
+)

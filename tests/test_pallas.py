@@ -147,3 +147,28 @@ class TestProbeAndRouting:
         np.testing.assert_allclose(
             float(sq), float(jnp.sum((b - op.mv(x)) ** 2)), rtol=1e-6
         )
+
+
+@pytest.mark.usefixtures("_interpret")
+class TestBsrKernel:
+    def test_bsr_mv_exact(self):
+        import scipy.sparse as sp
+
+        from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+            BSR,
+        )
+        from medane_tchakorom_ufc_thesis_repository_tpu.ops.bsr_pallas import (
+            bsr_mv_pallas,
+        )
+
+        rng = np.random.default_rng(3)
+        A = sp.random(96, 96, density=0.1, random_state=3).tocsr()
+        A = A + sp.eye(96)
+        coo = A.tocoo()
+        op = BSR.from_coo(coo.row, coo.col, coo.data, A.shape, bs=8,
+                          dtype=jnp.float32)
+        x = jnp.asarray(rng.standard_normal(96), jnp.float32)
+        y = bsr_mv_pallas(op, x)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(op.mv(x)), rtol=2e-5, atol=1e-5,
+        )
