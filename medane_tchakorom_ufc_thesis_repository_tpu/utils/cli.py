@@ -35,6 +35,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", default=None,
                    help="JSON config file (defaults < file < CLI)")
     p.add_argument("--dim", type=int, default=None, help="2 or 3")
+    p.add_argument("--matrix", default=None, metavar="PATH",
+                   help="solve a user-supplied square sparse matrix "
+                        "(.npz from scipy.sparse.save_npz, or "
+                        "MatrixMarket .mtx) instead of the Poisson "
+                        "generators; b = A*1. Works with GMRES and the "
+                        "multisplitting algorithms on the stacked "
+                        "backend; the block split auto-routes to "
+                        "DIA/BSR/ELL (create_matrix_sparse parity)")
     p.add_argument("--m", type=int, default=None, help="grid rows (2D) / nx (3D)")
     p.add_argument("--n", type=int, default=None, help="grid cols (2D) / ny (3D)")
     p.add_argument("--nz", type=int, default=None, help="nz (3D)")
@@ -329,6 +337,48 @@ def config_from_args(args) -> "RunConfig":
     return cfg
 
 
+def _load_matrix_operator(path: str, nblocks: int, dtype):
+    """Load a user sparse matrix and build the routed stacked operator
+    (the ``create_matrix_sparse`` AIJ entry point, reference
+    ``utils.c:139-155``) plus ``b = A·1`` in stacked layout."""
+    import jax.numpy as jnp
+    import numpy as np
+    import scipy.sparse as sp
+
+    from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+    from medane_tchakorom_ufc_thesis_repository_tpu.models import blockops
+
+    if path.endswith(".npz"):
+        A = sp.load_npz(path)
+    elif path.endswith((".mtx", ".mtx.gz")):
+        from scipy.io import mmread
+
+        A = sp.csr_matrix(mmread(path))
+    else:
+        raise SystemExit(
+            f"--matrix: unsupported extension on {path!r} "
+            "(.npz from scipy.sparse.save_npz, or .mtx)"
+        )
+    if A.shape[0] != A.shape[1]:
+        raise SystemExit(f"--matrix must be square, got {A.shape}")
+    if A.shape[0] % nblocks:
+        raise SystemExit(
+            f"--matrix rows ({A.shape[0]}) not divisible by "
+            f"--nblocks ({nblocks})"
+        )
+    coo = A.tocoo()
+    a_ii, a_ic = poisson.block_split_ell(
+        coo.row, coo.col, coo.data, A.shape, nblocks=nblocks, dtype=dtype,
+    )
+    op = blockops.as_stacked_tpu_operator(
+        blockops.StackedELLOperator(a_ii=a_ii, a_ic=a_ic)
+    )
+    b = jnp.asarray(
+        np.asarray(A @ np.ones(A.shape[0])), dtype
+    ).reshape(nblocks, A.shape[0] // nblocks)
+    return op, b, A.shape[0]
+
+
 def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
     import jax
     import jax.numpy as jnp
@@ -359,12 +409,29 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
     pt = PhaseTimer()
 
+    grid_label = (f"{cfg.m}x{cfg.n}" if cfg.dim == 2
+                  else f"{cfg.m}x{cfg.n}x{cfg.nz}")
     with pt.phase("Loading"):
-        if cfg.dim == 2:
+        if cfg.matrix:
+            if cfg.backend != "stacked":
+                raise SystemExit("--matrix supports the stacked backend")
+            if cfg.alg in ("CA_GMRES", "MGPCG"):
+                raise SystemExit(
+                    "--matrix works with GMRES and the multisplitting "
+                    "algorithms (CA_GMRES needs analytic eigenvalue "
+                    "bounds; MGPCG is geometric-multigrid/Poisson)"
+                )
+            op, b, nmat = _load_matrix_operator(cfg.matrix, cfg.nblocks,
+                                                dtype)
+            import os as _os
+
+            grid_label = f"{_os.path.basename(cfg.matrix)}:{nmat}"
+        elif cfg.dim == 2:
             op = blockops.block_poisson2d(cfg.m, cfg.n, cfg.nblocks)
+            b = blockops.rhs_ones(op, dtype)
         else:
             op = blockops.block_poisson3d(cfg.m, cfg.n, cfg.nz, cfg.nblocks)
-        b = blockops.rhs_ones(op, dtype)
+            b = blockops.rhs_ones(op, dtype)
         fence(b)
 
     kw = dict(
@@ -777,8 +844,7 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
 
     result.update(
         alg=cfg.alg, backend=cfg.backend, dim=cfg.dim,
-        grid=(f"{cfg.m}x{cfg.n}" if cfg.dim == 2
-              else f"{cfg.m}x{cfg.n}x{cfg.nz}"),
+        grid=grid_label,
         elapsed_s=round(elapsed, 4),
         final_true_rnorm=final_norm,
         rel_rnorm=final_norm / result["rnorm0"] if result["rnorm0"] else 0.0,

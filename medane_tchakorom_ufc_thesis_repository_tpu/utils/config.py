@@ -53,6 +53,12 @@ class RunConfig:
     n: int = 1024
     nz: int = 64              # 3D only
     dtype: str = "float32"
+    # a user-supplied square sparse matrix instead of the Poisson
+    # generators (the create_matrix_sparse AIJ entry point): path to a
+    # scipy .npz (save_npz) or MatrixMarket .mtx file; b = A·1.  The
+    # split is routed by as_stacked_tpu_operator (banded→DIA,
+    # blockable→BSR, else gather-ELL with a warning).
+    matrix: Optional[str] = None
     # decomposition (np/npb analog: nblocks = np/npb)
     nblocks: int = 2
     intra: int = 1            # devices per block (sharded backend)

@@ -9,6 +9,8 @@ these tests pin the same layering and drive real (small) solves through
 import json
 import os
 
+import numpy as np
+
 import pytest
 
 from medane_tchakorom_ufc_thesis_repository_tpu.utils import cli
@@ -164,3 +166,53 @@ class TestCheckpoint:
         assert bool(resumed.converged)
         # warm start must cost fewer sweeps than from scratch
         assert int(resumed.sweeps) < int(fresh.sweeps)
+
+
+class TestMatrixFlag:
+    """--matrix: solve a user-supplied sparse matrix (AIJ entry point)."""
+
+    def _save_blocky(self, tmp_path, n=64, seed=61):
+        import scipy.sparse as sp
+
+        rng = np.random.default_rng(seed)
+        nbk, c = n // 8, 8
+        A = sp.lil_matrix((n, n))
+        for r in range(nbk):
+            for cc in rng.choice(nbk, size=2, replace=False):
+                A[r*c:(r+1)*c, cc*c:(cc+1)*c] = rng.standard_normal((c, c))
+        A = (A.tocsr() @ A.tocsr().T) + sp.eye(n) * n
+        path = tmp_path / "mat.npz"
+        sp.save_npz(path, A.tocsr())
+        return str(path), A
+
+    def test_smsm_global_on_user_matrix(self, tmp_path, capsys):
+        path, A = self._save_blocky(tmp_path)
+        rc = cli.main([
+            "--alg", "SMSM_GLOBAL", "--matrix", path, "--dtype", "float64",
+            "--rtol", "1e-8", "--maxiter", "400", "--s", "4",
+            "--inner-maxiter", "20", "--inner-rtol", "1e-10",
+            "--inner-pc-type", "jacobi", "--json",
+        ])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["converged"]
+        assert out["rel_rnorm"] <= 1.05e-8
+        assert out["error_vs_ones"] < 1e-4
+        assert "mat.npz" in out["grid"]
+
+    def test_gmres_on_user_matrix(self, tmp_path, capsys):
+        path, A = self._save_blocky(tmp_path, seed=62)
+        rc = cli.main([
+            "--alg", "GMRES", "--matrix", path, "--dtype", "float64",
+            "--rtol", "1e-8", "--maxiter", "4000", "--json",
+        ])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["converged"]
+        assert out["rel_rnorm"] <= 1.05e-8
+
+    def test_matrix_rejects_unsupported(self, tmp_path):
+        path, _ = self._save_blocky(tmp_path, seed=63)
+        with pytest.raises(SystemExit):
+            cli.main(["--alg", "MGPCG", "--matrix", path, "--json"])
+        with pytest.raises(SystemExit):
+            cli.main(["--alg", "SM", "--matrix", path,
+                      "--backend", "sharded", "--json"])
