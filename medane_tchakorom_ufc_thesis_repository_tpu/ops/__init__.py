@@ -21,6 +21,7 @@ from medane_tchakorom_ufc_thesis_repository_tpu.ops.fused_pallas import (  # noq
     residual_norm_sq,
     spmm_panel,
     stencil2d_mv_norm_pallas,
+    stencil3d_mv_norm_pallas,
     stencil2d_spmm_pallas,
 )
 

@@ -281,6 +281,107 @@ def stencil2d_mv_norm_pallas(
     return y.reshape(-1), acc[0, 0]
 
 
+def _mv_norm3d_kernel(x_hbm, b_ref, out_ref, acc_ref, scratch, sems,
+                      *, tile_m, ny, nz, diag, off):
+    i = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    f = ny * nz
+
+    body = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * tile_m, tile_m), :],
+        scratch.at[pl.ds(1, tile_m), :],
+        sems.at[0],
+    )
+    body.start()
+
+    @pl.when(i > 0)
+    def _():
+        top = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(i * tile_m - 1, 1), :],
+            scratch.at[pl.ds(0, 1), :], sems.at[1],
+        )
+        top.start()
+        top.wait()
+
+    @pl.when(i == 0)
+    def _():
+        scratch[0, :] = jnp.zeros((f,), scratch.dtype)
+
+    @pl.when(i < nprog - 1)
+    def _():
+        bot = pltpu.make_async_copy(
+            x_hbm.at[pl.ds((i + 1) * tile_m, 1), :],
+            scratch.at[pl.ds(tile_m + 1, 1), :], sems.at[2],
+        )
+        bot.start()
+        bot.wait()
+
+    @pl.when(i == nprog - 1)
+    def _():
+        scratch[tile_m + 1, :] = jnp.zeros((f,), scratch.dtype)
+
+    body.wait()
+
+    c = scratch[1:tile_m + 1, :].reshape(tile_m, ny, nz)
+    cp = jnp.pad(c, ((0, 0), (1, 1), (1, 1)))
+    y = diag * c + off * (
+        scratch[0:tile_m, :].reshape(tile_m, ny, nz)
+        + scratch[2:tile_m + 2, :].reshape(tile_m, ny, nz)
+        + cp[:, :-2, 1:-1] + cp[:, 2:, 1:-1]
+        + cp[:, 1:-1, :-2] + cp[:, 1:-1, 2:]
+    ).reshape(tile_m, ny, nz)
+    yf = y.reshape(tile_m, f)
+    out_ref[:, :] = yf
+
+    r = b_ref[...] - yf
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[0, 0] = jnp.zeros((), acc_ref.dtype)
+
+    acc_ref[0, 0] += jnp.sum(r * r)
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "nz", "diag", "off",
+                                   "tile_m"))
+def stencil3d_mv_norm_pallas(
+    x: jax.Array, b: jax.Array, *, nx: int, ny: int, nz: int,
+    diag: float = 6.0, off: float = -1.0, tile_m: int = 32,
+):
+    """3D twin of ``stencil2d_mv_norm_pallas``: ``(A@x, ||b - A@x||^2)``
+    in one pass for the 7-point stencil; ``x``/``b`` flat."""
+    tile_m = min(tile_m, nx)
+    while nx % tile_m:
+        tile_m //= 2
+    grid = nx // tile_m
+    f = ny * nz
+    y, acc = pl.pallas_call(
+        partial(_mv_norm3d_kernel, tile_m=tile_m, ny=ny, nz=nz,
+                diag=diag, off=off),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tile_m, f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_m, f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nx, f), x.dtype),
+            jax.ShapeDtypeStruct((1, 1), x.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_m + 2, f), x.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )(x.reshape(nx, f), b.reshape(nx, f))
+    return y.reshape(-1), acc[0, 0]
+
+
 # ---------------------------------------------------------------------------
 # VecMDot / VecMAXPY — the GMRES MGS hot pair
 # ---------------------------------------------------------------------------
@@ -376,11 +477,16 @@ def residual_norm_sq(op, x: jax.Array, b: jax.Array):
     the two-pass XLA formulation."""
     from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
         Stencil2D,
+        Stencil3D,
     )
 
     if pallas_enabled() and isinstance(op, Stencil2D):
         return stencil2d_mv_norm_pallas(
             x, b, m=op.m, n=op.n, diag=op.diag, off=op.off
+        )
+    if pallas_enabled() and isinstance(op, Stencil3D):
+        return stencil3d_mv_norm_pallas(
+            x, b, nx=op.nx, ny=op.ny, nz=op.nz, diag=op.diag, off=op.off
         )
     y = op.mv(x)
     r = b - y

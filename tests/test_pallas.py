@@ -172,3 +172,31 @@ class TestBsrKernel:
         np.testing.assert_allclose(
             np.asarray(y), np.asarray(op.mv(x)), rtol=2e-5, atol=1e-5,
         )
+
+
+@pytest.mark.usefixtures("_interpret")
+class TestFused3D:
+    def test_mv_norm_3d_fused(self):
+        nx = ny = nz = 16
+        op = poisson.poisson3d(nx, ny, nz)
+        x, b = _x(nx * ny * nz, 1), _x(nx * ny * nz, 2)
+        y, sq = fp.stencil3d_mv_norm_pallas(x, b, nx=nx, ny=ny, nz=nz,
+                                            tile_m=4)
+        yx = op.mv(x).reshape(-1)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(yx), rtol=1e-6, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(sq), float(jnp.sum((b - yx) ** 2)), rtol=1e-5,
+        )
+
+    def test_auto_route_3d(self, monkeypatch):
+        monkeypatch.setenv("MEDANE_TPU_PALLAS", "1")
+        nx = ny = nz = 8
+        op = poisson.poisson3d(nx, ny, nz)
+        x, b = _x(nx * ny * nz, 3), _x(nx * ny * nz, 4)
+        y, sq = fp.residual_norm_sq(op, x, b)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(op.mv(x).reshape(-1)),
+            rtol=1e-6, atol=1e-6,
+        )
