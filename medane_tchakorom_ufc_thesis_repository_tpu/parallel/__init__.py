@@ -31,3 +31,8 @@ from medane_tchakorom_ufc_thesis_repository_tpu.parallel.tiled import (  # noqa:
     tiled_gmres_solve_3d,
     tiled_multisplit_solve,
 )
+from medane_tchakorom_ufc_thesis_repository_tpu.parallel.general import (  # noqa: F401
+    ShardedGeneralBSR,
+    shard_general_from_coo,
+    sharded_general_solve,
+)
