@@ -413,8 +413,13 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
                   else f"{cfg.m}x{cfg.n}x{cfg.nz}")
     with pt.phase("Loading"):
         if cfg.matrix:
-            if cfg.backend != "stacked":
-                raise SystemExit("--matrix supports the stacked backend")
+            if cfg.backend != "stacked" and not (
+                    cfg.backend == "sharded" and cfg.alg == "GMRES"):
+                raise SystemExit(
+                    "--matrix supports the stacked backend (all "
+                    "algorithms) and --backend sharded with GMRES "
+                    "(row-sharded general-sparse, parallel/general.py)"
+                )
             if cfg.alg in ("CA_GMRES", "MGPCG"):
                 raise SystemExit(
                     "--matrix works with GMRES and the multisplitting "
@@ -517,6 +522,41 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
                 t0 = time.perf_counter()
                 kres = tiled_gmres_solve(
                     tmesh, cfg.m, cfg.n, b.reshape(cfg.m, cfg.n),
+                    restart=cfg.inner_restart, maxiter=cfg.maxiter,
+                    rtol=cfg.rtol,
+                )
+                fence(kres.x)
+                elapsed = time.perf_counter() - t0
+            x_flat = kres.x.reshape(-1)
+        elif cfg.backend == "sharded" and cfg.matrix:
+            # row-sharded general-sparse GMRES (parallel/general.py):
+            # the MPIAIJ-across-ranks analog for a user matrix
+            import scipy.sparse as _sp
+
+            from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
+                make_mesh,
+            )
+            from medane_tchakorom_ufc_thesis_repository_tpu.parallel.general import (
+                shard_general_from_coo,
+                sharded_general_solve,
+            )
+
+            mesh = make_mesh(nblocks=cfg.nblocks, intra=cfg.intra)
+            ndev = cfg.nblocks * cfg.intra
+            A = (_sp.load_npz(cfg.matrix) if cfg.matrix.endswith(".npz")
+                 else None)
+            if A is None:
+                from scipy.io import mmread
+
+                A = _sp.csr_matrix(mmread(cfg.matrix))
+            coo = A.tocoo()
+            gop = shard_general_from_coo(
+                coo.row, coo.col, coo.data, A.shape[0], ndev, dtype=dtype,
+            )
+            with trace(profile_dir), pt.phase("I_Solver"):
+                t0 = time.perf_counter()
+                kres = sharded_general_solve(
+                    mesh, gop, b.reshape(-1), method="gmres",
                     restart=cfg.inner_restart, maxiter=cfg.maxiter,
                     rtol=cfg.rtol,
                 )

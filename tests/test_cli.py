@@ -216,3 +216,16 @@ class TestMatrixFlag:
         with pytest.raises(SystemExit):
             cli.main(["--alg", "SM", "--matrix", path,
                       "--backend", "sharded", "--json"])
+
+    def test_gmres_sharded_on_user_matrix(self, tmp_path, capsys):
+        # row-sharded general-sparse GMRES over the 8-device mesh
+        path, A = self._save_blocky(tmp_path, seed=64)
+        rc = cli.main([
+            "--alg", "GMRES", "--matrix", path, "--backend", "sharded",
+            "--nblocks", "2", "--intra", "4", "--dtype", "float64",
+            "--rtol", "1e-8", "--maxiter", "3000", "--json",
+        ])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["converged"]
+        assert out["rel_rnorm"] <= 1.05e-8
+        assert out["error_vs_ones"] < 1e-4
