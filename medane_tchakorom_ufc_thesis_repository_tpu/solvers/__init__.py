@@ -24,3 +24,8 @@ from medane_tchakorom_ufc_thesis_repository_tpu.solvers.refine import (  # noqa:
 from medane_tchakorom_ufc_thesis_repository_tpu.solvers.multigrid import (  # noqa: F401
     mg_preconditioner,
 )
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.bjacobi import (  # noqa: F401
+    BlockJacobi,
+    block_jacobi_from_coo,
+    block_jacobi_from_scipy,
+)

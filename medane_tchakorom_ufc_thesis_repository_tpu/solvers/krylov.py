@@ -195,12 +195,20 @@ def gmres(
                 w = w - vtdot(V, h2)
                 h = h + h2
             hj1 = pnorm(w)
-            happy = hj1 <= eps * beta      # happy breakdown / stagnation
             vnext = jnp.where(
                 hj1 > 0, w / jnp.where(hj1 > 0, hj1, 1.0), w
             ).astype(vdtype)
 
             hcol = h.at[j + 1].set(hj1)
+            # happy breakdown: the new direction is numerically inside
+            # the current span.  Compare hj1 against ||A v_j|| — which is
+            # ||hcol|| by Pythagoras (projections + remainder), free of
+            # extra collectives — NOT against the cycle-entry residual
+            # beta: with a strong right preconditioner and a large ||b||,
+            # eps*beta can sit orders of magnitude ABOVE ||A v_j||, and
+            # the old test declared false convergence after one step
+            # (caught by the bjacobi CLI verify; tests/test_bjacobi.py).
+            happy = hj1 <= eps * jnp.sqrt(jnp.sum(hcol * hcol))
 
             # apply the accumulated Givens rotations to the new column.
             # Statically unrolled: slots >= j hold the identity rotation

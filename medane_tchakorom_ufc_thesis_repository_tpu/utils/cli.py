@@ -75,6 +75,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ic", type=int, default=None,
                    help="column tiles (tiled backend)")
     p.add_argument("--dtype", default=None, choices=["float32", "float64"])
+    p.add_argument("--pc-type", default=None, dest="pc_type",
+                   choices=["none", "jacobi", "bjacobi"],
+                   help="whole-system PC for the GMRES baseline on a "
+                        "user matrix (--alg GMRES --matrix): jacobi = "
+                        "diagonal scaling; bjacobi = batched dense "
+                        "block inverses (PCBJACOBI analog)")
+    p.add_argument("--pc-block-size", type=int, default=None,
+                   dest="pc_block_size",
+                   help="bjacobi diagonal-block size (default 64)")
     p.add_argument("--inner-restart", type=int, default=None, dest="inner_restart")
     p.add_argument("--inner-maxiter", type=int, default=None, dest="inner_maxiter")
     p.add_argument("--inner-rtol", type=float, default=None, dest="inner_rtol")
@@ -376,7 +385,7 @@ def _load_matrix_operator(path: str, nblocks: int, dtype):
     b = jnp.asarray(
         np.asarray(A @ np.ones(A.shape[0])), dtype
     ).reshape(nblocks, A.shape[0] // nblocks)
-    return op, b, A.shape[0]
+    return op, b, A
 
 
 def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
@@ -426,11 +435,11 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
                     "algorithms (CA_GMRES needs analytic eigenvalue "
                     "bounds; MGPCG is geometric-multigrid/Poisson)"
                 )
-            op, b, nmat = _load_matrix_operator(cfg.matrix, cfg.nblocks,
-                                                dtype)
+            op, b, user_A = _load_matrix_operator(cfg.matrix, cfg.nblocks,
+                                                  dtype)
             import os as _os
 
-            grid_label = f"{_os.path.basename(cfg.matrix)}:{nmat}"
+            grid_label = f"{_os.path.basename(cfg.matrix)}:{user_A.shape[0]}"
         elif cfg.dim == 2:
             op = blockops.block_poisson2d(cfg.m, cfg.n, cfg.nblocks)
             b = blockops.rhs_ones(op, dtype)
@@ -550,19 +559,44 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
 
                 A = _sp.csr_matrix(mmread(cfg.matrix))
             coo = A.tocoo()
+            import numpy as _np
+
+            cdata = coo.data
+            b_vec = b.reshape(-1)
+            gpc = None
+            unscale = None
+            if cfg.pc_type == "jacobi":
+                # exact RIGHT point-Jacobi = column-scale the system
+                # host-side (zero runtime cost; convergence tests the
+                # true residual; x = y / d afterwards)
+                d = _np.asarray(A.diagonal(), _np.float64)
+                d[d == 0] = 1.0
+                cdata = coo.data / d[coo.col]
+                unscale = jnp.asarray(1.0 / d, dtype)
+            elif cfg.pc_type == "bjacobi":
+                from medane_tchakorom_ufc_thesis_repository_tpu.parallel.general import (  # noqa: E501
+                    shard_bjacobi_from_coo,
+                )
+
+                gpc = shard_bjacobi_from_coo(
+                    coo.row, coo.col, coo.data, A.shape[0], ndev,
+                    bs=cfg.pc_block_size, dtype=dtype,
+                )
             gop = shard_general_from_coo(
-                coo.row, coo.col, coo.data, A.shape[0], ndev, dtype=dtype,
+                coo.row, coo.col, cdata, A.shape[0], ndev, dtype=dtype,
             )
             with trace(profile_dir), pt.phase("I_Solver"):
                 t0 = time.perf_counter()
                 kres = sharded_general_solve(
-                    mesh, gop, b.reshape(-1), method="gmres",
+                    mesh, gop, b_vec, method="gmres",
                     restart=cfg.inner_restart, maxiter=cfg.maxiter,
-                    rtol=cfg.rtol,
+                    rtol=cfg.rtol, pc=gpc,
                 )
                 fence(kres.x)
                 elapsed = time.perf_counter() - t0
             x_flat = kres.x.reshape(-1)
+            if unscale is not None:
+                x_flat = unscale * x_flat
         elif cfg.backend == "sharded":
             from medane_tchakorom_ufc_thesis_repository_tpu.parallel import (
                 ShardedPoisson2D,
@@ -586,10 +620,45 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
             x_flat = kres.x.reshape(-1)
         else:
             flat_b = b.reshape(-1)
-            solve = jax.jit(lambda bb: gmres(
-                op.global_mv, bb, restart=cfg.inner_restart,
-                maxiter=cfg.maxiter, rtol=cfg.rtol,
-            ))
+            if cfg.matrix and cfg.pc_type != "none":
+                # whole-system RIGHT PC on the user matrix (outer-KSP
+                # -pc_type analog; the reference gestures at the same
+                # side, utils.c:524 KSPSetPCSide PC_RIGHT): solve
+                # (A M) y = b then x = M y, so the Givens estimate
+                # tracks the TRUE residual — a stiff left PC can leave
+                # the true residual orders of magnitude above rtol
+                if cfg.pc_type == "jacobi":
+                    import numpy as _np
+
+                    d = _np.asarray(user_A.diagonal(), _np.float64)
+                    d[d == 0] = 1.0
+                    dinv = jnp.asarray(1.0 / d, dtype)
+                    M = lambda v: dinv * v
+                else:
+                    from medane_tchakorom_ufc_thesis_repository_tpu.solvers.bjacobi import (  # noqa: E501
+                        block_jacobi_from_scipy,
+                    )
+
+                    M = block_jacobi_from_scipy(
+                        user_A, bs=cfg.pc_block_size, dtype=dtype,
+                    ).apply
+
+                import dataclasses as _dc
+
+                def _pc_solve(bb):
+                    res = gmres(
+                        lambda v: op.global_mv(M(v)), bb,
+                        restart=cfg.inner_restart,
+                        maxiter=cfg.maxiter, rtol=cfg.rtol,
+                    )
+                    return _dc.replace(res, x=M(res.x))
+
+                solve = jax.jit(_pc_solve)
+            else:
+                solve = jax.jit(lambda bb: gmres(
+                    op.global_mv, bb, restart=cfg.inner_restart,
+                    maxiter=cfg.maxiter, rtol=cfg.rtol,
+                ))
             with trace(profile_dir), pt.phase("I_Solver"):
                 t0 = time.perf_counter()
                 kres = solve(flat_b)

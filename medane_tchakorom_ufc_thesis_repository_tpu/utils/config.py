@@ -59,6 +59,12 @@ class RunConfig:
     # split is routed by as_stacked_tpu_operator (banded→DIA,
     # blockable→BSR, else gather-ELL with a warning).
     matrix: Optional[str] = None
+    # whole-system PC for the GMRES baseline on a user matrix — the
+    # outer-KSP ``-pc_type`` analog (iSolve:78-83).  'jacobi' = diagonal
+    # scaling; 'bjacobi' = PCBJACOBI's TPU form: batched dense block
+    # inverses applied as one MXU einsum (solvers/bjacobi.py).
+    pc_type: str = "none"          # none | jacobi | bjacobi
+    pc_block_size: int = 64        # bjacobi diagonal-block size
     # decomposition (np/npb analog: nblocks = np/npb)
     nblocks: int = 2
     intra: int = 1            # devices per block (sharded backend)
@@ -166,6 +172,22 @@ class RunConfig:
             raise ValueError(
                 f"unknown algorithm {self.alg!r}; choose from {ALGORITHMS}"
             )
+        if self.pc_type not in ("none", "jacobi", "bjacobi"):
+            raise ValueError(
+                f"unknown pc_type {self.pc_type!r}; "
+                "choose from none | jacobi | bjacobi"
+            )
+        if self.pc_type != "none":
+            if self.alg != "GMRES" or self.matrix is None:
+                raise ValueError(
+                    "--pc-type preconditions the whole-system GMRES "
+                    "baseline on a user matrix (--alg GMRES --matrix ...); "
+                    "grid problems use --alg MGPCG or --inner-pc-type"
+                )
+            if self.pc_block_size < 1:
+                raise ValueError(
+                    f"pc_block_size must be >= 1, got {self.pc_block_size}"
+                )
         if self.dim not in (2, 3):
             raise ValueError("dim must be 2 or 3")
         # the split axis is m (grid rows in 2D, nx planes in 3D)

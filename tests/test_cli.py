@@ -217,6 +217,38 @@ class TestMatrixFlag:
             cli.main(["--alg", "SM", "--matrix", path,
                       "--backend", "sharded", "--json"])
 
+    def test_gmres_pc_bjacobi_on_user_matrix(self, tmp_path, capsys):
+        # whole-system PC on the GMRES baseline (outer -pc_type analog)
+        path, A = self._save_blocky(tmp_path, seed=65)
+        rc = cli.main([
+            "--alg", "GMRES", "--matrix", path, "--dtype", "float64",
+            "--rtol", "1e-8", "--maxiter", "4000",
+            "--pc-type", "bjacobi", "--pc-block-size", "8", "--json",
+        ])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["converged"]
+        # RIGHT PC: the convergence test sees the true residual, so the
+        # reported true relative residual meets rtol (f64, small slack)
+        assert out["final_true_rnorm"] / out["rnorm0"] <= 1.1e-8
+        assert out["error_vs_ones"] < 1e-6
+
+    def test_gmres_pc_jacobi_sharded_on_user_matrix(self, tmp_path, capsys):
+        path, A = self._save_blocky(tmp_path, seed=66)
+        rc = cli.main([
+            "--alg", "GMRES", "--matrix", path, "--backend", "sharded",
+            "--nblocks", "2", "--intra", "4", "--dtype", "float64",
+            "--rtol", "1e-8", "--maxiter", "3000",
+            "--pc-type", "bjacobi", "--pc-block-size", "8", "--json",
+        ])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["converged"]
+        assert out["error_vs_ones"] < 1e-4
+
+    def test_pc_type_requires_matrix(self):
+        with pytest.raises(ValueError, match="pc-type"):
+            cli.main(["--alg", "GMRES", "--m", "32", "--n", "32",
+                      "--pc-type", "bjacobi", "--json"])
+
     def test_gmres_sharded_on_user_matrix(self, tmp_path, capsys):
         # row-sharded general-sparse GMRES over the 8-device mesh
         path, A = self._save_blocky(tmp_path, seed=64)

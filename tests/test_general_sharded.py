@@ -80,3 +80,55 @@ class TestShardedGeneral:
         mesh = meshmod.make_mesh(nblocks=2, intra=4)
         with pytest.raises(ValueError, match="packed for 4"):
             sharded_general_solve(mesh, op, jnp.zeros(64))
+
+
+def _block_ill_conditioned(nb, bs, seed=0, coupling=1e-2):
+    """blkdiag(cond-1e3 SPD blocks) + weak coupling (test_bjacobi.py)."""
+    rng = np.random.default_rng(seed)
+    n = nb * bs
+    A = sp.lil_matrix((n, n))
+    for k in range(nb):
+        Q, _ = np.linalg.qr(rng.standard_normal((bs, bs)))
+        lam = np.logspace(0, 3, bs)
+        A[k * bs:(k + 1) * bs, k * bs:(k + 1) * bs] = (Q * lam) @ Q.T
+    C = sp.random(n, n, density=0.02, random_state=seed + 1)
+    return (A.tocsr() + coupling * (C + C.T)).tocsr()
+
+
+class TestShardedBlockJacobi:
+    """Row-sharded PCBJACOBI analog: device-local batched block-inverse
+    applies (parallel/general.py ShardedBlockJacobi)."""
+
+    @pytest.mark.parametrize("method", ["gmres", "cg"])
+    def test_pc_accelerates_and_matches_scipy(self, method):
+        from medane_tchakorom_ufc_thesis_repository_tpu.parallel.general import (
+            shard_bjacobi_from_coo,
+        )
+
+        A = _block_ill_conditioned(nb=16, bs=16, seed=21)
+        op = _pack(A, ndev=8)
+        mesh = meshmod.make_mesh(nblocks=2, intra=4)
+        b = jnp.asarray(A @ np.ones(A.shape[0]))
+        coo = A.tocoo()
+        pc = shard_bjacobi_from_coo(coo.row, coo.col, coo.data,
+                                    A.shape[0], ndev=8, bs=16,
+                                    dtype=jnp.float64)
+        plain = sharded_general_solve(mesh, op, b, method=method,
+                                      rtol=1e-8, maxiter=2000)
+        pre = sharded_general_solve(mesh, op, b, method=method,
+                                    rtol=1e-8, maxiter=2000, pc=pc)
+        assert bool(pre.converged)
+        np.testing.assert_allclose(np.asarray(pre.x), 1.0, rtol=1e-5)
+        assert int(pre.iters) < int(plain.iters) / 3
+
+    def test_pc_block_must_fit_strip(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.parallel.general import (
+            shard_bjacobi_from_coo,
+        )
+
+        A = _block_ill_conditioned(nb=4, bs=16, seed=23)
+        coo = A.tocoo()
+        with pytest.raises(ValueError, match="straddle"):
+            shard_bjacobi_from_coo(coo.row, coo.col, coo.data,
+                                   A.shape[0], ndev=4, bs=12,
+                                   dtype=jnp.float64)

@@ -158,9 +158,27 @@ class TestStackedDIA:
         )
 
     def test_unstructured_stays_ell(self):
+        # rule out BOTH fast routes (max_diags forces past DIA,
+        # max_bsr_cost forces past StackedBSR): the residual gather-ELL
+        # pass-through must warn and return the operator unchanged
+        eop = self._variable_coeff_ell()
+        with pytest.warns(UserWarning, match="gather-ELL"):
+            out = blockops.as_stacked_tpu_operator(
+                eop, max_diags=2, max_bsr_cost=0.5
+            )
+        assert out is eop
+
+    def test_unstructured_routes_to_bsr_when_blockable(self):
+        # with DIA ruled out but BSR allowed, the variable-coefficient
+        # split routes to StackedBSROperator (round-3 general-sparse path)
         eop = self._variable_coeff_ell()
         out = blockops.as_stacked_tpu_operator(eop, max_diags=2)
-        assert out is eop
+        assert isinstance(out, blockops.StackedBSROperator)
+        x = blockops.rhs_ones(eop, jnp.float64)
+        np.testing.assert_allclose(
+            np.asarray(out.full_mv(x)), np.asarray(eop.full_mv(x)),
+            rtol=1e-12, atol=1e-12,
+        )
 
 
 class TestSM:
