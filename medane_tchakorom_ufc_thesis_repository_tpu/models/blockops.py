@@ -341,6 +341,19 @@ class StackedELLOperator(BlockOperator):
         rows = jnp.arange(idx.shape[0])[:, None]
         return jnp.sum(jnp.where(idx == rows, val, 0.0), axis=-1)
 
+    def diag_coo_np(self):
+        """Per-block COO of A_ii, host-side (the ``pc='bjacobi'`` setup
+        hook): list of ``(rows, cols, vals)`` numpy triples."""
+        idx = np.asarray(self.a_ii.indices)
+        val = np.asarray(self.a_ii.values)
+        nb, bs, w = idx.shape
+        rows = np.broadcast_to(np.arange(bs)[:, None], (bs, w))
+        out = []
+        for b in range(nb):
+            m = val[b] != 0
+            out.append((rows[m], idx[b][m], val[b][m]))
+        return out
+
     def coupling_mv(self, x):
         x_flat = x.reshape(-1)
         gathered = x_flat[self.a_ic.indices]  # (nb, bs, w2)
@@ -437,6 +450,27 @@ class StackedDIAOperator(BlockOperator):
                 return data[d]
         return jnp.zeros((n,), self.dtype)
 
+    def diag_coo_np(self):
+        """Per-block COO of A_ii, host-side (the ``pc='bjacobi'`` setup
+        hook).  Matches ``single_diag_mv``'s row-aligned convention:
+        ``A_ii[i, i+off] = args[d, i]``."""
+        args = np.asarray(self.diag_mv_args)    # (nblocks, ndiag, bs)
+        bs = self.block_size
+        out = []
+        for b in range(self.nblocks):
+            rows, cols, vals = [], [], []
+            for d, off in enumerate(self.dia_ii.offsets):
+                i = np.arange(max(0, -off), min(bs, bs - off))
+                rows.append(i)
+                cols.append(i + off)
+                vals.append(args[b, d, i])
+            r = np.concatenate(rows)
+            c = np.concatenate(cols)
+            v = np.concatenate(vals)
+            m = v != 0
+            out.append((r[m], c[m], v[m]))
+        return out
+
     def to_dense(self):
         return self.dia_ii.to_dense() + self.dia_ic.to_dense()
 
@@ -515,6 +549,40 @@ class StackedBSROperator(BlockOperator):
     def single_diag_vector(self, args, n):
         _, _, dvec = args
         return dvec
+
+    def diag_coo_np(self):
+        """Per-block COO of A_ii, host-side (the ``pc='bjacobi'`` setup
+        hook).  Blocks are stored transposed (``ii_val[b,r,k,j,i]``);
+        rows/cols beyond the true ``block_size`` are block-ELL padding
+        (all-zero) and are dropped."""
+        idx = np.asarray(self.ii_idx)
+        val = np.asarray(self.ii_val)           # (nb, nbr, w, c, c)
+        nb, nbr, w, c, _ = val.shape
+        bs = self.block_size
+        out = []
+        for b in range(nb):
+            rows, cols, vals = [], [], []
+            for r in range(nbr):
+                for k in range(w):
+                    blk = val[b, r, k].T        # un-transpose
+                    if not blk.any():
+                        continue
+                    cc = int(idx[b, r, k])
+                    rr, ccx = np.nonzero(blk)
+                    rows.append(r * c + rr)
+                    cols.append(cc * c + ccx)
+                    vals.append(blk[rr, ccx])
+            if rows:
+                r_ = np.concatenate(rows)
+                c_ = np.concatenate(cols)
+                v_ = np.concatenate(vals)
+            else:
+                r_ = np.zeros(0, np.int64)
+                c_ = np.zeros(0, np.int64)
+                v_ = np.zeros(0)
+            m = (r_ < bs) & (c_ < bs)
+            out.append((r_[m], c_[m], v_[m]))
+        return out
 
     def to_dense(self):
         nb, bs = self.nblocks, self.block_size

@@ -161,6 +161,14 @@ def host_async_solve(
     """
     if minimization not in (None, "local", "semi_local", "global"):
         raise ValueError(f"unknown minimization {minimization!r}")
+    if inner.pc != "none":
+        # fail loudly rather than silently dropping the PC (this
+        # backend builds its own plain-GMRES sweeps)
+        raise ValueError(
+            "host_async backend does not implement inner "
+            f"preconditioning (got pc={inner.pc!r}); use the stacked "
+            "backend for --inner-pc-type"
+        )
     nb, bs = op.nblocks, op.block_size
     dtype = b.dtype
     if intra > 1:

@@ -82,12 +82,18 @@ class InnerConfig:
 
     ``method``: 'gmres' | 'cg' (the iSolve ``--inner-ksp`` choice; A_ii is
     SPD for Poisson so CG is admissible).
-    ``pc``: 'none' | 'jacobi' | 'mg' — the TPU-appropriate subset of
-    PETSc's ``-inner_pc_type`` (sequential PCs like ILU/SOR don't map to
-    SPMD hardware).  'jacobi' = left diagonal scaling; 'mg' = geometric
+    ``pc``: 'none' | 'jacobi' | 'bjacobi' | 'mg' — the TPU-appropriate
+    subset of PETSc's ``-inner_pc_type`` (sequential PCs like ILU/SOR
+    don't map to SPMD hardware).  'jacobi' = left diagonal scaling;
+    'bjacobi' = PCBJACOBI's TPU form: batched dense inverses of each
+    A_ii's ``pc_block_size``-sized diagonal sub-blocks, applied as one
+    MXU einsum (``solvers/bjacobi.py``; sparse-family stacked operators
+    — ELL/DIA/BSR — stencil strips use 'mg' instead); 'mg' = geometric
     multigrid V-cycle on the strip's diagonal block (PCMG analog,
-    ``solvers/multigrid.py``) — with method='cg' a true-residual PCG,
-    with method='gmres' PETSc-default left preconditioning.
+    ``solvers/multigrid.py``).  With method='cg' jacobi scales and
+    bjacobi/mg enter as true-residual PCG preconditioners; with
+    method='gmres' all are PETSc-default left preconditioning (inner
+    solves warm-start from x_b, which left PC composes with directly).
     """
 
     restart: int = 30
@@ -97,6 +103,7 @@ class InnerConfig:
     orthog: str = "cgs2"
     method: str = "gmres"
     pc: str = "none"
+    pc_block_size: int = 64   # 'bjacobi' diagonal-sub-block size
     basis: str = "native"   # 'native' | 'bf16' Krylov-basis storage;
                             # bf16 halves orthogonalization bandwidth
                             # (measured 1.6x net at 2M unknowns on v5e)
@@ -204,6 +211,7 @@ def _make_inner(op: BlockOperator, cfg):
     uniform, per_block = _per_block(cfg, op.nblocks, "InnerConfig")
     if per_block is not None:
         solves = [_make_single_inner(op, c) for c in per_block]
+        binvs = [_bjacobi_inner_inv(op, c) for c in per_block]
         args = getattr(op, "diag_mv_args", None)
 
         def run(rhs, x):
@@ -211,26 +219,58 @@ def _make_inner(op: BlockOperator, cfg):
             for bidx, solve_one in enumerate(solves):
                 a = (None if args is None
                      else jax.tree_util.tree_map(lambda t: t[bidx], args))
-                results.append(solve_one(a, rhs[bidx], x[bidx]))
+                bi = None if binvs[bidx] is None else binvs[bidx][bidx]
+                results.append(solve_one(a, bi, rhs[bidx], x[bidx]))
             return jax.tree_util.tree_map(
                 lambda *leaves: jnp.stack(leaves), *results
             )
 
         return run
     solve_one = _make_single_inner(op, uniform)
+    binv = _bjacobi_inner_inv(op, uniform)
     args = getattr(op, "diag_mv_args", None)
-    in_axes = (None if args is None else 0, 0, 0)
+    in_axes = (None if args is None else 0,
+               None if binv is None else 0, 0, 0)
     vsolve = jax.vmap(solve_one, in_axes=in_axes)
-    return lambda rhs, x: vsolve(args, rhs, x)
+    return lambda rhs, x: vsolve(args, binv, rhs, x)
+
+
+def _bjacobi_inner_inv(op: BlockOperator, cfg: InnerConfig):
+    """``(nblocks, nbb, p, p)`` batched inverses of every A_ii's diagonal
+    sub-blocks for ``pc='bjacobi'`` (None for other PCs).  Host-side
+    one-time setup via the operator's ``diag_coo_np`` hook + the shared
+    f64/pinv factorization in ``solvers.bjacobi``."""
+    if cfg.pc != "bjacobi":
+        return None
+    coo_fn = getattr(op, "diag_coo_np", None)
+    if coo_fn is None:
+        raise ValueError(
+            "pc='bjacobi' needs a sparse-family stacked operator "
+            f"(ELL/DIA/BSR), got {type(op).__name__}; stencil strips "
+            "use pc='mg'"
+        )
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers.bjacobi import (
+        block_jacobi_from_coo,
+    )
+
+    invs = [
+        block_jacobi_from_coo(r, c, v, op.block_size,
+                              bs=cfg.pc_block_size,
+                              dtype=op.dtype).inv_blocks
+        for (r, c, v) in coo_fn()
+    ]
+    return jnp.stack(invs)
 
 
 def _make_single_inner(op: BlockOperator, cfg: InnerConfig):
-    """Build the one-block solve ``(args_b, rhs_b, x_b) -> KrylovResult``
-    for one ``InnerConfig`` (vmapped for the uniform path, called
-    directly per block for ``inner1_``/``inner2_``-style configs)."""
+    """Build the one-block solve ``(args_b, binv_b, rhs_b, x_b) ->
+    KrylovResult`` for one ``InnerConfig`` (vmapped for the uniform
+    path, called directly per block for ``inner1_``/``inner2_``-style
+    configs).  ``binv_b`` carries this block's bjacobi sub-block
+    inverses (None unless ``pc='bjacobi'``)."""
     if cfg.method not in ("gmres", "cg", "chebyshev", "ca_gmres"):
         raise ValueError(f"unknown inner method {cfg.method!r}")
-    if cfg.pc not in ("none", "jacobi", "mg"):
+    if cfg.pc not in ("none", "jacobi", "bjacobi", "mg"):
         raise ValueError(f"unknown inner pc {cfg.pc!r}")
 
     mg_M = None
@@ -269,8 +309,14 @@ def _make_single_inner(op: BlockOperator, cfg: InnerConfig):
                 )
             cheb_bounds = bounds_fn()
 
-    def solve_one(a, rhs_b, x_b):
+    def solve_one(a, binv_b, rhs_b, x_b):
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.bjacobi import (
+            BlockJacobi,
+        )
+
         mv = lambda v: op.single_diag_mv(a, v)
+        bj_M = (BlockJacobi(inv_blocks=binv_b, n=rhs_b.shape[0]).apply
+                if cfg.pc == "bjacobi" else None)
         if cfg.pc == "jacobi":
             # left diagonal preconditioning: solve (D^-1 A) x = D^-1 b;
             # convergence tested in the preconditioned norm (PETSc default)
@@ -278,6 +324,15 @@ def _make_single_inner(op: BlockOperator, cfg: InnerConfig):
             base = mv
             mv = lambda v: dinv * base(v)
             rhs_b = dinv * rhs_b
+        elif cfg.pc == "bjacobi" and cfg.method == "gmres":
+            # left block-Jacobi for GMRES (PETSc-default left PC; inner
+            # solves warm-start from x_b, which left PC composes with
+            # directly — the happy-breakdown test in krylov.py compares
+            # against ||A v_j|| so a strong PC cannot trigger false
+            # convergence); CG takes bj_M as a true-residual PCG precond
+            base = mv
+            mv = lambda v: bj_M(base(v))
+            rhs_b = bj_M(rhs_b)
         elif cfg.pc == "mg" and cfg.method == "gmres":
             # left V-cycle preconditioning for GMRES (PETSc-default left
             # PC semantics: convergence in the preconditioned norm);
@@ -299,7 +354,7 @@ def _make_single_inner(op: BlockOperator, cfg: InnerConfig):
             return krylov.cg(
                 mv, rhs_b, x_b,
                 maxiter=cfg.maxiter, rtol=cfg.rtol, atol=cfg.atol,
-                precond=mg_M,
+                precond=mg_M if mg_M is not None else bj_M,
             )
         if cfg.method == "ca_gmres":
             # communication-avoiding inner: Newton basis over the block

@@ -90,7 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inner-ksp", default=None, dest="inner_ksp",
                    choices=["gmres", "cg", "chebyshev", "ca_gmres"])
     p.add_argument("--inner-pc-type", default=None, dest="inner_pc",
-                   choices=["none", "jacobi", "mg"])
+                   choices=["none", "jacobi", "bjacobi", "mg"])
+    p.add_argument("--inner-pc-block-size", type=int, default=None,
+                   dest="inner_pc_block_size",
+                   help="inner pc=bjacobi diagonal-sub-block size "
+                        "(default 64)")
     p.add_argument("--inner-basis", default=None, dest="inner_basis",
                    choices=["native", "bf16"],
                    help="Krylov-basis storage (bf16 halves bandwidth)")
@@ -113,7 +117,8 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument(f"--inner{blk}-rtol", type=float, default=None,
                        dest=f"inner{blk}_rtol")
         p.add_argument(f"--inner{blk}-pc-type", default=None,
-                       dest=f"inner{blk}_pc", choices=["none", "jacobi", "mg"])
+                       dest=f"inner{blk}_pc",
+                       choices=["none", "jacobi", "bjacobi", "mg"])
         p.add_argument(f"--outer{blk}-method", default=None,
                        dest=f"outer{blk}_method",
                        choices=["qr", "normal", "lsqr", "cgne"])

@@ -88,6 +88,7 @@ class RunConfig:
     inner_rtol: float = 1e-3
     inner_ksp: str = "gmres"       # iSolve --inner-ksp
     inner_pc: str = "none"         # iSolve --inner-pc-type
+    inner_pc_block_size: int = 64  # inner pc='bjacobi' sub-block size
     inner_basis: str = "native"    # Krylov-basis storage: native | bf16
     outer_method: str = "qr"
     outer_maxiter: int = 100
@@ -103,6 +104,7 @@ class RunConfig:
     _INNER_KEYS = {
         "restart": "restart", "maxiter": "maxiter", "rtol": "rtol",
         "ksp": "method", "method": "method", "pc": "pc", "basis": "basis",
+        "pc_block_size": "pc_block_size",
     }
     _OUTER_KEYS = {"method": "method", "maxiter": "maxiter", "rtol": "rtol"}
 
@@ -113,6 +115,7 @@ class RunConfig:
             rtol=self.inner_rtol,
             method=self.inner_ksp,
             pc=self.inner_pc,
+            pc_block_size=self.inner_pc_block_size,
             basis=self.inner_basis,
         )
 

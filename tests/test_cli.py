@@ -217,6 +217,21 @@ class TestMatrixFlag:
             cli.main(["--alg", "SM", "--matrix", path,
                       "--backend", "sharded", "--json"])
 
+    def test_sm_inner_bjacobi_on_user_matrix(self, tmp_path, capsys):
+        # inner PCBJACOBI on the multisplitting drivers
+        path, A = self._save_blocky(tmp_path, seed=67)
+        rc = cli.main([
+            "--alg", "SM", "--matrix", path, "--dtype", "float64",
+            "--rtol", "1e-8", "--maxiter", "400",
+            "--inner-maxiter", "20", "--inner-rtol", "1e-10",
+            "--inner-pc-type", "bjacobi", "--inner-pc-block-size", "8",
+            "--json",
+        ])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["converged"]
+        assert out["rel_rnorm"] <= 1.05e-8
+        assert out["error_vs_ones"] < 1e-4
+
     def test_gmres_pc_bjacobi_on_user_matrix(self, tmp_path, capsys):
         # whole-system PC on the GMRES baseline (outer -pc_type analog)
         path, A = self._save_blocky(tmp_path, seed=65)
