@@ -40,7 +40,7 @@ _TAIL_BASE = 1_000_000_000  # round tag offset: never collides with sweep
 
 def _certification_tail(transport, rank, peers, x, tol_local, *,
                         sweep, local_rhs, stack_np, np_dtype,
-                        max_rounds, deadline_s):
+                        max_rounds, deadline_s, frame_len=None):
     """Post-verdict LOCKSTEP certification of the returned iterate.
 
     Why this exists: Alg-5.15 certifies each block under threshold
@@ -75,6 +75,10 @@ def _certification_tail(transport, rank, peers, x, tol_local, *,
     )
 
     bs = stack_np.shape[1]
+    # minimization runs pad every DATA frame to a fixed length (panel
+    # piggyback) — tail frames must match so latest-wins mailbox reads
+    # stay shape-consistent across the async/tail boundary
+    L = bs if frame_len is None else int(frame_len)
     deadline = time.monotonic() + deadline_s
     cur = np.asarray(x)
     prev_stack = None
@@ -84,6 +88,8 @@ def _certification_tail(transport, rank, peers, x, tol_local, *,
 
     def publish(r: int, ok: bool, arr: np.ndarray) -> None:
         tag = _TAIL_BASE + r
+        if L != arr.shape[0]:
+            arr = np.concatenate([arr, np.zeros((L - bs,), arr.dtype)])
         for j in peers:
             transport.send_data(j, tag if ok else -tag, arr)
 
@@ -100,14 +106,14 @@ def _certification_tail(transport, rank, peers, x, tol_local, *,
                 if j in got:
                     continue
                 arr, it, _ver = transport.read_data_tagged(
-                    j, np_dtype, (bs,))
+                    j, np_dtype, (L,))
                 if arr is None or abs(it) < _TAIL_BASE:
                     continue   # pre-tail publish still in the mailbox
                 rj = abs(it) - _TAIL_BASE
                 if rj > r:
                     return None   # skipped a round: ack protocol broken
                 if rj == r:
-                    got[j] = (arr, it > 0)
+                    got[j] = (arr[:bs], it > 0)
             if len(got) == len(peers):
                 return got
             pump_acks()
@@ -170,8 +176,22 @@ def net_async_block_solve(
     inner=None,
     drain_deadline_s: float = 10.0,
     termination: str = "protocol",
+    minimization: Optional[str] = None,
+    s: int = 4,
 ):
-    """Run THIS process's block of the AM iteration to termination.
+    """Run THIS process's block of the AM/AMAM iteration to termination.
+
+    ``minimization``: None (plain AM) | 'local' | 'semi_local' |
+    'global' — the asynchronous s-step minimization scopes
+    (``AMAM_{LOCAL,SEMI_LOCAL,GLOBAL}``) over OS processes, mirroring
+    ``models.host_async``'s thread implementation on the TCP wire.
+    'local' minimizes over the block's own s-column basis (no extra
+    traffic); 'semi_local' uses full-length snapshots but only the own
+    Gram panel; 'global' sums every block's ``(s, s)`` Gram panel — the
+    panels PIGGYBACK on the existing latest-wins DATA frames
+    (``[x | G | c | panel_ver]``), so the wire format and the native
+    router are untouched (the reference ships dense R columns instead,
+    ``comm_async_*_min``, ``comm.c:288-351``).
 
     ``op`` is the full stacked operator (cheap, matrix-free — every
     process builds the same description); only block ``rank``'s rows are
@@ -194,6 +214,13 @@ def net_async_block_solve(
     """
     if termination not in ("protocol", "traversal"):
         raise ValueError(f"unknown termination {termination!r}")
+    if minimization not in (None, "local", "semi_local", "global"):
+        raise ValueError(f"unknown minimization {minimization!r}")
+    if minimization is not None and termination == "traversal":
+        raise ValueError(
+            "minimization runs under termination='protocol' (the legacy "
+            "traversal guard predates the reference's AMAM drivers)"
+        )
     import jax
     import jax.numpy as jnp
 
@@ -239,18 +266,80 @@ def net_async_block_solve(
     def local_rhs(x_stack):
         return (b - op.coupling_mv(x_stack))[rank]
 
+    # --- async s-step minimization kernels (host_async twins) ----------
+    @jax.jit
+    def minimize_local(S_cols, rhs_b):
+        # R = A_ii @ S per column; direct tall-skinny LS
+        R = jax.vmap(mv)(S_cols).T          # (bs, s)
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.lstsq import (
+            lstsq_qr,
+        )
+
+        alpha = lstsq_qr(R, rhs_b)
+        return S_cols.T @ alpha
+
+    @jax.jit
+    def gram_contrib(S_full):
+        # this block's rows of R = A S and their (s, s) Gram panel —
+        # the s x s exchange that replaces the reference's dense-R
+        # shipping (comm_async_*_min, comm.c:288-351)
+        R_rows = jax.vmap(op.full_mv)(S_full)[:, rank, :]   # (s, bs)
+        G = R_rows @ R_rows.T
+        c = R_rows @ b[rank]
+        return G, c
+
+    @jax.jit
+    def combine(S_own, alpha):
+        return S_own.T @ alpha
+
+    def _solve_gram_np(G, c):
+        # minimum-norm LS: early bases can be rank-deficient
+        return np.linalg.lstsq(np.asarray(G, np.float64),
+                               np.asarray(c, np.float64), rcond=None)[0]
+
+    # frame layout: plain (bs,) except 'global', which piggybacks the
+    # Gram panel on every DATA frame: [x | G.ravel | c | panel_ver]
+    panel_tail = (s * s + s + 1) if minimization == "global" else 0
+    frame_len = bs + panel_tail
+
+    def pack_frame(xb):
+        if panel_tail == 0:
+            return xb
+        out = np.empty((frame_len,), np_dtype)
+        out[:bs] = xb
+        out[bs:bs + s * s] = own_panel[0].ravel()
+        out[bs + s * s:bs + s * s + s] = own_panel[1]
+        out[-1] = own_panel[2]
+        return out
+
     x = jnp.zeros((bs,), dtype)
     stack_np = np.zeros((nb, bs), np_dtype)
     peer_versions = {j: 0 for j in peers}
+    # 'global' panel state: own (G, c, ver) and newest peer panels
+    own_panel = (np.zeros((s, s), np.float64), np.zeros((s,), np.float64),
+                 0.0)
+    peer_panels = {j: None for j in peers}   # j -> (G, c, ver)
     sweeps = 0
     t0 = time.perf_counter()
 
     def drain_peers():
         fresh = []
         for j in peers:
-            arr, ver = transport.read_data(j, np_dtype, (bs,))
+            arr, ver = transport.read_data(j, np_dtype, (frame_len,))
             if arr is not None:
-                stack_np[j] = arr
+                stack_np[j] = arr[:bs]
+                if panel_tail:
+                    pv = float(arr[-1])
+                    prev = peer_panels[j]
+                    if pv > 0 and (prev is None or pv > prev[2]):
+                        peer_panels[j] = (
+                            np.asarray(arr[bs:bs + s * s], np.float64)
+                              .reshape(s, s),
+                            np.asarray(
+                                arr[bs + s * s:bs + s * s + s], np.float64,
+                            ),
+                            pv,
+                        )
                 if ver > peer_versions[j]:
                     fresh.append(j)
                     peer_versions[j] = ver
@@ -330,12 +419,48 @@ def net_async_block_solve(
         phase_tag = 0
         certified, tail_rounds = None, 0   # legacy guard: no certificate
     else:
+        S_buf: list = []
         while node.state is not State.FINISHED and sweeps < maxiter:
             fresh = drain_peers()
             rhs = local_rhs(jnp.asarray(stack_np))
             x, pre_norm = sweep(rhs, x)
             sweeps += 1
-            xb = np.asarray(x)
+
+            if minimization == "local":
+                S_buf.append(x)
+                if len(S_buf) == s:
+                    x = minimize_local(jnp.stack(S_buf), rhs)
+                    S_buf = []
+            elif minimization in ("semi_local", "global"):
+                # full-length snapshot: own part + latest peer parts
+                snap = stack_np.copy()
+                snap[rank] = np.asarray(x)
+                S_buf.append(snap)
+                if len(S_buf) == s:
+                    S_full = jnp.asarray(np.stack(S_buf))   # (s, nb, bs)
+                    G, c = gram_contrib(S_full)
+                    if minimization == "global":
+                        own_panel = (np.asarray(G, np.float64),
+                                     np.asarray(c, np.float64),
+                                     own_panel[2] + 1.0)
+                        Gt = own_panel[0].copy()
+                        ct = own_panel[1].copy()
+                        # newest peer panels, stale OK (the reference's
+                        # comm_async_*_min drain-newest semantics)
+                        for j in peers:
+                            pp = peer_panels[j]
+                            if pp is not None:
+                                Gt += pp[0]
+                                ct += pp[1]
+                        alpha = _solve_gram_np(Gt, ct)
+                    else:
+                        alpha = _solve_gram_np(G, c)
+                    x = combine(
+                        S_full[:, rank, :], jnp.asarray(alpha, dtype)
+                    )
+                    S_buf = []
+
+            xb = pack_frame(np.asarray(x))
             for j in peers:
                 transport.send_data(j, sweeps, xb)
             node.step(
@@ -359,6 +484,7 @@ def net_async_block_solve(
                 sweep=sweep, local_rhs=local_rhs,
                 stack_np=stack_np, np_dtype=np_dtype,
                 max_rounds=maxiter, deadline_s=drain_deadline_s,
+                frame_len=frame_len,
             )
 
     return {
@@ -400,6 +526,10 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inner-maxiter", type=int, default=20)
     p.add_argument("--termination", default="protocol",
                    choices=["protocol", "traversal"])
+    p.add_argument("--minimization", default="none",
+                   choices=["none", "local", "semi_local", "global"],
+                   help="async s-step minimization scope (AMAM_* parity)")
+    p.add_argument("--s", type=int, default=4, help="basis depth")
     p.add_argument("--transport", default="auto",
                    choices=["auto", "python", "native"],
                    help="TCP router backend: C++ epoll (native) or "
@@ -441,6 +571,9 @@ def worker_main(argv: Optional[Sequence[str]] = None) -> int:
             min_convergence_count=args.min_convergence_count,
             inner=InnerConfig(maxiter=args.inner_maxiter),
             termination=args.termination,
+            minimization=(None if args.minimization == "none"
+                          else args.minimization),
+            s=args.s,
         )
     finally:
         # linger so late protocol frames from peers don't hit a dead port
@@ -463,6 +596,8 @@ def launch_net_async(
     termination: str = "protocol",
     transport: str = "auto",
     timeout_s: float = 300.0,
+    minimization: Optional[str] = None,
+    s: int = 4,
 ) -> List[dict]:
     """Local fan-out: one OS process per block (the mpiexec analog for
     the TCP-async path).  Returns each rank's parsed JSON result."""
@@ -488,6 +623,8 @@ def launch_net_async(
                 "--inner-maxiter", str(inner_maxiter), "--dtype", dtype,
                 "--termination", termination,
                 "--transport", transport,
+                "--minimization", minimization or "none",
+                "--s", str(s),
             ]
             for rank in range(nblocks)
         ]

@@ -245,16 +245,28 @@ def _collect_per_block(args):
 
 
 def run_net_async(args) -> dict:
-    """TCP-async AM fan-out: one OS process per Jacobi block, iterates +
-    Alg-5.15 termination over sockets (models.net_async)."""
+    """TCP-async fan-out: one OS process per Jacobi block, iterates +
+    Alg-5.15 termination over sockets (models.net_async).  AM plus the
+    async-minimization variants AMAM_{LOCAL,SEMI_LOCAL,GLOBAL} (Gram
+    panels piggyback the latest-wins DATA frames)."""
     import numpy as np
 
     from medane_tchakorom_ufc_thesis_repository_tpu.models.net_async import (
         launch_net_async,
     )
 
-    if (args.alg or "AM") != "AM":
-        raise SystemExit("--net-async runs the AM algorithm")
+    alg = args.alg or "AM"
+    minim_map = {
+        "AM": None,
+        "AMAM_LOCAL": "local",
+        "AMAM_SEMI_LOCAL": "semi_local",
+        "AMAM_GLOBAL": "global",
+    }
+    if alg not in minim_map:
+        raise SystemExit(
+            "--net-async runs the async algorithms: AM | "
+            "AMAM_{LOCAL,SEMI_LOCAL,GLOBAL}"
+        )
     m = args.m or 64
     n = args.n or 64
     results = launch_net_async(
@@ -265,6 +277,8 @@ def run_net_async(args) -> dict:
         dtype=args.dtype or "float64",
         termination=args.termination or "protocol",
         transport=args.transport or "auto",
+        minimization=minim_map[alg],
+        s=args.s or 4,
     )
     import jax.numpy as jnp
 
@@ -279,7 +293,7 @@ def run_net_async(args) -> dict:
     r_true = b - op.full_mv(x)
     rnorm = float(jnp.linalg.norm(r_true.reshape(-1)))
     return {
-        "alg": "AM", "backend": f"net_async({args.net_async}proc tcp)",
+        "alg": alg, "backend": f"net_async({args.net_async}proc tcp)",
         "grid": f"{m}x{n}", "dim": 2,
         "sweeps_per_block": [r["sweeps"] for r in results],
         "converged": all(r["converged"] for r in results),
@@ -974,7 +988,8 @@ def main(argv=None) -> int:
         if args.json:
             print(json.dumps(result))
         else:
-            print(f"Algorithm          : AM ({result['backend']})")
+            print(f"Algorithm          : {result['alg']} "
+                  f"({result['backend']})")
             print(f"Grid               : {result['grid']}")
             print(f"Sweeps per block   : {result['sweeps_per_block']}")
             print(f"Final residual     : {result['rnorm']:.6e} "

@@ -202,6 +202,55 @@ class TestAlg515OverTcp:
 
 
 @pytest.mark.slow
+class TestTwoProcessAMAM:
+    """AMAM_{LOCAL,SEMI_LOCAL,GLOBAL} over TCP processes: the async
+    s-step minimization scopes with Gram panels piggybacking the
+    latest-wins DATA frames (reference ``comm_async_*_min``,
+    ``comm.c:288-351``, re-expressed as s x s panel exchange)."""
+
+    @pytest.mark.parametrize("minim", ["local", "semi_local", "global"])
+    def test_end_to_end(self, minim):
+        import jax.numpy as jnp
+
+        from medane_tchakorom_ufc_thesis_repository_tpu.models import blockops
+        from medane_tchakorom_ufc_thesis_repository_tpu.models.net_async import (
+            launch_net_async,
+        )
+
+        m = n = 32
+        rtol = 1e-4
+        results = launch_net_async(
+            nblocks=2, m=m, n=n, rtol=rtol, maxiter=4000,
+            minimization=minim, s=4, timeout_s=240,
+        )
+        assert all(r["converged"] for r in results)
+        op = blockops.block_poisson2d(m, n, nblocks=2)
+        b = blockops.rhs_ones(op, jnp.float64)
+        x = jnp.asarray(np.stack([
+            np.asarray(r["x_block"])
+            for r in sorted(results, key=lambda r: r["rank"])
+        ]))
+        r_true = b - op.full_mv(x)
+        rel = float(jnp.linalg.norm(r_true.reshape(-1))
+                    / jnp.linalg.norm(b.reshape(-1)))
+        if all(r["certified"] for r in results):
+            assert rel <= rtol
+        else:
+            assert rel <= 50 * rtol
+
+    def test_minimization_rejects_traversal(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.models.net_async import (
+            net_async_block_solve,
+        )
+
+        with pytest.raises(ValueError, match="traversal"):
+            net_async_block_solve(
+                None, None, 0, None, termination="traversal",
+                minimization="global",
+            )
+
+
+@pytest.mark.slow
 class TestTwoProcessAM:
     def test_end_to_end(self):
         """Two OS processes, one Jacobi block each: iterates + protocol
