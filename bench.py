@@ -267,11 +267,17 @@ def main():
         df_northstar_fused,
     )
 
+    # inner_rtol 1e-4 at the HBM-bound sizes: the W-cycle PCG converges
+    # superlinearly, so each pass overshoots its tolerance and 2 passes
+    # still land ~1e-10 (36-56x inside the 1e-8 target); the looser
+    # tolerance saves ~1 PCG iteration/pass — 512^3 0.62 -> 0.556 s
+    # measured.  3e-4 tips to 3 passes (0.70 s) and 64^3 prefers 1e-5
+    # (margin thins to 2x) — both measured, don't "simplify" to one value.
     b256hi = op.mv(jnp.ones((nx, ny, nz), jnp.float32))  # exact (integers)
     b256_df = (b256hi, jnp.zeros_like(b256hi))
-    df_northstar_fused(op, b256_df, rtol=1e-8)  # compile
+    df_northstar_fused(op, b256_df, rtol=1e-8, inner_rtol=1e-4)  # compile
     refine256_s, rres256 = _best_of(
-        lambda: df_northstar_fused(op, b256_df, rtol=1e-8)
+        lambda: df_northstar_fused(op, b256_df, rtol=1e-8, inner_rtol=1e-4)
     )
 
     # --- HBM-scale north-star: 3D 512^3 (134M unknowns) to 1e-8 ---------
@@ -279,9 +285,10 @@ def main():
     # stencil applies); ~5 GB peak of the chip's 16 GB HBM
     b512hi = op512.mv(jnp.ones((512, 512, 512), jnp.float32))
     b512_df = (b512hi, jnp.zeros_like(b512hi))
-    df_northstar_fused(op512, b512_df, rtol=1e-8)  # compile
+    df_northstar_fused(op512, b512_df, rtol=1e-8, inner_rtol=1e-4)  # compile
     refine512_s, rres512 = _best_of(
-        lambda: df_northstar_fused(op512, b512_df, rtol=1e-8)
+        lambda: df_northstar_fused(op512, b512_df, rtol=1e-8,
+                                   inner_rtol=1e-4)
     )
 
     # measured CPU reference on this host: scipy CSR SpMV (the PETSc-AIJ
