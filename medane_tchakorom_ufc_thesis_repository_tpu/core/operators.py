@@ -289,10 +289,18 @@ class Stencil3D:
         )
         return y if x.ndim == 3 else y.reshape(-1)
 
-    def _slab_mv(self, g, sl: int):
+    def _slab_mv(self, g, sl: int, epilogue=None, extras=()):
         """x-slab stencil pass: per-slab pad+slice with one-plane halo
         fixups — each slab's padded copy and partial-sum fusions stay
-        slab-sized (VMEM-scoped) instead of array-sized."""
+        slab-sized (VMEM-scoped) instead of array-sized.
+
+        ``epilogue(s, ys, *extra_slabs) -> out``: optional per-slab
+        elementwise combine applied INSIDE the loop (``s`` = this slab
+        of ``g``, ``ys`` = its stencil apply, ``extra_slabs`` = matching
+        slabs of ``extras``).  A combine outside the loop would re-read
+        the materialized whole-array y plus its operands from HBM —
+        ~2 extra memory passes per call at HBM scale (the smoother /
+        residual fusion, ``solvers/multigrid.py``)."""
         from jax import lax
 
         nx, ny, nz = self.nx, self.ny, self.nz
@@ -319,11 +327,49 @@ class Stencil3D:
             dn = jnp.where(start + sl >= nx, zero, dn)
             ys = ys.at[0].add(off * up[0])
             ys = ys.at[-1].add(off * dn[0])
+            if epilogue is not None:
+                ex = [
+                    lax.dynamic_slice(e, (start, 0, 0), (sl, ny, nz))
+                    for e in extras
+                ]
+                ys = epilogue(s, ys, *ex)
             return lax.dynamic_update_slice(y, ys, (start, 0, 0))
 
         return lax.fori_loop(0, nx // sl, body, jnp.empty_like(g))
 
     rmv = mv  # symmetric
+
+    def _fused_apply(self, x, extras, epilogue):
+        """Stencil apply with an elementwise epilogue, slab-fused at HBM
+        scale (identical values either way — the epilogue sees the same
+        ``ys``; below the slab cutoff XLA fuses the composition itself)."""
+        nx, ny, nz = self.nx, self.ny, self.nz
+        g = x if x.ndim == 3 else x.reshape(nx, ny, nz)
+        ex = tuple(
+            e if e.ndim == 3 else e.reshape(nx, ny, nz) for e in extras
+        )
+        itemsize = jnp.dtype(g.dtype).itemsize
+        if g.size * itemsize > _VMEM_RESIDENT_BYTES:
+            sl = _slab_planes(nx, ny * nz * itemsize)
+            if sl < nx:
+                y = self._slab_mv(g, sl, epilogue=epilogue, extras=ex)
+                return y if x.ndim == 3 else y.reshape(-1)
+        y = epilogue(g, self.mv(g), *ex)
+        return y if x.ndim == 3 else y.reshape(-1)
+
+    def jacobi_sweep(self, x, b, omega):
+        """One damped-Jacobi smoothing sweep ``x + omega * (b - A x)``
+        with the update fused into the stencil slabs (saves ~2 full
+        memory passes per sweep at HBM scale — the MG level-0 smoother
+        hot path, ``solvers/multigrid.py``)."""
+        w = jnp.asarray(omega, x.dtype)
+        return self._fused_apply(
+            x, (b,), lambda s, ys, bb: s + w * (bb - ys)
+        )
+
+    def residual(self, x, b):
+        """``b - A x`` with the subtraction fused into the stencil slabs."""
+        return self._fused_apply(x, (b,), lambda s, ys, bb: bb - ys)
 
     def to_dense(self):
         from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson

@@ -215,12 +215,18 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0) -> jax.Array:
             A.mv, b, maxiter=levels.coarse_iters, lmin=lmin, lmax=lmax
         ).x
 
-    # pre-smoothing (x0 = 0 folds the first sweep into a scale)
+    # pre-smoothing (x0 = 0 folds the first sweep into a scale).
+    # jacobi_sweep/residual fuse the elementwise update into the
+    # stencil's slab loop at HBM scale (~2 memory passes saved per
+    # sweep; identical values — below the cutoff XLA fuses anyway)
+    smooth = getattr(A, "jacobi_sweep",
+                     lambda x_, b_, w: x_ + w * (b_ - A.mv(x_)))
+    resid = getattr(A, "residual", lambda x_, b_: b_ - A.mv(x_))
     x = omega * b
     for _ in range(levels.nu - 1):
-        x = x + omega * (b - A.mv(x))
+        x = smooth(x, b, omega)
 
-    r = b - A.mv(x)
+    r = resid(x, b)
     # (2h)^2 / h^2 rescaling of the h^2-convention residual
     rc = 4.0 * _restrict(r, dims)
     ec = vcycle(levels, rc, level + 1)
@@ -232,7 +238,7 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0) -> jax.Array:
     x = x + _prolong(ec, levels.dims[level + 1]).astype(dtype)
 
     for _ in range(levels.nu):
-        x = x + omega * (b - A.mv(x))
+        x = smooth(x, b, omega)
     return x
 
 

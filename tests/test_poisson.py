@@ -246,6 +246,56 @@ class TestSlabStencil:
                 np.asarray(got), np.asarray(ref), rtol=0, atol=1e-13
             )
 
+    def test_fused_smoother_and_residual_match_composition(self):
+        import numpy as np
+
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import (
+            operators as om,
+        )
+
+        op = om.Stencil3D(16, 8, 8)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((16, 8, 8)))
+        b = jnp.asarray(rng.standard_normal((16, 8, 8)))
+        w = 0.8 / 6.0
+        ref_sweep = x + w * (b - op.mv(x))
+        ref_resid = b - op.mv(x)
+        # composition path (below the slab cutoff)
+        np.testing.assert_array_equal(
+            np.asarray(op.jacobi_sweep(x, b, w)), np.asarray(ref_sweep)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(op.residual(x, b)), np.asarray(ref_resid)
+        )
+        # slab path (same ys per slab; halo adds associate differently)
+        for sl in (2, 4):
+            got = op._slab_mv(
+                x, sl,
+                epilogue=lambda s, ys, bb: s + w * (bb - ys), extras=(b,)
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref_sweep), rtol=0, atol=1e-13
+            )
+
+    def test_fused_smoother_slab_routing_engages(self, monkeypatch):
+        import numpy as np
+
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import (
+            operators as om,
+        )
+
+        monkeypatch.setattr(om, "_VMEM_RESIDENT_BYTES", 1)
+        op = om.Stencil3D(16, 8, 8)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((16, 8, 8)))
+        b = jnp.asarray(rng.standard_normal((16, 8, 8)))
+        w = 0.8 / 6.0
+        np.testing.assert_allclose(
+            np.asarray(op.jacobi_sweep(x, b, w)),
+            np.asarray(x + w * (b - om.Stencil3D(16, 8, 8).mv(x))),
+            rtol=0, atol=1e-13,
+        )
+
     def test_slab_planes_heuristic(self):
         from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
             _slab_planes,
