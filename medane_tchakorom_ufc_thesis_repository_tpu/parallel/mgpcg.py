@@ -142,11 +142,33 @@ def _interior_grid_mv(g: jax.Array, diag: float, off: float) -> jax.Array:
     return diag * g + off * taps
 
 
+def _interior_jacobi_sweep(g, b, omega, diag: float, off: float):
+    """``g + omega * (b - A_interior g)`` with the update fused into the
+    stencil's slab loop on HBM-scale 3-D tiles (``Stencil3D.jacobi_sweep``
+    — ~2 memory passes saved per sweep; below the cutoff XLA fuses the
+    composition itself).  Halo contributions are corrected by the caller
+    on the boundary planes (linear in the taps, so the edge fixup is
+    just ``-omega*off*halo`` after the fused pass)."""
+    if g.ndim == 3:
+        from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+            Stencil3D,
+        )
+
+        nx, ny, nz = g.shape
+        return Stencil3D(nx, ny, nz, diag=diag, off=off).jacobi_sweep(
+            g, b, omega
+        )
+    return g + omega * (b - _interior_grid_mv(g, diag, off))
+
+
 def _make_halo_mv(mesh: Mesh, diag: float, off: float
-                  ) -> Tuple[Callable, Callable]:
+                  ) -> Tuple[Callable, Callable, Callable]:
     """Whole-mesh stencil apply on a grid-shaped local tile.
 
-    Returns ``(halo_mv, halos)``: ``halo_mv(g)`` is the full stencil
+    Returns ``(halo_mv, halos, halo_sweep)``: ``halo_mv(g)`` is the full
+    stencil; ``halo_sweep(x, b, omega)`` the fused damped-Jacobi smoother
+    (interior update slab-fused, halo fixup ``-omega*off*halo`` on the
+    boundary planes — linearity of the taps); ``halo_mv`` details:
     (ppermutes issued first, interior computed while they fly, halos
     consumed after an ``optimization_barrier`` — the overlap schedule);
     ``halos(g)`` returns, per split grid axis, the ``(lo, hi)`` neighbor
@@ -178,7 +200,21 @@ def _make_halo_mv(mesh: Mesh, diag: float, off: float
             y = y.at[-1].add(off * bot)
             return y
 
-        return halo_mv, halos
+        def halo_sweep(x, b, omega):
+            # fused damped-Jacobi sweep with the same halo/compute
+            # overlap: the interior update runs slab-fused while the
+            # ppermutes fly; halos enter linearly, so the edge fixup is
+            # -omega*off*halo on the boundary planes
+            (top, bot), = halos(x)
+            w = jnp.asarray(omega, x.dtype)
+            y = _interior_jacobi_sweep(x, b, w, diag, off)
+            y, top, bot = lax.optimization_barrier((y, top, bot))
+            wo = w * jnp.asarray(off, x.dtype)
+            y = y.at[0].add(-wo * top)
+            y = y.at[-1].add(-wo * bot)
+            return y
+
+        return halo_mv, halos, halo_sweep
 
     nb = mesh.shape["block"]
     pr = mesh.shape["ir"]
@@ -213,7 +249,21 @@ def _make_halo_mv(mesh: Mesh, diag: float, off: float
         y = y.at[:, -1].add(off * east)
         return y
 
-    return halo_mv, halos
+    def halo_sweep(x, b, omega):
+        (top, bot), (west, east) = halos(x)
+        w = jnp.asarray(omega, x.dtype)
+        y = _interior_jacobi_sweep(x, b, w, diag, off)
+        y, top, bot, west, east = lax.optimization_barrier(
+            (y, top, bot, west, east)
+        )
+        wo = w * jnp.asarray(off, x.dtype)
+        y = y.at[0].add(-wo * top)
+        y = y.at[-1].add(-wo * bot)
+        y = y.at[:, 0].add(-wo * west)
+        y = y.at[:, -1].add(-wo * east)
+        return y
+
+    return halo_mv, halos, halo_sweep
 
 
 # ---------------------------------------------------------------------------
@@ -328,7 +378,8 @@ def _make_agglomerator(mesh: Mesh, splits: Tuple[int, ...]):
     return gather, slice_local
 
 
-def _cycle_precond(plan: "ShardedMGPlan", halo_mv: Callable, agg) -> Callable:
+def _cycle_precond(plan: "ShardedMGPlan", halo_mv: Callable, agg,
+                   halo_sweep: Callable = None) -> Callable:
     """The V/W-cycle as a CG preconditioner, with the same auto bf16
     cycle precision as the single-chip ``mg_preconditioner``: above
     ``_BF16_CYCLE_BYTES`` of LOCAL level-0 tile the whole cycle —
@@ -346,15 +397,17 @@ def _cycle_precond(plan: "ShardedMGPlan", halo_mv: Callable, agg) -> Callable:
     def M(r: jax.Array) -> jax.Array:
         if bf16:
             z = _sharded_vcycle(plan, halo_mv, r.astype(jnp.bfloat16),
-                                agg=agg)
+                                agg=agg, halo_sweep=halo_sweep)
             return z.astype(r.dtype)
-        return _sharded_vcycle(plan, halo_mv, r, agg=agg)
+        return _sharded_vcycle(plan, halo_mv, r, agg=agg,
+                               halo_sweep=halo_sweep)
 
     return M
 
 
 def _sharded_vcycle(plan: ShardedMGPlan, halo_mv: Callable, b: jax.Array,
-                    level: int = 0, agg=None) -> jax.Array:
+                    level: int = 0, agg=None,
+                    halo_sweep: Callable = None) -> jax.Array:
     """One V(nu, nu) cycle from the zero guess on the local tile.  The
     recursion is Python-static, so the whole cycle unrolls into one XLA
     program per device (identical on all devices — SPMD-lockstep).
@@ -394,24 +447,26 @@ def _sharded_vcycle(plan: ShardedMGPlan, halo_mv: Callable, b: jax.Array,
             mv, b, maxiter=plan.coarse_iters, lmin=lmin, lmax=lmax
         ).x
 
+    smooth = (halo_sweep if halo_sweep is not None
+              else (lambda x_, b_, w: x_ + w * (b_ - mv(x_))))
     x = omega * b
     for _ in range(plan.nu - 1):
-        x = x + omega * (b - mv(x))
+        x = smooth(x, b, omega)
 
     r = b - mv(x)
     # (2h)^2 / h^2 rescaling of the h^2-convention residual
     rc = 4.0 * _restrict(r, plan.local(level))
-    ec = _sharded_vcycle(plan, halo_mv, rc, level + 1, agg)
+    ec = _sharded_vcycle(plan, halo_mv, rc, level + 1, agg, halo_sweep)
     if plan.cycle == "w" and level + 1 < len(plan.dims) - 1:
         # W-cycle: second recursive coarse visit on the coarse residual
         # (halo_mv is shape-polymorphic — it applies the coarse-level
         # operator with the same level-independent neighbor pairing)
         ec = ec + _sharded_vcycle(
-            plan, halo_mv, rc - halo_mv(ec), level + 1, agg)
+            plan, halo_mv, rc - halo_mv(ec), level + 1, agg, halo_sweep)
     x = x + _prolong(ec, plan.local(level + 1)).astype(dtype)
 
     for _ in range(plan.nu):
-        x = x + omega * (b - mv(x))
+        x = smooth(x, b, omega)
     return x
 
 
@@ -433,7 +488,7 @@ def _mgpcg_run(mesh: Mesh, opcfg, rtol: float, atol: float, maxiter: int,
     plan = plan_sharded(opcfg, _axis_splits(mesh, len(dims)), nu=nu,
                         min_size=min_size, coarse_iters=coarse_iters,
                         cycle=cycle)
-    halo_mv, _halos = _make_halo_mv(mesh, plan.diag, plan.off)
+    halo_mv, _halos, halo_sweep = _make_halo_mv(mesh, plan.diag, plan.off)
     agg = _make_agglomerator(mesh, plan.splits) if plan.agglomerate else None
     axes = _mesh_axes(mesh)
 
@@ -442,7 +497,7 @@ def _mgpcg_run(mesh: Mesh, opcfg, rtol: float, atol: float, maxiter: int,
             halo_mv, b_loc,
             maxiter=maxiter, rtol=rtol, atol=atol,
             axis_name=axes,
-            precond=_cycle_precond(plan, halo_mv, agg),
+            precond=_cycle_precond(plan, halo_mv, agg, halo_sweep),
         )
         return res.x, res.iters, res.resnorm, res.resnorm0, res.converged
 
@@ -568,7 +623,7 @@ def _df_refine_helpers_sharded(mesh: Mesh, opcfg):
     """Compiled df residual/correction passes, cached per (mesh, op)."""
     dims = _grid_dims(opcfg)
     diag, off = float(opcfg.diag), float(opcfg.off)
-    _halo_mv, halos = _make_halo_mv(mesh, diag, off)
+    _halo_mv, halos, _hs = _make_halo_mv(mesh, diag, off)
     spec = _grid_spec(mesh, len(dims))
     axes = _mesh_axes(mesh)
     scalar = P()
@@ -672,7 +727,7 @@ def _northstar_solvers(mesh: Mesh, opcfg, inner_rtol: float,
     splits = _axis_splits(mesh, len(dims))
     plan = plan_sharded(opcfg, splits, nu=nu, min_size=min_size,
                         coarse_iters=coarse_iters, cycle=cycle)
-    halo_mv, _ = _make_halo_mv(mesh, plan.diag, plan.off)
+    halo_mv, _, halo_sweep = _make_halo_mv(mesh, plan.diag, plan.off)
     agg = _make_agglomerator(mesh, plan.splits) if plan.agglomerate else None
     spec = _grid_spec(mesh, len(dims))
     axes = _mesh_axes(mesh)
@@ -682,7 +737,7 @@ def _northstar_solvers(mesh: Mesh, opcfg, inner_rtol: float,
             halo_mv, r_loc,
             maxiter=pcg_maxiter, rtol=inner_rtol,
             axis_name=axes,
-            precond=_cycle_precond(plan, halo_mv, agg),
+            precond=_cycle_precond(plan, halo_mv, agg, halo_sweep),
         )
         return res.x
 
@@ -716,7 +771,7 @@ def _northstar_fused_run(mesh: Mesh, opcfg, rtol: float, inner_rtol: float,
     splits = _axis_splits(mesh, len(dims))
     plan = plan_sharded(opcfg, splits, nu=nu, min_size=min_size,
                         coarse_iters=coarse_iters, cycle=cycle)
-    halo_mv, halos = _make_halo_mv(mesh, plan.diag, plan.off)
+    halo_mv, halos, halo_sweep = _make_halo_mv(mesh, plan.diag, plan.off)
     agg = _make_agglomerator(mesh, plan.splits) if plan.agglomerate else None
     spec = _grid_spec(mesh, len(dims))
     axes = _mesh_axes(mesh)
@@ -747,7 +802,7 @@ def _northstar_fused_run(mesh: Mesh, opcfg, rtol: float, inner_rtol: float,
             d = krylov.cg(
                 halo_mv, rhi / rnorm,
                 maxiter=pcg_maxiter, rtol=inner_rtol, axis_name=axes,
-                precond=_cycle_precond(plan, halo_mv, agg),
+                precond=_cycle_precond(plan, halo_mv, agg, halo_sweep),
             ).x
             upd = df64.df_mul_f32((d, jnp.zeros_like(d)), rnorm)
             xhi2, xlo2 = df64.df_add((xhi, xlo), upd)

@@ -134,7 +134,7 @@ class TestDFSlabResidual:
         xhi, xlo = df64.df_from_f64(x64)
 
         diag, off = float(op.diag), float(op.off)
-        _mv, halos = mgpcg._make_halo_mv(mesh8, diag, off)
+        _mv, halos, _sweep = mgpcg._make_halo_mv(mesh8, diag, off)
         from jax import shard_map  # jax>=0.8 home (was jax.experimental)
 
         def body(bh, bl, xh, xl):
