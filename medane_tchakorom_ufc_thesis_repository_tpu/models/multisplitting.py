@@ -302,12 +302,34 @@ def _make_single_inner(op: BlockOperator, cfg: InnerConfig):
             cheb_bounds = (cfg.eig_min, cfg.eig_max)
         else:
             bounds_fn = getattr(op, "diag_eig_bounds", None)
-            if bounds_fn is None:
-                raise ValueError(
-                    f"{cfg.method} needs InnerConfig.eig_min/eig_max or "
-                    f"an operator with analytic diag_eig_bounds()"
+            if bounds_fn is not None:
+                cheb_bounds = bounds_fn()
+            else:
+                # user (AIJ) matrices carry no analytic bounds — estimate
+                # each A_ii's interval by Lanczos (the PETSc
+                # -ksp_chebyshev_esteig analog) and take the union: a
+                # wider interval only slows Chebyshev, never diverges it
+                from medane_tchakorom_ufc_thesis_repository_tpu.solvers.eigest import (  # noqa: E501
+                    lanczos_bounds,
                 )
-            cheb_bounds = bounds_fn()
+
+                args = getattr(op, "diag_mv_args", None)
+                if args is None:
+                    raise ValueError(
+                        f"{cfg.method} needs InnerConfig.eig_min/eig_max, "
+                        "analytic diag_eig_bounds(), or per-block "
+                        "diag_mv_args for Lanczos estimation"
+                    )
+                lo, hi = [], []
+                for bidx in range(op.nblocks):
+                    a_b = jax.tree_util.tree_map(lambda t: t[bidx], args)
+                    l_, h_ = lanczos_bounds(
+                        lambda v: op.single_diag_mv(a_b, v),
+                        op.block_size, dtype=op.dtype,
+                    )
+                    lo.append(l_)
+                    hi.append(h_)
+                cheb_bounds = (min(lo), max(hi))
 
     def solve_one(a, binv_b, rhs_b, x_b):
         from medane_tchakorom_ufc_thesis_repository_tpu.solvers.bjacobi import (
