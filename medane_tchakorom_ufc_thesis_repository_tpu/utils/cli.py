@@ -39,9 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="solve a user-supplied square sparse matrix "
                         "(.npz from scipy.sparse.save_npz, or "
                         "MatrixMarket .mtx) instead of the Poisson "
-                        "generators; b = A*1. Works with GMRES and the "
-                        "multisplitting algorithms on the stacked "
-                        "backend; the block split auto-routes to "
+                        "generators; b = A*1. Works with GMRES (stacked "
+                        "+ row-sharded), CA_GMRES (stacked; Lanczos-"
+                        "estimated interval), and the multisplitting "
+                        "algorithms; the block split auto-routes to "
                         "DIA/BSR/ELL (create_matrix_sparse parity)")
     p.add_argument("--m", type=int, default=None, help="grid rows (2D) / nx (3D)")
     p.add_argument("--n", type=int, default=None, help="grid cols (2D) / ny (3D)")
@@ -448,11 +449,16 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
                     "algorithms) and --backend sharded with GMRES "
                     "(row-sharded general-sparse, parallel/general.py)"
                 )
-            if cfg.alg in ("CA_GMRES", "MGPCG"):
+            if cfg.alg == "MGPCG":
                 raise SystemExit(
-                    "--matrix works with GMRES and the multisplitting "
-                    "algorithms (CA_GMRES needs analytic eigenvalue "
-                    "bounds; MGPCG is geometric-multigrid/Poisson)"
+                    "--matrix works with GMRES, CA_GMRES, and the "
+                    "multisplitting algorithms (MGPCG is "
+                    "geometric-multigrid/Poisson)"
+                )
+            if cfg.alg == "CA_GMRES" and cfg.backend != "stacked":
+                raise SystemExit(
+                    "--matrix with CA_GMRES runs on the stacked backend "
+                    "(the sharded CA path is grid-structured)"
                 )
             op, b, user_A = _load_matrix_operator(cfg.matrix, cfg.nblocks,
                                                   dtype)
@@ -484,7 +490,18 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
             poisson_strip_eig_bounds_3d,
         )
 
-        if cfg.dim == 2:
+        if cfg.matrix:
+            # user matrix: estimate the interval by Lanczos (the PETSc
+            # -ksp_chebyshev_esteig analog; SPD required — the Newton
+            # shifts need a positive real interval)
+            from medane_tchakorom_ufc_thesis_repository_tpu.solvers.eigest import (  # noqa: E501
+                lanczos_bounds,
+            )
+
+            lmin, lmax = lanczos_bounds(
+                op.global_mv, user_A.shape[0], dtype=dtype,
+            )
+        elif cfg.dim == 2:
             lmin, lmax = poisson_strip_eig_bounds_2d(cfg.m, cfg.n, 4.0, -1.0)
         else:
             lmin, lmax = poisson_strip_eig_bounds_3d(

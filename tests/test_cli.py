@@ -259,6 +259,18 @@ class TestMatrixFlag:
         assert rc == 0 and out["converged"]
         assert out["error_vs_ones"] < 1e-4
 
+    def test_ca_gmres_on_user_matrix_estimated_bounds(self, tmp_path,
+                                                      capsys):
+        # whole-system CA-GMRES with the Lanczos-estimated interval
+        path, A = self._save_blocky(tmp_path, seed=68)
+        rc = cli.main([
+            "--alg", "CA_GMRES", "--matrix", path, "--dtype", "float64",
+            "--rtol", "1e-6", "--maxiter", "2000", "--s", "8", "--json",
+        ])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["converged"]
+        assert out["rel_rnorm"] <= 1.1e-6
+
     def test_pc_type_requires_matrix(self):
         with pytest.raises(ValueError, match="pc-type"):
             cli.main(["--alg", "GMRES", "--m", "32", "--n", "32",
