@@ -686,7 +686,17 @@ _register(BSR, ["indices", "values", "indices_t", "values_t"],
 
 def _bsr_pack_np(rows, cols, vals, shape, bs: int):
     """One-sided block-ELL pack: (indices (nbr,width) int32,
-    values (nbr,width,bs,bs) f64-precision numpy)."""
+    values (nbr,width,bs,bs) f64-precision numpy).
+
+    Routes through the native OpenMP packer when available (the
+    sort-based np.unique below costs ~24 s at 42M nnz; the native
+    counting-sort ~1 s — ``native/src/assembly.cpp:bsr_pack_*``); this
+    numpy form is the always-available reference implementation."""
+    from medane_tchakorom_ufc_thesis_repository_tpu import native
+
+    packed = native.bsr_pack(rows, cols, vals, shape, bs)
+    if packed is not None:
+        return packed
     nrows, ncols = int(shape[0]), int(shape[1])
     nbr, ncb = -(-nrows // bs), -(-ncols // bs)
     br, bc = rows // bs, cols // bs

@@ -74,8 +74,47 @@ def load() -> Optional[ctypes.CDLL]:
         lib.coo_to_ell.argtypes = [i64, i64, i64, p_i64, p_i64, p_f64,
                                    p_i32, p_f64]
         lib.coo_to_ell.restype = ctypes.c_int32
+        lib.bsr_pack_plan.argtypes = [i64, i64, i64, i64, p_i64, p_i64,
+                                      p_i64, p_i64, p_i32]
+        lib.bsr_pack_plan.restype = i64
+        lib.bsr_pack_fill.argtypes = [i64, i64, i64, i64, p_i64, p_i64,
+                                      p_f64, p_i64, p_i64, p_i32,
+                                      p_i32, p_f64]
+        lib.bsr_pack_fill.restype = None
         _lib = lib
         return _lib
+
+
+def bsr_pack(rows, cols, vals, shape, bs: int):
+    """Native BSR (block-ELL) pack: ``(indices (nbr, width) int32,
+    values (nbr, width, bs, bs) f64, blocks TRANSPOSED)`` — the OpenMP
+    counterpart of ``core.operators._bsr_pack_np`` (counting-sort
+    bucketing instead of the sort-based np.unique: measured 24 s -> ~1 s
+    at 42M nnz).  Returns None when the native library is unavailable
+    (caller falls back to numpy)."""
+    lib = load()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    vals = np.ascontiguousarray(vals, np.float64)
+    nnz = rows.shape[0]
+    nrows = int(shape[0])
+    nbr = -(-nrows // bs)
+    order = np.empty(max(nnz, 1), np.int64)
+    rowptr = np.empty(nbr + 1, np.int64)
+    slot = np.empty(max(nnz, 1), np.int32)
+    width = lib.bsr_pack_plan(nnz, nrows, int(shape[1]), bs,
+                              rows, cols, order, rowptr, slot)
+    if width < 0:
+        raise ValueError(
+            f"bsr_pack: entry outside ({shape[0]}, {shape[1]})"
+        )
+    indices = np.empty((nbr, width), np.int32)
+    values = np.empty((nbr, width, bs, bs), np.float64)
+    lib.bsr_pack_fill(nnz, nrows, bs, width, rows, cols, vals,
+                      order, rowptr, slot, indices, values)
+    return indices, values
 
 
 def available() -> bool:

@@ -18,6 +18,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <vector>
 
 #if defined(_OPENMP)
 #include <omp.h>
@@ -146,6 +147,85 @@ int32_t coo_to_ell(int64_t nnz, int64_t nrows, int64_t width,
         values[r * width + slot] = vals[k];
     }
     return 0;
+}
+
+// ---------------------------------------------------------------------
+// BSR (block-ELL) pack: COO -> per-block-row slots.  The numpy
+// reference (`core.operators._bsr_pack_np`) spends its time in a
+// sort-based np.unique over 64-bit keys (~24 s at 42M nnz on this
+// host); here a counting-sort bucket by block row + per-row small
+// sorts, OpenMP over block rows (~10-20x).
+//
+// Phase 1 (bsr_pack_plan): bucket entry ids by block row (counting
+// sort into `order`), sort each row's segment by block column, assign
+// slot ids (position-aligned with `order`), return the max distinct
+// block count (the shared padded width), or -1 on bad input.
+// Phase 2 (bsr_pack_fill): scatter block-column ids and TRANSPOSED
+// values (values[r, w, c%bs, r%bs] — the sublane-contraction layout
+// measured fastest on TPU) using the phase-1 plan.  Parallel over
+// block rows — each row's slots are touched by exactly one thread.
+// ---------------------------------------------------------------------
+int64_t bsr_pack_plan(int64_t nnz, int64_t nrows, int64_t /*ncols*/,
+                      int64_t bs, const int64_t* rows,
+                      const int64_t* cols, int64_t* order,
+                      int64_t* rowptr, int32_t* slot) {
+    if (bs <= 0 || nrows <= 0) return -1;
+    const int64_t nbr = (nrows + bs - 1) / bs;
+    std::vector<int64_t> counts(nbr, 0);
+    for (int64_t e = 0; e < nnz; ++e) {
+        const int64_t br = rows[e] / bs;
+        if (br < 0 || br >= nbr) return -1;
+        counts[br]++;
+    }
+    rowptr[0] = 0;
+    for (int64_t r = 0; r < nbr; ++r) rowptr[r + 1] = rowptr[r] + counts[r];
+    std::vector<int64_t> pos(rowptr, rowptr + nbr);
+    for (int64_t e = 0; e < nnz; ++e) order[pos[rows[e] / bs]++] = e;
+
+    int64_t width = 1;
+#pragma omp parallel for schedule(dynamic, 16) reduction(max : width)
+    for (int64_t r = 0; r < nbr; ++r) {
+        const int64_t lo = rowptr[r], hi = rowptr[r + 1];
+        std::sort(order + lo, order + hi,
+                  [&](int64_t a, int64_t b) {
+                      return cols[a] / bs < cols[b] / bs;
+                  });
+        int64_t distinct = 0;
+        int64_t prev_bc = -1;
+        for (int64_t k = lo; k < hi; ++k) {
+            const int64_t bc = cols[order[k]] / bs;
+            if (bc != prev_bc) {
+                distinct++;
+                prev_bc = bc;
+            }
+            slot[k] = (int32_t)(distinct - 1);
+        }
+        if (distinct > width) width = distinct;
+    }
+    return width;
+}
+
+void bsr_pack_fill(int64_t nnz, int64_t nrows, int64_t bs, int64_t width,
+                   const int64_t* rows, const int64_t* cols,
+                   const double* vals, const int64_t* order,
+                   const int64_t* rowptr, const int32_t* slot,
+                   int32_t* indices, double* values) {
+    (void)nnz;
+    const int64_t nbr = (nrows + bs - 1) / bs;
+    std::memset(indices, 0, sizeof(int32_t) * nbr * width);
+    std::memset(values, 0, sizeof(double) * nbr * width * bs * bs);
+#pragma omp parallel for schedule(dynamic, 16)
+    for (int64_t r = 0; r < nbr; ++r) {
+        for (int64_t k = rowptr[r]; k < rowptr[r + 1]; ++k) {
+            const int64_t e = order[k];
+            const int64_t s = slot[k];
+            const int64_t bc = cols[e] / bs;
+            indices[r * width + s] = (int32_t)bc;
+            // stored transposed: [j = c%bs][i = r%bs]
+            values[((r * width + s) * bs + (cols[e] % bs)) * bs
+                   + (rows[e] % bs)] += vals[e];
+        }
+    }
 }
 
 }  // extern "C"

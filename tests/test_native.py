@@ -63,6 +63,43 @@ class TestNativeAssembly:
             with pytest.raises(ValueError):
                 native.coo_to_ell_np(rows, cols, vals, 2, 2)
 
+    def test_bsr_pack_matches_numpy(self):
+        """Native BSR pack (counting-sort bucketing, OpenMP) vs the
+        numpy np.unique reference — identical indices and values on
+        ragged shapes, duplicate entries, and rectangular packs."""
+        import unittest.mock as mock
+
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import (
+            operators as om,
+        )
+
+        if not native.available():
+            pytest.skip(f"no native lib: {native.build_error()}")
+        rng = np.random.default_rng(11)
+        cases = [(37, 53, 8, 500), (64, 64, 16, 2000), (10, 10, 4, 60),
+                 (128, 96, 32, 5000), (16, 16, 8, 0)]
+        for n_r, n_c, bs, nnz in cases:
+            r = rng.integers(0, n_r, nnz)
+            c = rng.integers(0, n_c, nnz)
+            v = rng.standard_normal(nnz)
+            if nnz:   # inject duplicates (packs must coalesce by sum)
+                r = np.concatenate([r, r[:5]])
+                c = np.concatenate([c, c[:5]])
+                v = np.concatenate([v, v[:5]])
+            got = native.bsr_pack(r, c, v, (n_r, n_c), bs)
+            with mock.patch.object(native, "bsr_pack",
+                                   lambda *a, **k: None):
+                ref_i, ref_v = om._bsr_pack_np(r, c, v, (n_r, n_c), bs)
+            np.testing.assert_array_equal(got[0], ref_i)
+            np.testing.assert_allclose(got[1], ref_v, rtol=0, atol=1e-12)
+
+    def test_bsr_pack_rejects_out_of_range(self):
+        if not native.available():
+            pytest.skip(f"no native lib: {native.build_error()}")
+        with pytest.raises(ValueError, match="outside"):
+            native.bsr_pack(np.array([99]), np.array([0]),
+                            np.array([1.0]), (8, 8), 4)
+
     def test_large_grid_assembly(self):
         # production-scale smoke: 2048 x 2048 = 4.2M rows in one pass
         idx, val = native.poisson2d_ell_np(2048, 2048)
