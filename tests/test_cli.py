@@ -55,6 +55,23 @@ class TestConfig:
     def test_all_algorithms_enumerated(self):
         assert len(ALGORITHMS) == 11  # 9 reference algs + CA_GMRES + MGPCG
 
+    def test_pc_fields_layer_through_config_file(self, tmp_path):
+        # round-3 fields flow through the JSON config layer like any other
+        p = tmp_path / "cfg.json"
+        p.write_text(json.dumps({
+            "alg": "GMRES", "matrix": "dummy.npz",
+            "pc_type": "bjacobi", "pc_block_size": 32,
+            "inner_pc": "bjacobi", "inner_pc_block_size": 16,
+        }))
+        cfg = load_config(str(p), pc_block_size=8)   # CLI wins
+        assert cfg.pc_type == "bjacobi" and cfg.pc_block_size == 8
+        assert cfg.inner_pc == "bjacobi" and cfg.inner_pc_block_size == 16
+        assert cfg.inner_config().pc_block_size == 16
+
+    def test_pc_type_validated(self):
+        with pytest.raises(ValueError, match="pc_type"):
+            default_config(alg="GMRES", matrix="x.npz", pc_type="ilu")
+
 
 class TestCLI:
     def _run(self, *args):
