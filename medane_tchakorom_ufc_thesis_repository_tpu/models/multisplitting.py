@@ -211,7 +211,8 @@ def _make_inner(op: BlockOperator, cfg):
     uniform, per_block = _per_block(cfg, op.nblocks, "InnerConfig")
     if per_block is not None:
         solves = [_make_single_inner(op, c) for c in per_block]
-        binvs = [_bjacobi_inner_inv(op, c) for c in per_block]
+        binvs = [_bjacobi_inner_inv(op, c, only_block=bidx)
+                 for bidx, c in enumerate(per_block)]
         args = getattr(op, "diag_mv_args", None)
 
         def run(rhs, x):
@@ -219,8 +220,8 @@ def _make_inner(op: BlockOperator, cfg):
             for bidx, solve_one in enumerate(solves):
                 a = (None if args is None
                      else jax.tree_util.tree_map(lambda t: t[bidx], args))
-                bi = None if binvs[bidx] is None else binvs[bidx][bidx]
-                results.append(solve_one(a, bi, rhs[bidx], x[bidx]))
+                results.append(solve_one(a, binvs[bidx], rhs[bidx],
+                                         x[bidx]))
             return jax.tree_util.tree_map(
                 lambda *leaves: jnp.stack(leaves), *results
             )
@@ -235,11 +236,16 @@ def _make_inner(op: BlockOperator, cfg):
     return lambda rhs, x: vsolve(args, binv, rhs, x)
 
 
-def _bjacobi_inner_inv(op: BlockOperator, cfg: InnerConfig):
+def _bjacobi_inner_inv(op: BlockOperator, cfg: InnerConfig,
+                       only_block: Optional[int] = None):
     """``(nblocks, nbb, p, p)`` batched inverses of every A_ii's diagonal
     sub-blocks for ``pc='bjacobi'`` (None for other PCs).  Host-side
     one-time setup via the operator's ``diag_coo_np`` hook + the shared
-    f64/pinv factorization in ``solvers.bjacobi``."""
+    f64/pinv factorization in ``solvers.bjacobi``.
+
+    ``only_block``: factor just that block's ``(nbb, p, p)`` stack (the
+    per-block ``inner1_``/``inner2_`` path — factoring all blocks per
+    config would cost O(nblocks²) setup)."""
     if cfg.pc != "bjacobi":
         return None
     coo_fn = getattr(op, "diag_coo_np", None)
@@ -253,11 +259,17 @@ def _bjacobi_inner_inv(op: BlockOperator, cfg: InnerConfig):
         block_jacobi_from_coo,
     )
 
+    coos = coo_fn()
+    if only_block is not None:
+        r, c, v = coos[only_block]
+        return block_jacobi_from_coo(r, c, v, op.block_size,
+                                     bs=cfg.pc_block_size,
+                                     dtype=op.dtype).inv_blocks
     invs = [
         block_jacobi_from_coo(r, c, v, op.block_size,
                               bs=cfg.pc_block_size,
                               dtype=op.dtype).inv_blocks
-        for (r, c, v) in coo_fn()
+        for (r, c, v) in coos
     ]
     return jnp.stack(invs)
 
@@ -308,9 +320,14 @@ def _make_single_inner(op: BlockOperator, cfg: InnerConfig):
                 # user (AIJ) matrices carry no analytic bounds — estimate
                 # each A_ii's interval by Lanczos (the PETSc
                 # -ksp_chebyshev_esteig analog) and take the union: a
-                # wider interval only slows Chebyshev, never diverges it
+                # wider interval only slows Chebyshev, never diverges it.
+                # ONE jitted program vmapped over blocks (per-block jit
+                # closures would recompile nblocks times — CLAUDE.md's
+                # cached-jit rule; a compile costs 15-300 s on a
+                # degraded tunnel)
                 from medane_tchakorom_ufc_thesis_repository_tpu.solvers.eigest import (  # noqa: E501
-                    lanczos_bounds,
+                    bounds_from_coeffs,
+                    lanczos_coeffs,
                 )
 
                 args = getattr(op, "diag_mv_args", None)
@@ -320,16 +337,28 @@ def _make_single_inner(op: BlockOperator, cfg: InnerConfig):
                         "analytic diag_eig_bounds(), or per-block "
                         "diag_mv_args for Lanczos estimation"
                     )
-                lo, hi = [], []
-                for bidx in range(op.nblocks):
-                    a_b = jax.tree_util.tree_map(lambda t: t[bidx], args)
-                    l_, h_ = lanczos_bounds(
-                        lambda v: op.single_diag_mv(a_b, v),
-                        op.block_size, dtype=op.dtype,
+                import numpy as _np
+
+                bs_ = op.block_size
+                m_ = max(1, min(30, bs_))
+                rng = _np.random.default_rng(7)
+                v0 = rng.standard_normal(bs_)
+                v0s = jnp.asarray(
+                    _np.tile(v0 / _np.linalg.norm(v0), (op.nblocks, 1)),
+                    op.dtype,
+                )
+                coeffs = jax.jit(jax.vmap(
+                    lambda a, v: lanczos_coeffs(
+                        lambda u: op.single_diag_mv(a, u), v, m_,
                     )
-                    lo.append(l_)
-                    hi.append(h_)
-                cheb_bounds = (min(lo), max(hi))
+                ))(args, v0s)
+                eps_ = float(jnp.finfo(op.dtype).eps)
+                per = [
+                    bounds_from_coeffs(coeffs[0][b], coeffs[1][b], eps=eps_)
+                    for b in range(op.nblocks)
+                ]
+                cheb_bounds = (min(p[0] for p in per),
+                               max(p[1] for p in per))
 
     def solve_one(a, binv_b, rhs_b, x_b):
         from medane_tchakorom_ufc_thesis_repository_tpu.solvers.bjacobi import (

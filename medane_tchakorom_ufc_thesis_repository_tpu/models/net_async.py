@@ -221,6 +221,10 @@ def net_async_block_solve(
             "minimization runs under termination='protocol' (the legacy "
             "traversal guard predates the reference's AMAM drivers)"
         )
+    if minimization is not None and s < 1:
+        # s <= 0 would make the cycle boundary unreachable: S_buf grows
+        # one full snapshot per sweep and minimization never fires
+        raise ValueError(f"minimization needs s >= 1, got {s}")
     import jax
     import jax.numpy as jnp
 

@@ -165,17 +165,20 @@ int32_t coo_to_ell(int64_t nnz, int64_t nrows, int64_t width,
 // measured fastest on TPU) using the phase-1 plan.  Parallel over
 // block rows — each row's slots are touched by exactly one thread.
 // ---------------------------------------------------------------------
-int64_t bsr_pack_plan(int64_t nnz, int64_t nrows, int64_t /*ncols*/,
+int64_t bsr_pack_plan(int64_t nnz, int64_t nrows, int64_t ncols,
                       int64_t bs, const int64_t* rows,
                       const int64_t* cols, int64_t* order,
                       int64_t* rowptr, int32_t* slot) {
-    if (bs <= 0 || nrows <= 0) return -1;
+    if (bs <= 0 || nrows <= 0 || ncols <= 0) return -1;
     const int64_t nbr = (nrows + bs - 1) / bs;
     std::vector<int64_t> counts(nbr, 0);
     for (int64_t e = 0; e < nnz; ++e) {
-        const int64_t br = rows[e] / bs;
-        if (br < 0 || br >= nbr) return -1;
-        counts[br]++;
+        // full bounds check on BOTH dimensions: a negative column
+        // would make `cols[e] % bs` negative in the fill phase — an
+        // out-of-bounds heap write
+        if (rows[e] < 0 || rows[e] >= nrows
+            || cols[e] < 0 || cols[e] >= ncols) return -1;
+        counts[rows[e] / bs]++;
     }
     rowptr[0] = 0;
     for (int64_t r = 0; r < nbr; ++r) rowptr[r + 1] = rowptr[r] + counts[r];

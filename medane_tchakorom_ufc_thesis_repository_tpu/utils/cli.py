@@ -279,7 +279,7 @@ def run_net_async(args) -> dict:
         termination=args.termination or "protocol",
         transport=args.transport or "auto",
         minimization=minim_map[alg],
-        s=args.s or 4,
+        s=4 if args.s is None else args.s,
     )
     import jax.numpy as jnp
 

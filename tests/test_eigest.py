@@ -51,6 +51,28 @@ class TestLanczosBounds:
         with pytest.raises(ValueError, match="SPD"):
             lanczos_bounds(lambda v: d * v, 64, dtype=jnp.float64)
 
+    @pytest.mark.parametrize("dtype", [jnp.float64, jnp.float32])
+    def test_identity_breakdown_handled(self, dtype):
+        # Krylov grade 1: beta_0 ~ 0 after the first step — the host
+        # truncation must keep only the valid leading block instead of
+        # normalizing roundoff noise into spurious Ritz values
+        # (pre-fix: identity was rejected as "not SPD")
+        lmin, lmax = lanczos_bounds(lambda v: v, 64, dtype=dtype)
+        assert 0.85 <= lmin <= 1.0 and 1.0 <= lmax <= 1.15
+
+    def test_scalar_problem(self):
+        # n=1: grade-1 recurrence, exact eigenvalue 3
+        lmin, lmax = lanczos_bounds(lambda v: 3.0 * v, 1,
+                                    dtype=jnp.float64)
+        assert 2.5 <= lmin <= 3.0 <= lmax <= 3.5
+
+    def test_low_grade_spectrum(self):
+        # two distinct eigenvalues -> grade 2 regardless of n
+        d = jnp.asarray(np.where(np.arange(100) < 50, 2.0, 7.0))
+        lmin, lmax = lanczos_bounds(lambda v: d * v, 100,
+                                    dtype=jnp.float64)
+        assert lmin <= 2.0 and lmax >= 7.0 and lmin > 1.0 and lmax < 9.0
+
 
 class TestChebyshevOnUserMatrix:
     def _spd_blockable(self, nb=16, bs=16, seed=51):

@@ -99,6 +99,17 @@ class TestNativeAssembly:
         with pytest.raises(ValueError, match="outside"):
             native.bsr_pack(np.array([99]), np.array([0]),
                             np.array([1.0]), (8, 8), 4)
+        # negative columns would heap-write before the values buffer in
+        # the fill phase ('% bs' is sign-preserving in C++) — must raise
+        with pytest.raises(ValueError, match="outside"):
+            native.bsr_pack(np.array([0]), np.array([-1]),
+                            np.array([1.0]), (8, 8), 4)
+        with pytest.raises(ValueError, match="outside"):
+            native.bsr_pack(np.array([0]), np.array([100]),
+                            np.array([1.0]), (8, 8), 4)
+        with pytest.raises(ValueError, match="outside"):
+            native.bsr_pack(np.array([-1]), np.array([0]),
+                            np.array([1.0]), (8, 8), 4)
 
     def test_large_grid_assembly(self):
         # production-scale smoke: 2048 x 2048 = 4.2M rows in one pass
