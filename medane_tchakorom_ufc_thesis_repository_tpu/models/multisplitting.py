@@ -80,8 +80,10 @@ class InnerConfig:
     ``inner1_``/``inner2_``-prefixed KSP (gmres, maxit 20, rtol 1e-3,
     pc none; ``config/default_run_variables:36-44``).
 
-    ``method``: 'gmres' | 'cg' (the iSolve ``--inner-ksp`` choice; A_ii is
-    SPD for Poisson so CG is admissible).
+    ``method``: 'gmres' | 'cg' | 'bicgstab' | 'chebyshev' | 'ca_gmres'
+    (the iSolve ``--inner-ksp`` choice; A_ii is SPD for Poisson so CG is
+    admissible; bicgstab is the nonsymmetric short-recurrence KSPBCGS
+    analog).
     ``pc``: 'none' | 'jacobi' | 'bjacobi' | 'mg' — the TPU-appropriate
     subset of PETSc's ``-inner_pc_type`` (sequential PCs like ILU/SOR
     don't map to SPMD hardware).  'jacobi' = left diagonal scaling;
@@ -280,7 +282,8 @@ def _make_single_inner(op: BlockOperator, cfg: InnerConfig):
     path, called directly per block for ``inner1_``/``inner2_``-style
     configs).  ``binv_b`` carries this block's bjacobi sub-block
     inverses (None unless ``pc='bjacobi'``)."""
-    if cfg.method not in ("gmres", "cg", "chebyshev", "ca_gmres"):
+    if cfg.method not in ("gmres", "cg", "bicgstab", "chebyshev",
+                          "ca_gmres"):
         raise ValueError(f"unknown inner method {cfg.method!r}")
     if cfg.pc not in ("none", "jacobi", "bjacobi", "mg"):
         raise ValueError(f"unknown inner pc {cfg.pc!r}")
@@ -403,6 +406,15 @@ def _make_single_inner(op: BlockOperator, cfg: InnerConfig):
             )
         if cfg.method == "cg":
             return krylov.cg(
+                mv, rhs_b, x_b,
+                maxiter=cfg.maxiter, rtol=cfg.rtol, atol=cfg.atol,
+                precond=mg_M if mg_M is not None else bj_M,
+            )
+        if cfg.method == "bicgstab":
+            # nonsymmetric short-recurrence inner (PETSc KSPBCGS analog);
+            # bjacobi/mg enter as RIGHT preconditioners (true-residual
+            # test), jacobi is already folded into mv/rhs above
+            return krylov.bicgstab(
                 mv, rhs_b, x_b,
                 maxiter=cfg.maxiter, rtol=cfg.rtol, atol=cfg.atol,
                 precond=mg_M if mg_M is not None else bj_M,

@@ -196,6 +196,15 @@ def _solve_program(mesh: Mesh, op: ShardedGeneralBSR, method: str,
             res = krylov.cg(mv, b_loc, maxiter=maxiter, rtol=rtol,
                             axis_name=axes, precond=M)
             x = res.x
+        elif method == "bicgstab":
+            # nonsymmetric short-recurrence (PETSc KSPBCGS analog):
+            # O(1) memory vs GMRES's restart basis; the PC enters as a
+            # RIGHT preconditioner (true-residual test, device-local)
+            M = ((lambda r: _local_pc_apply(pc_loc[0], r))
+                 if with_pc else None)
+            res = krylov.bicgstab(mv, b_loc, maxiter=maxiter, rtol=rtol,
+                                  axis_name=axes, precond=M)
+            x = res.x
         else:
             # RIGHT preconditioning: solve (A M) y = b, x = M y — the
             # Givens estimate then tracks the TRUE residual ||b - A x||
@@ -230,8 +239,10 @@ def sharded_general_solve(mesh: Mesh, op: ShardedGeneralBSR,
     ``pc``: optional row-sharded block-Jacobi (device-local batched
     block-inverse applies; RIGHT PC for GMRES so convergence tests the
     true residual, true-residual ``precond`` for CG)."""
-    if method not in ("gmres", "cg"):
-        raise ValueError(f"method must be 'gmres' or 'cg', got {method!r}")
+    if method not in ("gmres", "cg", "bicgstab"):
+        raise ValueError(
+            f"method must be 'gmres' | 'cg' | 'bicgstab', got {method!r}"
+        )
     run = _solve_program(mesh, op, method, int(restart), int(maxiter),
                          float(rtol), pc is not None)
     if pc is not None:

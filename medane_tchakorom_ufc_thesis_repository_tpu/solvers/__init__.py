@@ -1,5 +1,6 @@
 from medane_tchakorom_ufc_thesis_repository_tpu.solvers.krylov import (  # noqa: F401
     KrylovResult,
+    bicgstab,
     cg,
     gmres,
 )

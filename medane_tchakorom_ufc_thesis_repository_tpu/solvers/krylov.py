@@ -373,3 +373,106 @@ def cg(
         x=x, iters=iters, resnorm=rnorm, resnorm0=rnorm0_,
         converged=rnorm <= tol,
     )
+
+
+# ---------------------------------------------------------------------------
+# BiCGStab
+# ---------------------------------------------------------------------------
+
+def bicgstab(
+    matvec: Callable,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    maxiter: int = 10000,
+    rtol: float = 1e-5,
+    atol: float = 0.0,
+    rnorm0: Optional[jax.Array] = None,
+    axis_name=None,
+    precond: Optional[Callable] = None,
+    divtol: float = 1e5,
+) -> KrylovResult:
+    """BiCGStab for general (nonsymmetric) systems — the PETSc KSPBCGS
+    analog (the reference exposes it through ``KSPSetFromOptions``,
+    ``src/utils/utils.c:511-530``; ``-inner_ksp_type bcgs``).
+
+    Short recurrences: O(1) memory vs GMRES's restart-length basis, two
+    matvecs + a handful of dots per iteration, all inside one
+    ``lax.while_loop`` (TPU-lockstep-safe via ``axis_name`` psums like
+    ``cg``/``gmres``).  ``iters`` counts MATVECS (two per BiCGStab step)
+    so budgets compare 1:1 with GMRES iteration counts.
+
+    ``precond``: optional RIGHT preconditioner apply ``M(v) ~= A^{-1} v``
+    — the recurrence runs on ``A M`` with ``x`` accumulated in the
+    preconditioned variable and mapped back at exit, so the convergence
+    test sees the TRUE residual (same choice as the CLI's right-PC
+    GMRES; a left PC would test the M-norm).
+
+    Breakdown (``rho ~ 0`` or ``omega ~ 0``, the method's known failure
+    mode on some nonsymmetric spectra) freezes the iterate and exits
+    via the stagnation of the residual — reported honestly as NOT
+    converged rather than NaN-ing.
+    """
+    dtype = b.dtype
+    psum = make_reducer(axis_name)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    M = precond if precond is not None else (lambda v: v)
+    amv = (lambda v: matvec(M(v))) if precond is not None else matvec
+
+    # right-PC: iterate y with x = M y; r0 = b - A x0 either way
+    r = b - matvec(x0)
+    beta0 = jnp.sqrt(psum(jnp.vdot(r, r)))
+    rnorm0_ = beta0 if rnorm0 is None else jnp.asarray(rnorm0, dtype)
+    tol = _tol(jnp.asarray(rtol, dtype), jnp.asarray(atol, dtype), rnorm0_)
+    rhat = r     # fixed shadow vector r~0 = r0 (the standard choice)
+
+    def body(carry):
+        y, r, p, v, rho, alpha, omega, rs, iters, broke = carry
+        rho_new = psum(jnp.vdot(rhat, r))
+        ok_rho = jnp.abs(rho_new) > 0
+        beta = jnp.where(
+            ok_rho & (jnp.abs(rho) > 0) & (jnp.abs(omega) > 0),
+            (rho_new / jnp.where(jnp.abs(rho) > 0, rho, 1.0))
+            * (alpha / jnp.where(jnp.abs(omega) > 0, omega, 1.0)),
+            0.0,
+        )
+        p = r + beta * (p - omega * v)
+        v = amv(p)
+        rhv = psum(jnp.vdot(rhat, v))
+        ok_a = jnp.abs(rhv) > 0
+        alpha = jnp.where(ok_a, rho_new / jnp.where(ok_a, rhv, 1.0), 0.0)
+        s = r - alpha * v
+        t = amv(s)
+        # one fused reduction for the three stabilization dots
+        ts, tt, ss = psum(jnp.stack([
+            jnp.vdot(t, s), jnp.vdot(t, t), jnp.vdot(s, s)]))
+        ok_w = tt > 0
+        omega = jnp.where(ok_w, ts / jnp.where(ok_w, tt, 1.0), 0.0)
+        y = y + alpha * p + omega * s
+        r = s - omega * t
+        rs_new = jnp.where(ok_w, ss - omega * ts, ss)  # ||r||^2 algebraic
+        rs_new = jnp.maximum(rs_new, 0.0)
+        broke = broke | ~ok_rho | ~ok_a | ~ok_w
+        return (y, r, p, v, rho_new, alpha, omega,
+                jnp.where(broke, rs, rs_new), iters + 2, broke)
+
+    def cond(carry):
+        _, _, _, _, _, _, _, rs, iters, broke = carry
+        keep = jnp.logical_and(jnp.sqrt(rs) > tol, iters < maxiter)
+        keep = jnp.logical_and(keep, ~broke)
+        if divtol > 0.0:
+            keep = jnp.logical_and(keep, jnp.sqrt(rs) <= divtol * rnorm0_)
+        return keep
+
+    one = jnp.ones((), dtype)
+    init = (jnp.zeros_like(b), r, jnp.zeros_like(b), jnp.zeros_like(b),
+            one, one, one, psum(jnp.vdot(r, r)),
+            jnp.zeros((), jnp.int32), jnp.asarray(False))
+    y, r, *_, rs, iters, _ = lax.while_loop(cond, body, init)
+    x = x0 + M(y) if precond is not None else x0 + y
+    rnorm = jnp.sqrt(rs)
+    return KrylovResult(
+        x=x, iters=iters, resnorm=rnorm, resnorm0=rnorm0_,
+        converged=rnorm <= tol,
+    )

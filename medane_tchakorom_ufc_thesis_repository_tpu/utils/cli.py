@@ -89,7 +89,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inner-maxiter", type=int, default=None, dest="inner_maxiter")
     p.add_argument("--inner-rtol", type=float, default=None, dest="inner_rtol")
     p.add_argument("--inner-ksp", default=None, dest="inner_ksp",
-                   choices=["gmres", "cg", "chebyshev", "ca_gmres"])
+                   choices=["gmres", "cg", "bicgstab", "chebyshev",
+                            "ca_gmres"])
     p.add_argument("--inner-pc-type", default=None, dest="inner_pc",
                    choices=["none", "jacobi", "bjacobi", "mg"])
     p.add_argument("--inner-pc-block-size", type=int, default=None,
@@ -110,7 +111,8 @@ def build_parser() -> argparse.ArgumentParser:
     for blk in (1, 2):
         p.add_argument(f"--inner{blk}-ksp", default=None,
                        dest=f"inner{blk}_ksp",
-                       choices=["gmres", "cg", "chebyshev", "ca_gmres"])
+                       choices=["gmres", "cg", "bicgstab", "chebyshev",
+                                "ca_gmres"])
         p.add_argument(f"--inner{blk}-restart", type=int, default=None,
                        dest=f"inner{blk}_restart")
         p.add_argument(f"--inner{blk}-maxiter", type=int, default=None,

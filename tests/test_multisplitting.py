@@ -340,7 +340,15 @@ class TestInnerOptions:
     def test_unknown_method_rejected(self):
         op, b = _problem2d(16, 16)
         with pytest.raises(ValueError):
-            ms.sm(op, b, inner=ms.InnerConfig(method="bicgstab"))
+            ms.sm(op, b, inner=ms.InnerConfig(method="sor"))
+
+    def test_bicgstab_inner_converges(self):
+        # the round-3 KSPBCGS analog as an inner method
+        op, b = _problem2d(16, 16)
+        res = ms.sm(op, b, rtol=1e-3, maxiter=2000,
+                    inner=ms.InnerConfig(method="bicgstab", maxiter=20))
+        assert bool(res.converged)
+        assert _true_rel(op, b, res.x) <= 1e-3
 
     def test_mg_pc_cg_converges_fewer_sweeps_of_inner_work(self):
         """pc='mg' + method='cg': each inner solve hits its tolerance in
@@ -552,11 +560,15 @@ class TestChebyshevInner:
                                          eig_min=0.05, eig_max=8.0))
         assert bool(res.converged)
 
-    def test_ell_without_bounds_rejected(self):
+    def test_ell_without_analytic_bounds_estimates(self):
+        # round 3: operators without analytic diag_eig_bounds no longer
+        # reject chebyshev — the interval is Lanczos-estimated
+        # (solvers/eigest.py, the -ksp_chebyshev_esteig analog)
         eop = blockops.block_poisson2d_ell(16, 16, dtype=jnp.float64)
         b = blockops.rhs_ones(eop, jnp.float64)
-        with pytest.raises(ValueError):
-            ms.sm(eop, b, inner=ms.InnerConfig(method="chebyshev"))
+        res = ms.sm(eop, b, rtol=1e-3, maxiter=2000,
+                    inner=ms.InnerConfig(method="chebyshev", maxiter=20))
+        assert bool(res.converged)
 
     def test_smsm_chebyshev(self):
         op, b = _problem2d()
@@ -638,9 +650,13 @@ class TestCaGmresInner:
         a_ii, a_ic = pp.block_split_ell(rows, cols, vals, shape,
                                         nblocks=2, dtype=jnp.float64)
         eop = blockops.StackedELLOperator(a_ii=a_ii, a_ic=a_ic)
-        with pytest.raises(ValueError, match="eig"):
-            ms.sm(eop, blockops.rhs_ones(eop, jnp.float64),
-                  inner=ms.InnerConfig(method="ca_gmres"))
+        # round 3: no analytic bounds -> Lanczos estimation kicks in and
+        # the ca_gmres inner solve runs (s<=8 applicability)
+        res = ms.sm(eop, blockops.rhs_ones(eop, jnp.float64),
+                    rtol=1e-3, maxiter=2000,
+                    inner=ms.InnerConfig(method="ca_gmres", restart=4,
+                                         maxiter=20))
+        assert bool(res.converged)
 
 
 class TestAsyncCertification:
