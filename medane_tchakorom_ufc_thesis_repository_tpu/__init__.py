@@ -43,3 +43,4 @@ from medane_tchakorom_ufc_thesis_repository_tpu.models import (  # noqa: F401
     sm,
     smsm,
 )
+from medane_tchakorom_ufc_thesis_repository_tpu.api import solve  # noqa: F401

@@ -1,0 +1,142 @@
+"""One-call solve API for users arriving from scipy / the reference.
+
+The reference's workflow is assemble-AIJ → configure-KSP → KSPSolve
+(``create_matrix_sparse`` + ``initializeKSP`` + the drivers,
+``src/utils/utils.c:139-155, 511-541``).  ``solve`` collapses that to a
+single call on a ``scipy.sparse`` matrix: the pattern is auto-routed to
+the TPU-efficient operator (banded → DIA, blockable → BSR, else
+gather-ELL with a warning), the requested KSP runs as one jitted
+program, and preconditioning/spectral bounds are set up automatically
+(block-Jacobi batched inverses; Lanczos interval estimation).
+
+    >>> from medane_tchakorom_ufc_thesis_repository_tpu import solve
+    >>> x, info = solve(A, b, rtol=1e-8, pc="bjacobi")
+    >>> info["converged"], info["iters"], info["rel_residual"]
+
+For multisplitting / multi-chip / multi-process execution use the CLI
+(``python -m ...utils.cli``) or the ``models``/``parallel`` APIs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["solve"]
+
+
+def solve(A, b, *, method: str = "gmres", rtol: float = 1e-8,
+          atol: float = 0.0, maxiter: int = 10000, restart: int = 30,
+          pc: str = "none", pc_block_size: int = 64,
+          x0=None, dtype=None, s: int = 8) -> Tuple[np.ndarray, dict]:
+    """Solve ``A x = b`` for a square ``scipy.sparse`` (or dense numpy)
+    matrix on the TPU-routed operator.
+
+    ``method``: 'gmres' | 'cg' (SPD) | 'bicgstab' | 'ca_gmres' (SPD,
+    ``s``-step Newton basis with a Lanczos-estimated interval).
+    ``pc``: 'none' | 'jacobi' | 'bjacobi' — RIGHT-preconditioned (the
+    convergence test always sees the TRUE residual); 'bjacobi' factors
+    ``pc_block_size``-sized diagonal blocks as batched dense inverses.
+
+    Returns ``(x, info)`` with ``x`` as float64 numpy and ``info``
+    carrying ``converged`` / ``iters`` / ``rel_residual`` (measured on
+    the host against the INPUT matrix) / ``operator`` (the routed
+    representation).
+    """
+    import scipy.sparse as sp
+
+    import jax.numpy as jnp
+
+    from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+        from_scipy,
+    )
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers import krylov
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers.bjacobi import (
+        block_jacobi_from_scipy,
+    )
+
+    if method not in ("gmres", "cg", "bicgstab", "ca_gmres"):
+        raise ValueError(
+            f"method must be gmres | cg | bicgstab | ca_gmres, "
+            f"got {method!r}"
+        )
+    if pc not in ("none", "jacobi", "bjacobi"):
+        raise ValueError(
+            f"pc must be none | jacobi | bjacobi, got {pc!r}"
+        )
+    A = sp.csr_matrix(A)
+    if A.shape[0] != A.shape[1]:
+        raise ValueError(f"solve needs a square matrix, got {A.shape}")
+    n = A.shape[0]
+    b_host = np.asarray(b, np.float64).reshape(-1)
+    if b_host.shape[0] != n:
+        raise ValueError(f"b has length {b_host.shape[0]}, matrix is {n}")
+
+    dt = jnp.float32 if dtype is None else dtype
+    op = from_scipy(A, dtype=dt)
+    bj = jnp.asarray(b_host, dt)
+    xj0 = None if x0 is None else jnp.asarray(np.asarray(x0), dt)
+
+    M = None
+    if pc == "jacobi":
+        d = np.asarray(A.diagonal(), np.float64)
+        d[d == 0] = 1.0
+        dinv = jnp.asarray(1.0 / d, dt)
+        M = lambda v: dinv * v
+    elif pc == "bjacobi":
+        M = block_jacobi_from_scipy(A, bs=pc_block_size, dtype=dt).apply
+
+    if method == "cg":
+        res = krylov.cg(op.mv, bj, xj0, maxiter=maxiter, rtol=rtol,
+                        atol=atol, precond=M)
+        x = res.x
+    elif method == "bicgstab":
+        res = krylov.bicgstab(op.mv, bj, xj0, maxiter=maxiter, rtol=rtol,
+                              atol=atol, precond=M)
+        x = res.x
+    elif method == "ca_gmres":
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.castep import (
+            ca_gmres,
+        )
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.eigest import (
+            lanczos_bounds,
+        )
+
+        if M is not None:
+            raise ValueError(
+                "ca_gmres does not compose with pc (its Newton shifts "
+                "are derived for the unpreconditioned spectrum)"
+            )
+        lmin, lmax = lanczos_bounds(op.mv, n, dtype=dt)
+        res = ca_gmres(op.mv, bj, xj0, s=s, maxiter=maxiter, rtol=rtol,
+                       atol=atol, lmin=lmin, lmax=lmax)
+        x = res.x
+    else:
+        # RIGHT-preconditioned GMRES: solve (A M) y = b, x = M y — the
+        # Givens estimate tracks the true residual (a stiff left PC can
+        # leave it orders of magnitude above rtol)
+        if M is None:
+            res = krylov.gmres(op.mv, bj, xj0, restart=restart,
+                               maxiter=maxiter, rtol=rtol, atol=atol)
+            x = res.x
+        else:
+            res = krylov.gmres(lambda v: op.mv(M(v)), bj,
+                               restart=restart, maxiter=maxiter,
+                               rtol=rtol, atol=atol)
+            x = M(res.x)
+
+    x_host = np.asarray(x, np.float64)
+    r = b_host - A @ x_host
+    bn = np.linalg.norm(b_host)
+    info = dict(
+        converged=bool(res.converged),
+        iters=int(res.iters),
+        rel_residual=float(np.linalg.norm(r) / bn) if bn > 0 else 0.0,
+        resnorm=float(res.resnorm),
+        resnorm0=float(res.resnorm0),
+        operator=type(op).__name__,
+        method=method,
+        pc=pc,
+    )
+    return x_host, info
