@@ -4,8 +4,9 @@ The reference's workflow is assemble-AIJ → configure-KSP → KSPSolve
 (``create_matrix_sparse`` + ``initializeKSP`` + the drivers,
 ``src/utils/utils.c:139-155, 511-541``).  ``solve`` collapses that to a
 single call on a ``scipy.sparse`` matrix: the pattern is auto-routed to
-the TPU-efficient operator (banded → DIA, blockable → BSR, else
-gather-ELL with a warning), the requested KSP runs as one jitted
+the TPU-efficient operator (banded → DIA, blockable → BSR, small
+unstructured → dense MXU matvec, else gather-ELL with a warning), the
+requested KSP runs as one jitted
 program, and preconditioning/spectral bounds are set up automatically
 (block-Jacobi batched inverses; Lanczos interval estimation).
 

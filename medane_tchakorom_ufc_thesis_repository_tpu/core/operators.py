@@ -744,11 +744,15 @@ def _coo_symmetric(rows, cols, vals) -> bool:
 def operator_from_coo(rows, cols, vals, shape, dtype=jnp.float32,
                       max_diags: int = 64, max_bsr_cost: float = 16.0,
                       bsr_block_sizes: Tuple[int, ...] = (8, 16, 32, 64,
-                                                          128)):
+                                                          128),
+                      max_dense_n: int = 4096):
     """The ``create_matrix_sparse`` entry point (reference
     ``src/utils/utils.c:139-155``): accept ANY sparsity pattern as COO
     and return the TPU-efficient operator directly — banded → ``DIA``,
-    blockable → ``BSR``, rectangular or residual → ``ELL`` (with the
+    blockable → ``BSR``, small unstructured → ``DenseOp`` (the MXU
+    eats an n ≤ ``max_dense_n`` dense matvec for breakfast: measured
+    0.092 ms dense vs 1.15 ms gather-ELL at n=4096, 13×; essentially
+    free at n=1024), rectangular or large residual → ``ELL`` (with the
     gather-path warning from ``as_tpu_operator``'s policy)."""
     from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
 
@@ -767,15 +771,25 @@ def operator_from_coo(rows, cols, vals, shape, dtype=jnp.float32,
         if best is not None:
             return BSR.from_coo(rows, cols, vals, shape, bs=best[0],
                                 dtype=dtype)
+        if shape[0] <= max_dense_n:
+            return _dense_from_coo(rows, cols, vals, shape, dtype)
         import warnings
 
         warnings.warn(
-            "operator_from_coo: matrix is neither banded nor blockable; "
+            "operator_from_coo: matrix is neither banded nor blockable "
+            f"and too large for the dense route (n > {max_dense_n}); "
             "returning gather-ELL (~139x off TPU slice speed — "
             "BENCHMARKS.md format table)",
             UserWarning, stacklevel=2,
         )
     return poisson.coo_to_ell(rows, cols, vals, shape, dtype=dtype)
+
+
+def _dense_from_coo(rows, cols, vals, shape, dtype):
+    """Host-side COO -> DenseOp (duplicates coalesced by sum)."""
+    dense = np.zeros(shape, np.float64)
+    np.add.at(dense, (rows, cols), vals)
+    return DenseOp(a=jnp.asarray(dense, dtype))
 
 
 def from_scipy(A, dtype=jnp.float32, **route_kw):
@@ -805,7 +819,8 @@ _BSR_BS_PENALTY = {8: 8.0, 16: 1.3, 32: 1.5, 64: 3.0, 128: 1.0, 256: 2.5}
 
 
 def as_tpu_operator(op, max_diags: int = 64, max_bsr_cost: float = 16.0,
-                    bsr_block_sizes: Tuple[int, ...] = (8, 16, 32, 64, 128)):
+                    bsr_block_sizes: Tuple[int, ...] = (8, 16, 32, 64, 128),
+                    max_dense_n: int = 4096):
     """Pick the TPU-efficient representation for ``op``.
 
     ELL matvecs are elementwise-gather-bound (two orders of magnitude off
@@ -817,7 +832,11 @@ def as_tpu_operator(op, max_diags: int = 64, max_bsr_cost: float = 16.0,
        ``fill(bs) * _BSR_BS_PENALTY[bs]`` (estimated per-nonzero cost
        relative to the slice paths), accept if that cost is at most
        ``max_bsr_cost``;
-    3. otherwise stays gather-ELL with a ``UserWarning`` — that path is
+    3. small unstructured (n ≤ ``max_dense_n``) → ``DenseOp``: the MXU
+       dense matvec measured 13× the gather-ELL at n=4096 and is
+       essentially free at n ≤ 1024 (64 MB of operator storage at the
+       cutoff);
+    4. otherwise stays gather-ELL with a ``UserWarning`` — that path is
        ~139x off slice speed (BENCHMARKS.md format table) and its
        ``rmv`` is a TPU-pathological scatter-add.
     """
@@ -834,13 +853,16 @@ def as_tpu_operator(op, max_diags: int = 64, max_bsr_cost: float = 16.0,
         if best is not None:
             return BSR.from_coo(rows, cols, vals, op.shape,
                                 bs=best[0], dtype=op.dtype)
+        if op.shape[0] <= max_dense_n:
+            return _dense_from_coo(rows, cols, vals, op.shape, op.dtype)
         import warnings
 
         warnings.warn(
             "as_tpu_operator: matrix is neither banded (ndiags "
             f"> {max_diags}) nor blockable (estimated BSR cost "
             f"> {max_bsr_cost}x per nonzero for bs in "
-            f"{bsr_block_sizes}); staying on gather-ELL, ~139x off TPU "
+            f"{bsr_block_sizes}) and too large for the dense route "
+            f"(n > {max_dense_n}); staying on gather-ELL, ~139x off TPU "
             "slice speed and scatter-add rmv (BENCHMARKS.md format "
             "table)",
             UserWarning, stacklevel=2,

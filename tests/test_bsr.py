@@ -179,7 +179,9 @@ class TestRouting:
         )
 
     def test_unblockable_warns_and_stays_ell(self):
-        # dense-random pattern: neither banded nor blockable
+        # dense-random pattern: neither banded nor blockable; dense
+        # route disabled so the gather-ELL fallback + warning stay
+        # covered
         A = sp.random(256, 256, density=0.02, random_state=23).tocsr()
         A = A + sp.eye(256)
         rows, cols, vals, shape = _to_coo(A)
@@ -187,8 +189,51 @@ class TestRouting:
                                  dtype=jnp.float64)
         with pytest.warns(UserWarning, match="gather-ELL"):
             out = as_tpu_operator(ell, max_diags=8, max_bsr_cost=4.0,
-                                  bsr_block_sizes=(128,))
+                                  bsr_block_sizes=(128,), max_dense_n=0)
         assert isinstance(out, ELL)
+
+    def test_small_unstructured_routes_dense(self):
+        # same pattern, dense route at the default cutoff: the MXU
+        # dense matvec beats gather-ELL 13x at n=4096 (operators.py
+        # routing note), so small unstructured matrices go DenseOp
+        from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+            DenseOp,
+        )
+
+        A = sp.random(256, 256, density=0.02, random_state=23).tocsr()
+        A = A + sp.eye(256)
+        rows, cols, vals, shape = _to_coo(A)
+        ell = poisson.coo_to_ell(rows, cols, vals, shape,
+                                 dtype=jnp.float64)
+        out = as_tpu_operator(ell, max_diags=8, max_bsr_cost=4.0,
+                              bsr_block_sizes=(128,))
+        assert isinstance(out, DenseOp)
+        x = np.random.default_rng(24).standard_normal(256)
+        np.testing.assert_allclose(
+            np.asarray(out.mv(jnp.asarray(x))), A @ x, rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.rmv(jnp.asarray(x))), A.T @ x, rtol=1e-12
+        )
+
+    def test_dense_route_coalesces_coo_duplicates(self):
+        # operator_from_coo must SUM duplicate (i, j) entries like
+        # scipy / the reference's MatSetValues(ADD_VALUES)
+        from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+            DenseOp, operator_from_coo,
+        )
+
+        rows = np.array([0, 0, 1, 2, 0])
+        cols = np.array([0, 1, 2, 0, 0])
+        vals = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+        op = operator_from_coo(rows, cols, vals, (3, 3),
+                               dtype=jnp.float64, max_diags=0,
+                               max_bsr_cost=0.0)
+        assert isinstance(op, DenseOp)
+        expect = np.array([[6.0, 2.0, 0.0],
+                           [0.0, 0.0, 3.0],
+                           [4.0, 0.0, 0.0]])
+        np.testing.assert_allclose(np.asarray(op.to_dense()), expect)
 
     def test_stacked_unbanded_warns(self):
         from medane_tchakorom_ufc_thesis_repository_tpu.models import (
