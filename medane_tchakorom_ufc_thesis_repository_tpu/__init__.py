@@ -43,4 +43,7 @@ from medane_tchakorom_ufc_thesis_repository_tpu.models import (  # noqa: F401
     sm,
     smsm,
 )
-from medane_tchakorom_ufc_thesis_repository_tpu.api import solve  # noqa: F401
+from medane_tchakorom_ufc_thesis_repository_tpu.api import (  # noqa: F401
+    lstsq,
+    solve,
+)

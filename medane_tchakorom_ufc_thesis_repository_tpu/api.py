@@ -24,7 +24,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["solve"]
+__all__ = ["solve", "lstsq"]
 
 
 def solve(A, b, *, method: str = "gmres", rtol: float = 1e-8,
@@ -140,4 +140,94 @@ def solve(A, b, *, method: str = "gmres", rtol: float = 1e-8,
         method=method,
         pc=pc,
     )
+    return x_host, info
+
+
+def lstsq(A, b, *, method: str = "lsqr", rtol: float = 1e-8,
+          atol: float = 0.0, maxiter: int = 10000,
+          x0=None, dtype=None) -> Tuple[np.ndarray, dict]:
+    """``min_x ||A x - b||_2`` for a rectangular (or square inconsistent)
+    ``scipy.sparse`` / numpy matrix on the TPU-routed operator — the
+    one-call form of the reference's least-squares outer stage
+    (``outer_solver_lsqr`` ``src/utils/utils.c:998-1020``,
+    ``outer_solver_cgne`` ``utils.c:1022-1043``) lifted from the
+    tall-skinny ``R = A S`` panels to arbitrary user systems.
+
+    ``method``: 'lsqr' (Golub-Kahan, the numerically robust default) |
+    'cgne' (CG on the normal equations — faster per iteration, squares
+    the condition number) | 'qr' (direct tall-skinny Householder QR on
+    the densified operator — exact, for sizes the MXU eats whole).
+
+    Iterative methods stop on the Paige-Saunders rules: ``||r|| ≤
+    max(rtol·||b||, atol)`` (consistent systems) or ``||A^T r|| ≤
+    rtol·||A^T b||`` (the least-squares optimality measure — the only
+    test that can fire when ``min ||r|| > 0``).
+
+    Returns ``(x, info)`` with ``info['rel_opt'] = ||A^T r|| / ||A^T b||``
+    (host f64, measured against the INPUT matrix) as the optimality
+    certificate alongside ``rel_residual``.
+    """
+    import scipy.sparse as sp
+
+    import jax.numpy as jnp
+
+    from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+        from_scipy,
+    )
+
+    if method not in ("lsqr", "cgne", "qr"):
+        raise ValueError(f"method must be lsqr | cgne | qr, got {method!r}")
+    A = sp.csr_matrix(A)
+    m, n = A.shape
+    b_host = np.asarray(b, np.float64).reshape(-1)
+    if b_host.shape[0] != m:
+        raise ValueError(f"b has length {b_host.shape[0]}, matrix is "
+                         f"{m}x{n}")
+
+    dt = jnp.float32 if dtype is None else dtype
+    op = from_scipy(A, dtype=dt)
+    bj = jnp.asarray(b_host, dt)
+    xj0 = None if x0 is None else jnp.asarray(np.asarray(x0), dt)
+
+    if method == "qr":
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.lstsq import (
+            lstsq_qr,
+        )
+
+        if m * n > 64 * 1024 * 1024:
+            raise ValueError(
+                f"method='qr' densifies the operator ({m}x{n} = "
+                f"{m * n} entries); use 'lsqr' at this size"
+            )
+        x = lstsq_qr(op.to_dense(), bj)
+        iters, converged = 0, True
+        resnorm = resnorm0 = None
+    else:
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.lsqr import (
+            cgne, lsqr as _lsqr,
+        )
+
+        fn = _lsqr if method == "lsqr" else cgne
+        res = fn(op.mv, op.rmv, bj, xj0, n=n, maxiter=maxiter,
+                 rtol=rtol, atol=atol)
+        x = res.x
+        iters, converged = int(res.iters), bool(res.converged)
+        resnorm, resnorm0 = float(res.resnorm), float(res.resnorm0)
+
+    x_host = np.asarray(x, np.float64)
+    r = b_host - A @ x_host
+    atr = A.T @ r
+    atb = A.T @ b_host
+    bn = np.linalg.norm(b_host)
+    atbn = np.linalg.norm(atb)
+    info = dict(
+        converged=converged,
+        iters=iters,
+        rel_residual=float(np.linalg.norm(r) / bn) if bn > 0 else 0.0,
+        rel_opt=float(np.linalg.norm(atr) / atbn) if atbn > 0 else 0.0,
+        operator=type(op).__name__,
+        method=method,
+    )
+    if resnorm is not None:
+        info["resnorm"], info["resnorm0"] = resnorm, resnorm0
     return x_host, info

@@ -782,6 +782,11 @@ def operator_from_coo(rows, cols, vals, shape, dtype=jnp.float32,
             "BENCHMARKS.md format table)",
             UserWarning, stacklevel=2,
         )
+    elif max(shape) <= max_dense_n:
+        # small rectangular → dense: ELL's rectangular rmv is a
+        # scatter-add (TPU-pathological), and rmv is exactly what the
+        # least-squares KSPs (lsqr/cgne) drive
+        return _dense_from_coo(rows, cols, vals, shape, dtype)
     return poisson.coo_to_ell(rows, cols, vals, shape, dtype=dtype)
 
 

@@ -8,7 +8,7 @@ import scipy.sparse as sp
 
 import jax.numpy as jnp
 
-from medane_tchakorom_ufc_thesis_repository_tpu import solve
+from medane_tchakorom_ufc_thesis_repository_tpu import lstsq, solve
 
 
 def _spd_blockable(nb=16, bs=16, seed=71):
@@ -69,6 +69,51 @@ class TestSolve:
             solve(A, np.ones(3))
         with pytest.raises(ValueError, match="compose"):
             solve(A, b, method="ca_gmres", pc="bjacobi")
+
+
+class TestLstsq:
+    """One-call least-squares (api.lstsq): the reference's LSQR/CGNE
+    outer stage (utils.c:998-1043) lifted to arbitrary user systems."""
+
+    def _overdetermined(self, m=200, n=60, seed=81, inconsistent=True):
+        rng = np.random.default_rng(seed)
+        A = sp.random(m, n, density=0.15, random_state=seed).tocsr()
+        A = A + sp.eye(m, n)  # full column rank
+        xstar = rng.standard_normal(n)
+        b = np.asarray(A @ xstar)
+        if inconsistent:
+            # add a residual component orthogonal to range(A)
+            r = rng.standard_normal(m)
+            Ad = A.toarray()
+            r -= Ad @ np.linalg.lstsq(Ad, r, rcond=None)[0]
+            b = b + r
+        return A, b
+
+    @pytest.mark.parametrize("method", ["lsqr", "cgne", "qr"])
+    def test_matches_scipy_lstsq(self, method):
+        A, b = self._overdetermined()
+        x, info = lstsq(A, b, method=method, rtol=1e-10,
+                        dtype=jnp.float64)
+        assert info["converged"], info
+        xref = np.linalg.lstsq(A.toarray(), b, rcond=None)[0]
+        np.testing.assert_allclose(x, xref, atol=1e-6)
+        # optimality certificate: A^T r ~ 0 even though ||r|| > 0
+        assert info["rel_opt"] <= 1e-8
+        assert info["rel_residual"] > 0.01  # genuinely inconsistent
+        assert info["operator"] == "DenseOp"  # small rectangular route
+
+    def test_consistent_system_hits_rtol(self):
+        A, b = self._overdetermined(inconsistent=False)
+        x, info = lstsq(A, b, rtol=1e-10, dtype=jnp.float64)
+        assert info["converged"]
+        assert info["rel_residual"] <= 1e-9
+
+    def test_validation(self):
+        A, b = self._overdetermined(m=40, n=10)
+        with pytest.raises(ValueError, match="method"):
+            lstsq(A, b, method="svd")
+        with pytest.raises(ValueError, match="length"):
+            lstsq(A, np.ones(3))
 
 
 if __name__ == "__main__":

@@ -302,13 +302,32 @@ class TestFromScipy:
             np.asarray(op.rmv(jnp.asarray(x))), A.T @ x, rtol=1e-12
         )
 
-    def test_rectangular_routes_ell(self):
+    def test_small_rectangular_routes_dense(self):
+        # rectangular rmv on ELL is a scatter-add (TPU-pathological) —
+        # small rectangular goes dense so lsqr/cgne get MXU matvecs
+        from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+            DenseOp, from_scipy,
+        )
+
+        A = sp.random(30, 50, density=0.1, random_state=41).tocsr()
+        op = from_scipy(A, dtype=jnp.float64)
+        assert isinstance(op, DenseOp)
+        x = np.random.default_rng(4).standard_normal(50)
+        np.testing.assert_allclose(
+            np.asarray(op.mv(jnp.asarray(x))), A @ x, rtol=1e-12
+        )
+        y = np.random.default_rng(5).standard_normal(30)
+        np.testing.assert_allclose(
+            np.asarray(op.rmv(jnp.asarray(y))), A.T @ y, rtol=1e-12
+        )
+
+    def test_large_rectangular_routes_ell(self):
         from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
             from_scipy,
         )
 
         A = sp.random(30, 50, density=0.1, random_state=41).tocsr()
-        op = from_scipy(A, dtype=jnp.float64)
+        op = from_scipy(A, dtype=jnp.float64, max_dense_n=0)
         assert isinstance(op, ELL)
         x = np.random.default_rng(4).standard_normal(50)
         np.testing.assert_allclose(
