@@ -762,26 +762,12 @@ def operator_from_coo(rows, cols, vals, shape, dtype=jnp.float32,
     if shape[0] == shape[1]:
         if len(np.unique(cols - rows)) <= max_diags:
             return poisson.coo_to_dia(rows, cols, vals, shape, dtype=dtype)
-        best = None
-        for bs in bsr_block_sizes:
-            cost = (bsr_block_fill_from_coo(rows, cols, shape, bs)
-                    * _BSR_BS_PENALTY.get(bs, 1.0))
-            if cost <= max_bsr_cost and (best is None or cost < best[1]):
-                best = (bs, cost)
-        if best is not None:
-            return BSR.from_coo(rows, cols, vals, shape, bs=best[0],
-                                dtype=dtype)
-        if shape[0] <= max_dense_n:
-            return _dense_from_coo(rows, cols, vals, shape, dtype)
-        import warnings
-
-        warnings.warn(
-            "operator_from_coo: matrix is neither banded nor blockable "
-            f"and too large for the dense route (n > {max_dense_n}); "
-            "returning gather-ELL (~139x off TPU slice speed — "
-            "BENCHMARKS.md format table)",
-            UserWarning, stacklevel=2,
+        routed = _route_unbanded_square_coo(
+            rows, cols, vals, shape, dtype, max_bsr_cost,
+            bsr_block_sizes, max_dense_n, caller="operator_from_coo",
         )
+        if routed is not None:
+            return routed
     elif max(shape) <= max_dense_n:
         # small rectangular → dense: ELL's rectangular rmv is a
         # scatter-add (TPU-pathological), and rmv is exactly what the
@@ -795,6 +781,60 @@ def _dense_from_coo(rows, cols, vals, shape, dtype):
     dense = np.zeros(shape, np.float64)
     np.add.at(dense, (rows, cols), vals)
     return DenseOp(a=jnp.asarray(dense, dtype))
+
+
+# measured per-nonzero gather-ELL SpMV cost relative to the slice paths
+# on v5e (BENCHMARKS.md format table) — the bar any other representation
+# must beat before gather-ELL is the honest answer
+_ELL_RELATIVE_COST = 139.0
+
+
+def _route_unbanded_square_coo(rows, cols, vals, shape, dtype,
+                               max_bsr_cost, bsr_block_sizes, max_dense_n,
+                               max_bsr_bytes: int = 2 << 30, caller=""):
+    """Shared routing tail for square non-banded patterns: BSR if the
+    estimated cost clears ``max_bsr_cost``; dense if small; then a
+    last-resort comparison — a HIGH-fill BSR whose estimated per-nonzero
+    cost still undercuts the measured gather-ELL cost (139x) wins as
+    long as the pack fits in ``max_bsr_bytes``.  Returns ``None`` when
+    gather-ELL really is the best remaining option (caller builds it)."""
+    import warnings
+
+    best = None
+    for bs in bsr_block_sizes:
+        fill = bsr_block_fill_from_coo(rows, cols, shape, bs)
+        cost = fill * _BSR_BS_PENALTY.get(bs, 1.0)
+        if best is None or cost < best[1]:
+            best = (bs, cost, fill)
+    if best is not None and best[1] <= max_bsr_cost:
+        return BSR.from_coo(rows, cols, vals, shape, bs=best[0],
+                            dtype=dtype)
+    if shape[0] <= max_dense_n:
+        return _dense_from_coo(rows, cols, vals, shape, dtype)
+    if best is not None and best[1] < _ELL_RELATIVE_COST:
+        bs, cost, fill = best
+        # values + transpose pack + indices ≈ 2.5x the stored values
+        pack_bytes = 2.5 * fill * len(rows) * np.dtype(dtype).itemsize
+        if pack_bytes <= max_bsr_bytes:
+            warnings.warn(
+                f"{caller}: matrix is neither banded nor cleanly "
+                f"blockable; using HIGH-fill BSR(bs={bs}) at an "
+                f"estimated {cost:.0f}x per-nonzero cost — still "
+                f"~{_ELL_RELATIVE_COST / max(cost, 1e-9):.1f}x faster "
+                "than gather-ELL (pass max_bsr_cost=inf to silence, "
+                "or max_dense_n/max_bsr_cost to reroute)",
+                UserWarning, stacklevel=3,
+            )
+            return BSR.from_coo(rows, cols, vals, shape, bs=bs,
+                                dtype=dtype)
+    warnings.warn(
+        f"{caller}: matrix is neither banded nor blockable and too "
+        f"large for the dense route (n > {max_dense_n}); staying on "
+        f"gather-ELL, ~{_ELL_RELATIVE_COST:.0f}x off TPU slice speed "
+        "with a scatter-add rmv (BENCHMARKS.md format table)",
+        UserWarning, stacklevel=3,
+    )
+    return None
 
 
 def from_scipy(A, dtype=jnp.float32, **route_kw):
@@ -841,37 +881,22 @@ def as_tpu_operator(op, max_diags: int = 64, max_bsr_cost: float = 16.0,
        dense matvec measured 13× the gather-ELL at n=4096 and is
        essentially free at n ≤ 1024 (64 MB of operator storage at the
        cutoff);
-    4. otherwise stays gather-ELL with a ``UserWarning`` — that path is
-       ~139x off slice speed (BENCHMARKS.md format table) and its
-       ``rmv`` is a TPU-pathological scatter-add.
+    4. last resort, a HIGH-fill BSR whose estimated cost still beats
+       the measured gather-ELL cost (~139x off slice speed) wins if the
+       pack fits in memory; otherwise stays gather-ELL with a
+       ``UserWarning`` — that path also has a TPU-pathological
+       scatter-add ``rmv``.
     """
     if isinstance(op, ELL) and op.shape[0] == op.ncols:
         if op.ndiags() <= max_diags:
             return op.to_dia()
         rows, cols, vals = op.to_coo_np()
-        best = None
-        for bs in bsr_block_sizes:
-            cost = (bsr_block_fill_from_coo(rows, cols, op.shape, bs)
-                    * _BSR_BS_PENALTY.get(bs, 1.0))
-            if cost <= max_bsr_cost and (best is None or cost < best[1]):
-                best = (bs, cost)
-        if best is not None:
-            return BSR.from_coo(rows, cols, vals, op.shape,
-                                bs=best[0], dtype=op.dtype)
-        if op.shape[0] <= max_dense_n:
-            return _dense_from_coo(rows, cols, vals, op.shape, op.dtype)
-        import warnings
-
-        warnings.warn(
-            "as_tpu_operator: matrix is neither banded (ndiags "
-            f"> {max_diags}) nor blockable (estimated BSR cost "
-            f"> {max_bsr_cost}x per nonzero for bs in "
-            f"{bsr_block_sizes}) and too large for the dense route "
-            f"(n > {max_dense_n}); staying on gather-ELL, ~139x off TPU "
-            "slice speed and scatter-add rmv (BENCHMARKS.md format "
-            "table)",
-            UserWarning, stacklevel=2,
+        routed = _route_unbanded_square_coo(
+            rows, cols, vals, op.shape, op.dtype, max_bsr_cost,
+            bsr_block_sizes, max_dense_n, caller="as_tpu_operator",
         )
+        if routed is not None:
+            return routed
     return op
 
 

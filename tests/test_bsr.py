@@ -179,10 +179,10 @@ class TestRouting:
         )
 
     def test_unblockable_warns_and_stays_ell(self):
-        # dense-random pattern: neither banded nor blockable; dense
-        # route disabled so the gather-ELL fallback + warning stay
-        # covered
-        A = sp.random(256, 256, density=0.02, random_state=23).tocsr()
+        # ultra-sparse random pattern (fill*penalty > the 139x ELL bar
+        # for every candidate bs): dense route disabled so the
+        # gather-ELL fallback + warning stay covered
+        A = sp.random(256, 256, density=0.002, random_state=23).tocsr()
         A = A + sp.eye(256)
         rows, cols, vals, shape = _to_coo(A)
         ell = poisson.coo_to_ell(rows, cols, vals, shape,
@@ -191,6 +191,24 @@ class TestRouting:
             out = as_tpu_operator(ell, max_diags=8, max_bsr_cost=4.0,
                                   bsr_block_sizes=(128,), max_dense_n=0)
         assert isinstance(out, ELL)
+
+    def test_highfill_bsr_beats_ell_fallback(self):
+        # denser random pattern: fails max_bsr_cost but the estimated
+        # BSR cost (~42x) still undercuts gather-ELL's measured 139x —
+        # the last-resort comparison routes BSR with a warning
+        A = sp.random(256, 256, density=0.02, random_state=23).tocsr()
+        A = A + sp.eye(256)
+        rows, cols, vals, shape = _to_coo(A)
+        ell = poisson.coo_to_ell(rows, cols, vals, shape,
+                                 dtype=jnp.float64)
+        with pytest.warns(UserWarning, match="HIGH-fill BSR"):
+            out = as_tpu_operator(ell, max_diags=8, max_bsr_cost=4.0,
+                                  bsr_block_sizes=(128,), max_dense_n=0)
+        assert isinstance(out, BSR)
+        x = np.random.default_rng(25).standard_normal(256)
+        np.testing.assert_allclose(
+            np.asarray(out.mv(jnp.asarray(x))), A @ x, rtol=1e-12
+        )
 
     def test_small_unstructured_routes_dense(self):
         # same pattern, dense route at the default cutoff: the MXU
