@@ -538,3 +538,44 @@ class TestFourProcessAM:
             assert rel <= rtol
         else:
             assert rel <= 50 * rtol
+
+
+@pytest.mark.slow
+class TestEightProcessAM:
+    def test_eight_blocks_over_tcp(self):
+        """N=8 — the reference's active g5k npb=8 scale
+        (`running_bulk_test_g5k` active loops): 8 OS processes, one
+        block each, heavily oversubscribed on this 4-core host — which
+        is itself useful: wildly uneven free-running sweep rates stress
+        the staleness filters, the complete verification graph (28
+        pairs), leader election among 8, and the certification tail."""
+        import jax.numpy as jnp
+
+        from medane_tchakorom_ufc_thesis_repository_tpu.models import blockops
+        from medane_tchakorom_ufc_thesis_repository_tpu.models.net_async import (
+            launch_net_async,
+        )
+
+        m, n = 88, 88   # 8 blocks x 11 grid rows
+        rtol = 1e-3
+        results = launch_net_async(
+            nblocks=8, m=m, n=n, rtol=rtol, maxiter=8000,
+            timeout_s=540,
+        )
+        assert len(results) == 8
+        assert all(r["converged"] for r in results)
+        assert max(r["phase_tag"] for r in results) >= 1
+
+        op = blockops.block_poisson2d(m, n, nblocks=8)
+        b = blockops.rhs_ones(op, jnp.float64)
+        x = jnp.asarray(np.stack([
+            np.asarray(r["x_block"])
+            for r in sorted(results, key=lambda r: r["rank"])
+        ]))
+        r_true = b - op.full_mv(x)
+        rel = float(jnp.linalg.norm(r_true.reshape(-1))
+                    / jnp.linalg.norm(b.reshape(-1)))
+        if all(r["certified"] for r in results):
+            assert rel <= rtol
+        else:
+            assert rel <= 50 * rtol

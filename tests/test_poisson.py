@@ -209,7 +209,10 @@ class TestFormatConversion:
             as_tpu_operator,
         )
 
-        # random sparsity: many distinct diagonals -> stays ELL
+        # random sparsity, every better route disabled (no DIA fit, BSR
+        # and dense rejected) -> stays ELL with the gather warning
+        import pytest
+
         rng = np.random.default_rng(0)
         n = 200
         rows = rng.integers(0, n, 800)
@@ -218,7 +221,10 @@ class TestFormatConversion:
         vals = rng.standard_normal(pairs.shape[1])
         ell = poisson.coo_to_ell(pairs[0], pairs[1], vals, (n, n),
                                  dtype=jnp.float64)
-        assert isinstance(as_tpu_operator(ell, max_diags=64), ELL)
+        with pytest.warns(UserWarning, match="gather-ELL"):
+            out = as_tpu_operator(ell, max_diags=64, max_bsr_cost=0.0,
+                                  bsr_block_sizes=(), max_dense_n=0)
+        assert isinstance(out, ELL)
 
 
 class TestSlabStencil:
