@@ -11,7 +11,10 @@ the KSP/multisplitting drivers.  Here the same journey from a
 2. whole-system GMRES, optionally right-preconditioned with block-Jacobi
    (batched dense block inverses on the MXU — the PCBJACOBI analog);
 3. the same matrix through the two-stage multisplitting drivers with
-   inner block-Jacobi (``--inner-pc-type bjacobi``).
+   inner block-Jacobi (``--inner-pc-type bjacobi``);
+4. the one-call forms: ``solve(A, b)`` (assemble -> KSPSolve collapsed)
+   and ``lstsq(A, b)`` (the KSPLSQR analog for rectangular /
+   inconsistent systems).
 
 CLI equivalents::
 
@@ -84,6 +87,22 @@ def main():
     print(f"GMRES bjacobi : {int(pre.iters):4d} iterations, "
           f"true rel residual {rel:.2e}, err vs u=1 "
           f"{np.linalg.norm(x - 1.0):.2e}")
+
+    # 3. or let the one-call API do all of the above
+    from medane_tchakorom_ufc_thesis_repository_tpu import lstsq, solve
+
+    x, info = solve(A, b, rtol=1e-4, pc="bjacobi", pc_block_size=16)
+    print(f"solve()       : {info['iters']:4d} iterations via "
+          f"{info['operator']}, rel {info['rel_residual']:.2e}")
+
+    # 4. least squares: overdetermined system, LSQR stops on the
+    # ||A^T r|| optimality rule (the residual itself never reaches rtol)
+    rng = np.random.default_rng(1)
+    R = sp.random(4 * n, n, density=0.01, random_state=1) + sp.eye(4 * n, n)
+    brect = np.asarray(R @ np.ones(n)) + 0.1 * rng.standard_normal(4 * n)
+    x, info = lstsq(R, brect, rtol=1e-5)
+    print(f"lstsq()       : {info['iters']:4d} LSQR iterations, "
+          f"||A^T r||/||A^T b|| = {info['rel_opt']:.2e}")
 
 
 if __name__ == "__main__":
