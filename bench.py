@@ -209,6 +209,58 @@ def main():
     _fence(gres.x)
     gmres_s = time.perf_counter() - t0
 
+    # --- CA-GMRES on the same 3D system: s-step Newton basis, ONE Gram
+    # reduction per s matvecs (the communication-avoiding baseline;
+    # analytic Poisson spectral interval) --------------------------------
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers.castep import (
+        ca_gmres,
+    )
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers.chebyshev import (
+        poisson_strip_eig_bounds_3d,
+    )
+
+    clmin, clmax = poisson_strip_eig_bounds_3d(64, 64, 64)
+    casolve = jax.jit(
+        lambda bb: ca_gmres(gop.mv, bb, s=16, maxiter=3000, rtol=1e-6,
+                            lmin=clmin, lmax=clmax)
+    )
+    cres = casolve(gb)
+    _fence(cres.x)
+    t0 = time.perf_counter()
+    cres = casolve(gb2)
+    _fence(cres.x)
+    ca_gmres_s = time.perf_counter() - t0
+
+    # --- one-call routed solve: the AIJ user path end-to-end ------------
+    # scipy block-sparse SPD matrix -> from_scipy routes to BSR ->
+    # block-Jacobi right-PC GMRES.  Wall time includes routing, PC
+    # factorization, tracing, and the solve — the whole user experience.
+    from medane_tchakorom_ufc_thesis_repository_tpu import solve as _solve
+    import scipy.sparse as _ssp
+
+    _rs = _bnp.random.default_rng(5)
+    _snb, _sbs = 64, 64
+    _sA = _ssp.lil_matrix((_snb * _sbs, _snb * _sbs))
+    for _k in range(_snb):
+        _Q, _ = _bnp.linalg.qr(_rs.standard_normal((_sbs, _sbs)))
+        _lam = _bnp.logspace(0, 2, _sbs)
+        _sA[_k * _sbs:(_k + 1) * _sbs, _k * _sbs:(_k + 1) * _sbs] = (
+            (_Q * _lam) @ _Q.T
+        )
+        for _c in _rs.choice(_snb, size=2, replace=False):
+            if _c != _k:
+                _blk = 0.01 * _rs.standard_normal((_sbs, _sbs))
+                _sA[_k * _sbs:(_k + 1) * _sbs,
+                    _c * _sbs:(_c + 1) * _sbs] = _blk
+                _sA[_c * _sbs:(_c + 1) * _sbs,
+                    _k * _sbs:(_k + 1) * _sbs] = _blk.T
+    _sA = _sA.tocsr()
+    _sb = _bnp.asarray(_sA @ _bnp.ones(_sA.shape[0]))
+    t0 = time.perf_counter()
+    _sx, _sinfo = _solve(_sA, _sb, rtol=1e-5, pc="bjacobi",
+                         pc_block_size=_sbs)
+    solve_api_s = time.perf_counter() - t0
+
     # --- north-star: 3D Poisson to 1e-8 relative residual --------------
     # (BASELINE.json: "wall-time + iters to 1e-8 residual on 3D Poisson")
     # f32 device solves + f64 host residuals via iterative refinement
@@ -339,6 +391,14 @@ def main():
         "smsm_global_3d_64_converged": bool(res.converged),
         "gmres_3d_64_solve_s": round(gmres_s, 3),
         "gmres_3d_64_iters": int(gres.iters),
+        "ca_gmres_s16_3d_64_solve_s": round(ca_gmres_s, 3),
+        "ca_gmres_s16_3d_64_iters": int(cres.iters),
+        "ca_gmres_s16_3d_64_converged": bool(cres.converged),
+        "solve_api_bsr_bjacobi_end_to_end_s": round(solve_api_s, 3),
+        "solve_api_operator": _sinfo["operator"],
+        "solve_api_iters": _sinfo["iters"],
+        "solve_api_rel_residual": f"{_sinfo['rel_residual']:.2e}",
+        "solve_api_converged": bool(_sinfo["converged"]),
         "northstar_3d_64_to_1e8_s": round(refine_s, 3),
         "northstar_3d_64_rel_residual": f"{rres.rnorm / rres.rnorm0:.2e}",
         "northstar_3d_64_refine_passes": rres.passes,

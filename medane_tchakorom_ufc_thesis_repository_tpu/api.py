@@ -194,6 +194,11 @@ def lstsq(A, b, *, method: str = "lsqr", rtol: float = 1e-8,
             lstsq_qr,
         )
 
+        if m < n:
+            raise ValueError(
+                f"method='qr' needs m >= n (tall Householder QR), got "
+                f"{m}x{n}; use 'lsqr' for underdetermined systems"
+            )
         if m * n > 64 * 1024 * 1024:
             raise ValueError(
                 f"method='qr' densifies the operator ({m}x{n} = "
@@ -230,4 +235,11 @@ def lstsq(A, b, *, method: str = "lsqr", rtol: float = 1e-8,
     )
     if resnorm is not None:
         info["resnorm"], info["resnorm0"] = resnorm, resnorm0
+        # lsqr's estimates live on the ||r|| scale; cgne runs CG on
+        # A^T A x = A^T b, so its resnorm is ||A^T r|| — NOT comparable
+        # across methods.  rel_residual / rel_opt above are always
+        # host-f64 against the input matrix and ARE comparable.
+        info["resnorm_scale"] = (
+            "residual" if method == "lsqr" else "normal_equation"
+        )
     return x_host, info

@@ -136,7 +136,17 @@ _register(ELL, ["indices", "values"], ["ncols"])
 
 @dataclasses.dataclass(frozen=True)
 class DenseOp:
-    """Dense matrix operator (tests, tall-skinny R blocks)."""
+    """Dense matrix operator (small unstructured/rectangular route,
+    tall-skinny R blocks).
+
+    The matvecs pin ``precision=HIGHEST`` as a guard: TPU default
+    matmul precision truncates f32 OPERANDS to bf16 (~1e-2) wherever a
+    contraction lands on the MXU — the CLAUDE.md-documented trap that
+    stalls Krylov solves, invisible to the CPU (f64) suite.  Measured
+    on v5e the matVEC results are bit-identical either way (XLA lowers
+    (n,n)@(n,) to VPU reductions at these sizes), and the op is
+    bandwidth-bound, so HIGHEST costs nothing and keeps the operator
+    safe if XLA ever re-tiles it onto the MXU (batched/vmapped uses)."""
 
     a: jax.Array
 
@@ -153,10 +163,10 @@ class DenseOp:
         return int(np.prod(self.a.shape))
 
     def mv(self, x):
-        return self.a @ x
+        return jnp.matmul(self.a, x, precision=jax.lax.Precision.HIGHEST)
 
     def rmv(self, y):
-        return self.a.T @ y
+        return jnp.matmul(self.a.T, y, precision=jax.lax.Precision.HIGHEST)
 
     def to_dense(self):
         return self.a
@@ -773,6 +783,17 @@ def operator_from_coo(rows, cols, vals, shape, dtype=jnp.float32,
         # scatter-add (TPU-pathological), and rmv is exactly what the
         # least-squares KSPs (lsqr/cgne) drive
         return _dense_from_coo(rows, cols, vals, shape, dtype)
+    else:
+        import warnings
+
+        warnings.warn(
+            "operator_from_coo: rectangular matrix stays gather-ELL "
+            f"(too large for the dense route, max(shape) > "
+            f"{max_dense_n}); mv pays ~139x off TPU slice speed and "
+            "rmv — which lsqr/cgne drive every iteration — is a "
+            "TPU-pathological scatter-add",
+            UserWarning, stacklevel=2,
+        )
     return poisson.coo_to_ell(rows, cols, vals, shape, dtype=dtype)
 
 
@@ -787,6 +808,16 @@ def _dense_from_coo(rows, cols, vals, shape, dtype):
 # on v5e (BENCHMARKS.md format table) — the bar any other representation
 # must beat before gather-ELL is the honest answer
 _ELL_RELATIVE_COST = 139.0
+
+
+# Is there a density below which a small matrix is better left as
+# gather-ELL than densified?  NO — measured (v5e, barriered-slope):
+# random square at density 0.1% / 0.5% / 2%, dense wins 6.2/44/~inf x
+# at n=1024 and 4.6/11.5/37 x at n=4096.  The per-nonzero value-count
+# model (m*n vs 139*nnz) predicts ELL wins below ~0.7% density, but
+# ELL's gather throughput collapses at small row counts while the dense
+# matvec is near the dispatch floor — so the dense route applies
+# unconditionally below max_dense_n.
 
 
 def _route_unbanded_square_coo(rows, cols, vals, shape, dtype,
@@ -846,12 +877,22 @@ def from_scipy(A, dtype=jnp.float32, **route_kw):
 
 
 def bsr_block_fill_from_coo(rows, cols, shape, bs: int) -> float:
-    """Stored-values-per-nonzero if packed as BSR(bs) (cheap, index-only)."""
+    """Stored-values-per-nonzero if packed as BSR(bs) (cheap, index-only).
+
+    Counts the PADDED pack: block-ELL pads every block row to the widest
+    row's block count, and the kernel processes padding like real blocks
+    — so a pattern with one dense row (FEM constraint/Lagrange rows)
+    costs ``nbr * ncb`` blocks, not just its unique blocks.  Using the
+    padded count keeps the routing cost model honest and makes the
+    high-fill memory cap match what ``BSR.from_coo`` actually allocates."""
+    nbr = -(-int(shape[0]) // bs)
     ncb = -(-int(shape[1]) // bs)
     key = (np.asarray(rows) // bs).astype(np.int64) * ncb \
         + np.asarray(cols) // bs
-    nub = len(np.unique(key))
-    return nub * bs * bs / max(len(np.asarray(rows)), 1)
+    ub = np.unique(key)
+    width = int(np.bincount(ub // ncb, minlength=nbr).max()) if len(ub) \
+        else 0
+    return nbr * width * bs * bs / max(len(np.asarray(rows)), 1)
 
 
 # measured per-stored-value SpMV cost relative to bs=128, v5e (same

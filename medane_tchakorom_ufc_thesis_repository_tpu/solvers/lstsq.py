@@ -27,7 +27,10 @@ def lstsq_normal(R: jax.Array, rhs: jax.Array, l2: float = 0.0) -> jax.Array:
     ``l2`` adds Tikhonov damping (guards rank-deficient bases, e.g. when
     the multisplitting iterates stagnate and S columns become parallel).
     """
-    g = R.T @ R
+    # HIGHEST: TPU default matmul precision truncates f32 operands to
+    # bf16 (~1e-2) — on a Gram matrix the VALUES matter (CLAUDE.md trap)
+    hi = jax.lax.Precision.HIGHEST
+    g = jnp.matmul(R.T, R, precision=hi)
     if l2:
         g = g + l2 * jnp.eye(g.shape[0], dtype=g.dtype)
     # scale-aware jitter keeps Cholesky alive on nearly-rank-deficient S
@@ -35,7 +38,9 @@ def lstsq_normal(R: jax.Array, rhs: jax.Array, l2: float = 0.0) -> jax.Array:
     jitter = eps * jnp.trace(g) / g.shape[0]
     g = g + jitter * jnp.eye(g.shape[0], dtype=g.dtype)
     c, low = jax.scipy.linalg.cho_factor(g, lower=True)
-    return jax.scipy.linalg.cho_solve((c, low), R.T @ rhs)
+    return jax.scipy.linalg.cho_solve(
+        (c, low), jnp.matmul(R.T, rhs, precision=hi)
+    )
 
 
 def lstsq_qr(R: jax.Array, rhs: jax.Array) -> jax.Array:

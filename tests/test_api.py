@@ -114,6 +114,28 @@ class TestLstsq:
             lstsq(A, b, method="svd")
         with pytest.raises(ValueError, match="length"):
             lstsq(A, np.ones(3))
+        # qr is tall-only (lstsq_qr's rank guard assumes m >= n)
+        with pytest.raises(ValueError, match="m >= n"):
+            lstsq(sp.random(10, 20, density=0.5, random_state=1),
+                  np.ones(10), method="qr")
+
+    def test_underdetermined_lsqr_min_norm(self):
+        # m < n: LSQR converges to the minimum-norm solution
+        rng = np.random.default_rng(91)
+        A = sp.csr_matrix(rng.standard_normal((10, 24)))
+        b = rng.standard_normal(10)
+        x, info = lstsq(A, b, rtol=1e-12, dtype=jnp.float64)
+        assert info["converged"]
+        assert info["rel_residual"] <= 1e-10  # consistent (full row rank)
+        xref, *_ = np.linalg.lstsq(A.toarray(), b, rcond=None)
+        np.testing.assert_allclose(x, xref, atol=1e-8)
+
+    def test_resnorm_scale_marker(self):
+        A, b = self._overdetermined(m=40, n=10, inconsistent=False)
+        _, i1 = lstsq(A, b, method="lsqr", dtype=jnp.float64)
+        _, i2 = lstsq(A, b, method="cgne", dtype=jnp.float64)
+        assert i1["resnorm_scale"] == "residual"
+        assert i2["resnorm_scale"] == "normal_equation"
 
 
 if __name__ == "__main__":

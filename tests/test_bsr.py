@@ -339,18 +339,36 @@ class TestFromScipy:
             np.asarray(op.rmv(jnp.asarray(y))), A.T @ y, rtol=1e-12
         )
 
-    def test_large_rectangular_routes_ell(self):
+    def test_large_rectangular_routes_ell_with_warning(self):
         from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
             from_scipy,
         )
 
         A = sp.random(30, 50, density=0.1, random_state=41).tocsr()
-        op = from_scipy(A, dtype=jnp.float64, max_dense_n=0)
+        with pytest.warns(UserWarning, match="scatter-add"):
+            op = from_scipy(A, dtype=jnp.float64, max_dense_n=0)
         assert isinstance(op, ELL)
         x = np.random.default_rng(4).standard_normal(50)
         np.testing.assert_allclose(
             np.asarray(op.mv(jnp.asarray(x))), A @ x, rtol=1e-12
         )
+
+    def test_fill_estimate_counts_padding(self):
+        # one dense block ROW (FEM constraint-row shape): block-ELL pads
+        # every block row to the widest, so the honest fill — and the
+        # high-fill memory cap — must count nbr * width, not just the
+        # unique blocks (review round 3)
+        from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+            bsr_block_fill_from_coo,
+        )
+
+        n, bs = 64, 8   # 8 block rows x 8 block cols
+        rows = np.concatenate([np.arange(n), np.zeros(n, np.int64)])
+        cols = np.concatenate([np.arange(n), np.arange(n)])
+        # diagonal + full first row: block row 0 hits all 8 block cols
+        fill = bsr_block_fill_from_coo(rows, cols, (n, n), bs)
+        # padded pack: 8 block rows x width 8 x 64 = 4096 stored values
+        assert fill == pytest.approx(4096 / len(rows))
 
 
 class TestStackedBSR:
