@@ -8,7 +8,11 @@ the TPU-efficient operator (banded → DIA, blockable → BSR, small
 unstructured → dense MXU matvec, else gather-ELL with a warning), the
 requested KSP runs as one jitted
 program, and preconditioning/spectral bounds are set up automatically
-(block-Jacobi batched inverses; Lanczos interval estimation).
+(block-Jacobi batched inverses; Lanczos interval estimation).  Solver
+programs are compiled once per (method, pc, tolerances) configuration
+and cached — repeated solves at the same shapes (the serving pattern)
+skip trace+compile entirely (measured 12.4-17.9 s cold → 0.88 s warm
+end-to-end on v5e, BENCHMARKS.md).
 
     >>> from medane_tchakorom_ufc_thesis_repository_tpu import solve
     >>> x, info = solve(A, b, rtol=1e-8, pc="bjacobi")
@@ -20,11 +24,72 @@ For multisplitting / multi-chip / multi-process execution use the CLI
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import numpy as np
 
 __all__ = ["solve", "lstsq"]
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_ksp(method: str, pc_kind: str, restart: int, maxiter: int,
+                rtol: float, atol: float):
+    """One compiled program per solver configuration; the operator, RHS,
+    x0 and PC state travel as pytree ARGUMENTS, so repeated ``solve``
+    calls (same shapes/config, any values — the serving pattern) hit the
+    jit cache instead of re-tracing + re-compiling every call (the
+    ``refine._df_refine_helpers`` pattern; a cold trace+remote-compile
+    through the tunnel costs seconds, a warm call milliseconds)."""
+    import dataclasses
+
+    import jax
+
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers import krylov
+
+    def run(op, b, x0, pc_op):
+        if pc_kind == "none":
+            M = None
+        elif pc_kind == "jacobi":
+            M = lambda v: pc_op * v
+        else:  # bjacobi
+            M = pc_op.apply
+        if method == "cg":
+            return krylov.cg(op.mv, b, x0, maxiter=maxiter, rtol=rtol,
+                             atol=atol, precond=M)
+        if method == "bicgstab":
+            return krylov.bicgstab(op.mv, b, x0, maxiter=maxiter,
+                                   rtol=rtol, atol=atol, precond=M)
+        # RIGHT-preconditioned GMRES: solve (A M) y = b, x = M y — the
+        # Givens estimate tracks the true residual (a stiff left PC can
+        # leave it orders of magnitude above rtol)
+        if M is None:
+            return krylov.gmres(op.mv, b, x0, restart=restart,
+                                maxiter=maxiter, rtol=rtol, atol=atol)
+        res = krylov.gmres(lambda v: op.mv(M(v)), b, restart=restart,
+                           maxiter=maxiter, rtol=rtol, atol=atol)
+        return dataclasses.replace(res, x=M(res.x))
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_lstsq(method: str, maxiter: int, rtol: float, atol: float,
+                  n: int):
+    import jax
+
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers.lsqr import (
+        cgne,
+        lsqr as _lsqr,
+    )
+
+    fn = _lsqr if method == "lsqr" else cgne
+
+    def run(op, b, x0):
+        return fn(op.mv, op.rmv, b, x0, n=n, maxiter=maxiter, rtol=rtol,
+                  atol=atol)
+
+    return jax.jit(run)
 
 
 def solve(A, b, *, method: str = "gmres", rtol: float = 1e-8,
@@ -52,7 +117,6 @@ def solve(A, b, *, method: str = "gmres", rtol: float = 1e-8,
     from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
         from_scipy,
     )
-    from medane_tchakorom_ufc_thesis_repository_tpu.solvers import krylov
     from medane_tchakorom_ufc_thesis_repository_tpu.solvers.bjacobi import (
         block_jacobi_from_scipy,
     )
@@ -79,24 +143,19 @@ def solve(A, b, *, method: str = "gmres", rtol: float = 1e-8,
     bj = jnp.asarray(b_host, dt)
     xj0 = None if x0 is None else jnp.asarray(np.asarray(x0), dt)
 
-    M = None
+    pc_op = None
     if pc == "jacobi":
         d = np.asarray(A.diagonal(), np.float64)
         d[d == 0] = 1.0
-        dinv = jnp.asarray(1.0 / d, dt)
-        M = lambda v: dinv * v
+        pc_op = jnp.asarray(1.0 / d, dt)
     elif pc == "bjacobi":
-        M = block_jacobi_from_scipy(A, bs=pc_block_size, dtype=dt).apply
+        pc_op = block_jacobi_from_scipy(A, bs=pc_block_size, dtype=dt)
 
-    if method == "cg":
-        res = krylov.cg(op.mv, bj, xj0, maxiter=maxiter, rtol=rtol,
-                        atol=atol, precond=M)
+    if method in ("cg", "bicgstab", "gmres"):
+        run = _jitted_ksp(method, pc, restart, maxiter, rtol, atol)
+        res = run(op, bj, xj0, pc_op)
         x = res.x
-    elif method == "bicgstab":
-        res = krylov.bicgstab(op.mv, bj, xj0, maxiter=maxiter, rtol=rtol,
-                              atol=atol, precond=M)
-        x = res.x
-    elif method == "ca_gmres":
+    else:  # ca_gmres (host-side Lanczos bounds feed static Newton shifts)
         from medane_tchakorom_ufc_thesis_repository_tpu.solvers.castep import (
             ca_gmres,
         )
@@ -104,7 +163,7 @@ def solve(A, b, *, method: str = "gmres", rtol: float = 1e-8,
             lanczos_bounds,
         )
 
-        if M is not None:
+        if pc_op is not None:
             raise ValueError(
                 "ca_gmres does not compose with pc (its Newton shifts "
                 "are derived for the unpreconditioned spectrum)"
@@ -113,19 +172,6 @@ def solve(A, b, *, method: str = "gmres", rtol: float = 1e-8,
         res = ca_gmres(op.mv, bj, xj0, s=s, maxiter=maxiter, rtol=rtol,
                        atol=atol, lmin=lmin, lmax=lmax)
         x = res.x
-    else:
-        # RIGHT-preconditioned GMRES: solve (A M) y = b, x = M y — the
-        # Givens estimate tracks the true residual (a stiff left PC can
-        # leave it orders of magnitude above rtol)
-        if M is None:
-            res = krylov.gmres(op.mv, bj, xj0, restart=restart,
-                               maxiter=maxiter, rtol=rtol, atol=atol)
-            x = res.x
-        else:
-            res = krylov.gmres(lambda v: op.mv(M(v)), bj,
-                               restart=restart, maxiter=maxiter,
-                               rtol=rtol, atol=atol)
-            x = M(res.x)
 
     x_host = np.asarray(x, np.float64)
     r = b_host - A @ x_host
@@ -208,13 +254,8 @@ def lstsq(A, b, *, method: str = "lsqr", rtol: float = 1e-8,
         iters, converged = 0, True
         resnorm = resnorm0 = None
     else:
-        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.lsqr import (
-            cgne, lsqr as _lsqr,
-        )
-
-        fn = _lsqr if method == "lsqr" else cgne
-        res = fn(op.mv, op.rmv, bj, xj0, n=n, maxiter=maxiter,
-                 rtol=rtol, atol=atol)
+        run = _jitted_lstsq(method, maxiter, rtol, atol, n)
+        res = run(op, bj, xj0)
         x = res.x
         iters, converged = int(res.iters), bool(res.converged)
         resnorm, resnorm0 = float(res.resnorm), float(res.resnorm0)
