@@ -260,6 +260,15 @@ def main():
     _sx, _sinfo = _solve(_sA, _sb, rtol=1e-5, pc="bjacobi",
                          pc_block_size=_sbs)
     solve_api_s = time.perf_counter() - t0
+    # warm repeat on a PERTURBED matrix (same shape/config): the jitted
+    # solver program is cached, so this is the serving-pattern cost —
+    # routing + PC factorization + one warm dispatch
+    _sA2 = (_sA + _ssp.eye(_sA.shape[0]) * 0.01).tocsr()
+    _sb2 = _bnp.asarray(_sA2 @ _bnp.ones(_sA2.shape[0]))
+    t0 = time.perf_counter()
+    _sx2, _sinfo2 = _solve(_sA2, _sb2, rtol=1e-5, pc="bjacobi",
+                           pc_block_size=_sbs)
+    solve_api_warm_s = time.perf_counter() - t0
 
     # --- north-star: 3D Poisson to 1e-8 relative residual --------------
     # (BASELINE.json: "wall-time + iters to 1e-8 residual on 3D Poisson")
@@ -395,6 +404,8 @@ def main():
         "ca_gmres_s16_3d_64_iters": int(cres.iters),
         "ca_gmres_s16_3d_64_converged": bool(cres.converged),
         "solve_api_bsr_bjacobi_end_to_end_s": round(solve_api_s, 3),
+        "solve_api_warm_repeat_s": round(solve_api_warm_s, 3),
+        "solve_api_warm_converged": bool(_sinfo2["converged"]),
         "solve_api_operator": _sinfo["operator"],
         "solve_api_iters": _sinfo["iters"],
         "solve_api_rel_residual": f"{_sinfo['rel_residual']:.2e}",
