@@ -29,6 +29,7 @@ from medane_tchakorom_ufc_thesis_repository_tpu.solvers import (  # noqa: F401
     lsqr,
     lstsq_normal,
     lstsq_qr,
+    minres,
 )
 from medane_tchakorom_ufc_thesis_repository_tpu.solvers.castep import (  # noqa: F401
     ca_gmres,
@@ -44,6 +45,7 @@ from medane_tchakorom_ufc_thesis_repository_tpu.models import (  # noqa: F401
     smsm,
 )
 from medane_tchakorom_ufc_thesis_repository_tpu.api import (  # noqa: F401
+    is_symmetric,
     lstsq,
     solve,
 )

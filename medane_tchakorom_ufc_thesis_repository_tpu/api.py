@@ -29,18 +29,23 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["solve", "lstsq"]
+__all__ = ["solve", "lstsq", "is_symmetric"]
 
 
 @functools.lru_cache(maxsize=64)
 def _jitted_ksp(method: str, pc_kind: str, restart: int, maxiter: int,
-                rtol: float, atol: float):
+                rtol: float, atol: float, nrhs: int = 0):
     """One compiled program per solver configuration; the operator, RHS,
     x0 and PC state travel as pytree ARGUMENTS, so repeated ``solve``
     calls (same shapes/config, any values — the serving pattern) hit the
     jit cache instead of re-tracing + re-compiling every call (the
     ``refine._df_refine_helpers`` pattern; a cold trace+remote-compile
-    through the tunnel costs seconds, a warm call milliseconds)."""
+    through the tunnel costs seconds, a warm call milliseconds).
+
+    ``nrhs > 0`` vmaps the solver over RHS columns (``b``/``x0`` of
+    shape ``(n, k)``) — the KSPMatSolve analog: all ``k`` systems run
+    in ONE jitted program, so the per-column vectors batch into panel
+    matmuls on the MXU instead of paying ``k`` sequential dispatches."""
     import dataclasses
 
     import jax
@@ -57,6 +62,9 @@ def _jitted_ksp(method: str, pc_kind: str, restart: int, maxiter: int,
         if method == "cg":
             return krylov.cg(op.mv, b, x0, maxiter=maxiter, rtol=rtol,
                              atol=atol, precond=M)
+        if method == "minres":
+            return krylov.minres(op.mv, b, x0, maxiter=maxiter,
+                                 rtol=rtol, atol=atol, precond=M)
         if method == "bicgstab":
             return krylov.bicgstab(op.mv, b, x0, maxiter=maxiter,
                                    rtol=rtol, atol=atol, precond=M)
@@ -70,6 +78,11 @@ def _jitted_ksp(method: str, pc_kind: str, restart: int, maxiter: int,
                            maxiter=maxiter, rtol=rtol, atol=atol)
         return dataclasses.replace(res, x=M(res.x))
 
+    if nrhs > 0:
+        # columns are independent: vmap over axis 1 of b/x0 (operator and
+        # PC broadcast).  Result leaves gain a leading k axis; the caller
+        # transposes x back to (n, k).
+        return jax.jit(jax.vmap(run, in_axes=(None, 1, 1, None)))
     return jax.jit(run)
 
 
@@ -92,6 +105,56 @@ def _jitted_lstsq(method: str, maxiter: int, rtol: float, atol: float,
     return jax.jit(run)
 
 
+def is_symmetric(A, *, rtol: float = 1e-12) -> bool:
+    """Host-side symmetry check on a scipy matrix: pattern AND values,
+    ``max|A - A^T| <= rtol * max|A|`` (exact-zero difference for
+    structurally symmetric integer-valued assemblies)."""
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A)
+    d = (A - A.T).tocoo()
+    if d.nnz == 0:
+        return True
+    amax = float(np.abs(A.data).max()) if A.nnz else 0.0
+    return bool(np.abs(d.data).max() <= rtol * amax)
+
+
+def _auto_method(A) -> str:
+    """'minres' for symmetric matrices, 'gmres' otherwise.
+
+    MINRES is chosen over CG for the symmetric branch because it is
+    correct for the WHOLE class (CG requires positive definiteness,
+    which no cheap host test certifies — a positive diagonal does not;
+    a truncated-Lanczos lower bound can miss a negative eigenvalue) at
+    essentially CG's per-iteration cost.  Users who know their matrix
+    is SPD pass ``method='cg'`` explicitly.
+    """
+    return "minres" if is_symmetric(A) else "gmres"
+
+
+def _auto_pc(A, op, method: str) -> str:
+    """'bjacobi' when the routing found exploitable block structure
+    (the routed operator is BSR — its measured block size feeds the
+    batched inverses); 'jacobi' when the diagonal is fully nonzero;
+    else 'none' (a zero diagonal breaks both point and block Jacobi —
+    e.g. saddle-point systems).
+
+    For ``minres`` the preconditioner must be SPD even when A is
+    indefinite, which neither a nonzero diagonal nor invertible blocks
+    certify — auto picks jacobi only on a strictly POSITIVE diagonal
+    and never bjacobi (an indefinite M trips minres's breakdown guard
+    and the solve would honestly-but-unhelpfully report not-converged).
+    """
+    d = A.diagonal()
+    if method == "minres":
+        return "jacobi" if bool((d > 0).all()) else "none"
+    if type(op).__name__.startswith("BSR"):
+        return "bjacobi"
+    if bool((d != 0).all()):
+        return "jacobi"
+    return "none"
+
+
 def solve(A, b, *, method: str = "gmres", rtol: float = 1e-8,
           atol: float = 0.0, maxiter: int = 10000, restart: int = 30,
           pc: str = "none", pc_block_size: int = 64,
@@ -99,11 +162,23 @@ def solve(A, b, *, method: str = "gmres", rtol: float = 1e-8,
     """Solve ``A x = b`` for a square ``scipy.sparse`` (or dense numpy)
     matrix on the TPU-routed operator.
 
-    ``method``: 'gmres' | 'cg' (SPD) | 'bicgstab' | 'ca_gmres' (SPD,
-    ``s``-step Newton basis with a Lanczos-estimated interval).
-    ``pc``: 'none' | 'jacobi' | 'bjacobi' — RIGHT-preconditioned (the
-    convergence test always sees the TRUE residual); 'bjacobi' factors
-    ``pc_block_size``-sized diagonal blocks as batched dense inverses.
+    ``method``: 'gmres' | 'cg' (SPD) | 'minres' (symmetric, possibly
+    indefinite) | 'bicgstab' | 'ca_gmres' (SPD, ``s``-step Newton basis
+    with a Lanczos-estimated interval) | 'auto' (host symmetry check →
+    minres for symmetric, gmres otherwise).
+    ``pc``: 'none' | 'jacobi' | 'bjacobi' | 'auto' — 'bjacobi' factors
+    ``pc_block_size``-sized diagonal blocks as batched dense inverses;
+    'auto' picks bjacobi on block-routed (BSR) operators at the ROUTED
+    block size, jacobi on a nonzero diagonal, none otherwise.  gmres/
+    bicgstab compose on the RIGHT (the convergence test always sees the
+    TRUE residual); cg/minres use the standard SPD-M composition with
+    the test on ``||r||_2`` / ``||r||_M`` respectively.
+
+    ``b`` may be a matrix ``(n, k)`` — k independent right-hand sides
+    solved in ONE jitted vmapped program (the KSPMatSolve analog; the
+    basis/vector ops batch into MXU panel matmuls).  ``info`` fields
+    then hold per-column numpy arrays, plus scalar ``converged`` =
+    all-columns.
 
     Returns ``(x, info)`` with ``x`` as float64 numpy and ``info``
     carrying ``converged`` / ``iters`` / ``rel_residual`` (measured on
@@ -121,27 +196,44 @@ def solve(A, b, *, method: str = "gmres", rtol: float = 1e-8,
         block_jacobi_from_scipy,
     )
 
-    if method not in ("gmres", "cg", "bicgstab", "ca_gmres"):
+    if method not in ("auto", "gmres", "cg", "minres", "bicgstab",
+                      "ca_gmres"):
         raise ValueError(
-            f"method must be gmres | cg | bicgstab | ca_gmres, "
-            f"got {method!r}"
+            f"method must be auto | gmres | cg | minres | bicgstab | "
+            f"ca_gmres, got {method!r}"
         )
-    if pc not in ("none", "jacobi", "bjacobi"):
+    if pc not in ("auto", "none", "jacobi", "bjacobi"):
         raise ValueError(
-            f"pc must be none | jacobi | bjacobi, got {pc!r}"
+            f"pc must be auto | none | jacobi | bjacobi, got {pc!r}"
         )
     A = sp.csr_matrix(A)
     if A.shape[0] != A.shape[1]:
         raise ValueError(f"solve needs a square matrix, got {A.shape}")
     n = A.shape[0]
-    b_host = np.asarray(b, np.float64).reshape(-1)
+    b_host = np.asarray(b, np.float64)
+    multi = b_host.ndim == 2
+    if not multi:
+        b_host = b_host.reshape(-1)
     if b_host.shape[0] != n:
         raise ValueError(f"b has length {b_host.shape[0]}, matrix is {n}")
+    nrhs = b_host.shape[1] if multi else 0
+
+    if method == "auto":
+        method = _auto_method(A)
 
     dt = jnp.float32 if dtype is None else dtype
     op = from_scipy(A, dtype=dt)
+    if pc == "auto":
+        pc = _auto_pc(A, op, method)
+        if pc == "bjacobi":
+            pc_block_size = op.bs
     bj = jnp.asarray(b_host, dt)
-    xj0 = None if x0 is None else jnp.asarray(np.asarray(x0), dt)
+    if x0 is not None:
+        xj0 = jnp.asarray(np.asarray(x0), dt).reshape(bj.shape)
+    elif multi:
+        xj0 = jnp.zeros_like(bj)   # vmap needs a mappable x0 argument
+    else:
+        xj0 = None
 
     pc_op = None
     if pc == "jacobi":
@@ -151,10 +243,11 @@ def solve(A, b, *, method: str = "gmres", rtol: float = 1e-8,
     elif pc == "bjacobi":
         pc_op = block_jacobi_from_scipy(A, bs=pc_block_size, dtype=dt)
 
-    if method in ("cg", "bicgstab", "gmres"):
-        run = _jitted_ksp(method, pc, restart, maxiter, rtol, atol)
+    if method in ("cg", "minres", "bicgstab", "gmres"):
+        run = _jitted_ksp(method, pc, restart, maxiter, rtol, atol,
+                          nrhs=nrhs)
         res = run(op, bj, xj0, pc_op)
-        x = res.x
+        x = res.x.T if multi else res.x
     else:  # ca_gmres (host-side Lanczos bounds feed static Newton shifts)
         from medane_tchakorom_ufc_thesis_repository_tpu.solvers.castep import (
             ca_gmres,
@@ -168,6 +261,11 @@ def solve(A, b, *, method: str = "gmres", rtol: float = 1e-8,
                 "ca_gmres does not compose with pc (its Newton shifts "
                 "are derived for the unpreconditioned spectrum)"
             )
+        if multi:
+            raise ValueError(
+                "ca_gmres supports a single RHS (its Newton-basis panel "
+                "cycle does not vmap); use gmres/cg/minres for b (n, k)"
+            )
         lmin, lmax = lanczos_bounds(op.mv, n, dtype=dt)
         res = ca_gmres(op.mv, bj, xj0, s=s, maxiter=maxiter, rtol=rtol,
                        atol=atol, lmin=lmin, lmax=lmax)
@@ -175,17 +273,23 @@ def solve(A, b, *, method: str = "gmres", rtol: float = 1e-8,
 
     x_host = np.asarray(x, np.float64)
     r = b_host - A @ x_host
-    bn = np.linalg.norm(b_host)
+    bn = np.linalg.norm(b_host, axis=0)
+    rn = np.linalg.norm(r, axis=0)
+    rel = np.divide(rn, bn, out=np.zeros_like(rn), where=bn > 0)
     info = dict(
-        converged=bool(res.converged),
-        iters=int(res.iters),
-        rel_residual=float(np.linalg.norm(r) / bn) if bn > 0 else 0.0,
-        resnorm=float(res.resnorm),
-        resnorm0=float(res.resnorm0),
+        converged=bool(np.asarray(res.converged).all()),
+        iters=(np.asarray(res.iters) if multi else int(res.iters)),
+        rel_residual=(rel if multi else float(rel)),
+        resnorm=(np.asarray(res.resnorm, np.float64) if multi
+                 else float(res.resnorm)),
+        resnorm0=(np.asarray(res.resnorm0, np.float64) if multi
+                  else float(res.resnorm0)),
         operator=type(op).__name__,
         method=method,
         pc=pc,
     )
+    if multi:
+        info["converged_per_rhs"] = np.asarray(res.converged)
     return x_host, info
 
 

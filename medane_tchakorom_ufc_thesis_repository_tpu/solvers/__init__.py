@@ -3,6 +3,7 @@ from medane_tchakorom_ufc_thesis_repository_tpu.solvers.krylov import (  # noqa:
     bicgstab,
     cg,
     gmres,
+    minres,
 )
 from medane_tchakorom_ufc_thesis_repository_tpu.solvers.lsqr import (  # noqa: F401
     cgne,

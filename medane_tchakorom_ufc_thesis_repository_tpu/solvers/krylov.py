@@ -476,3 +476,125 @@ def bicgstab(
         x=x, iters=iters, resnorm=rnorm, resnorm0=rnorm0_,
         converged=rnorm <= tol,
     )
+
+
+# ---------------------------------------------------------------------------
+# MINRES
+# ---------------------------------------------------------------------------
+
+def minres(
+    matvec: Callable,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    maxiter: int = 10000,
+    rtol: float = 1e-5,
+    atol: float = 0.0,
+    rnorm0: Optional[jax.Array] = None,
+    axis_name=None,
+    precond: Optional[Callable] = None,
+    divtol: float = 1e5,
+) -> KrylovResult:
+    """MINRES for symmetric (possibly INDEFINITE) systems — the PETSc
+    KSPMINRES analog (exposed by the reference through
+    ``KSPSetFromOptions``, ``src/utils/utils.c:511-530``).
+
+    Fills the gap between ``cg`` (needs positive definiteness) and
+    ``gmres`` (general, but stores a restart-length basis): the
+    Paige-Saunders Lanczos + Givens recurrence minimizes ``||b - A x||``
+    over the Krylov space with O(1) memory and ONE matvec + two fused
+    reductions per iteration — symmetric saddle-point / shifted systems
+    where CG's recurrence breaks run at CG cost instead of paying
+    GMRES's O(m·n) basis traffic.
+
+    ``precond``: optional SPD preconditioner apply ``M(v) ~= A^{-1} v``
+    (jacobi/bjacobi with SPD blocks, multigrid).  MINRES requires an SPD
+    M even for indefinite A (the Lanczos inner product is the M-norm);
+    the recurrence residual — and therefore the convergence test — is
+    then ``||r||_{M}`` (PETSc's PRECONDITIONED norm type, its MINRES
+    default).  Unpreconditioned, the estimate is the true 2-norm.
+    """
+    dtype = b.dtype
+    psum = make_reducer(axis_name)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    M = precond if precond is not None else (lambda v: v)
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+
+    r1 = b - matvec(x0)
+    y0 = M(r1)
+    beta1sq, rtrue0sq = psum(
+        jnp.stack([jnp.vdot(r1, y0), jnp.vdot(r1, r1)]))
+    # an indefinite M makes the Lanczos inner product invalid — freeze
+    # immediately (reported NOT converged) instead of sqrt(negative).
+    # beta1sq == 0 with a NONZERO residual is the same breakdown (e.g.
+    # M with mixed-sign diagonal annihilating r'Mr), not convergence.
+    broke0 = jnp.logical_and(beta1sq <= 0, rtrue0sq > 0)
+    beta1 = jnp.sqrt(jnp.maximum(beta1sq, 0.0))
+    rnorm0_ = beta1 if rnorm0 is None else jnp.asarray(rnorm0, dtype)
+    tol = _tol(jnp.asarray(rtol, dtype), jnp.asarray(atol, dtype), rnorm0_)
+
+    def body(carry):
+        (x, r1_, r2, y, w, w2, oldb, beta, dbar, epsln, phibar,
+         cs, sn, iters, broke) = carry
+        # --- Lanczos step on the M-inner product ---------------------
+        ok_b = beta > 0
+        v = y / jnp.where(ok_b, beta, 1.0)
+        yk = matvec(v)
+        # subtract the previous couplings (first step: oldb = 0 and
+        # r1_ = r2, so the correction term is a harmless scaled self)
+        yk = yk - jnp.where(oldb > 0, beta / jnp.where(oldb > 0, oldb, 1.0),
+                            0.0) * r1_
+        alfa = psum(jnp.vdot(v, yk))
+        yk = yk - (alfa / jnp.where(ok_b, beta, 1.0)) * r2
+        r1n, r2n = r2, yk
+        yn = M(yk)
+        betasq = psum(jnp.vdot(r2n, yn))
+        ok_m = betasq >= 0
+        oldb_n = beta
+        beta_n = jnp.sqrt(jnp.where(ok_m, betasq, 0.0))
+        # --- Givens QR of the tridiagonal, right-hand-side update ----
+        oldeps = epsln
+        delta = cs * dbar + sn * alfa
+        gbar = sn * dbar - cs * alfa
+        epsln_n = sn * beta_n
+        dbar_n = -cs * beta_n
+        gamma = jnp.sqrt(gbar * gbar + beta_n * beta_n)
+        gamma = jnp.maximum(gamma, eps)
+        cs_n = gbar / gamma
+        sn_n = beta_n / gamma
+        phi = cs_n * phibar
+        # an M-breakdown zeroed beta_n, which would drive phibar -> 0 and
+        # falsely report convergence — freeze the estimate instead (the
+        # broke flag below exits the loop with the honest last value)
+        phibar_n = jnp.where(ok_m, jnp.abs(sn_n * phibar), phibar)
+        # --- solution update (three-term w recurrence) ----------------
+        w1n = w2           # w_{k-2}
+        wn = (v - oldeps * w1n - delta * w) / gamma
+        xn = x + phi * wn
+        # the cond guard keeps broken states out of the body, so a new
+        # breakage (broke_n) exits the loop with phibar frozen above
+        broke_n = broke | ~ok_b | ~ok_m
+        return (xn, r1n, r2n, yn, wn, w,
+                oldb_n, beta_n, dbar_n, epsln_n, phibar_n,
+                cs_n, sn_n, iters + 1, broke_n)
+
+    def cond(carry):
+        phibar, iters, broke = carry[10], carry[13], carry[14]
+        keep = jnp.logical_and(phibar > tol, iters < maxiter)
+        keep = jnp.logical_and(keep, ~broke)
+        if divtol > 0.0:
+            keep = jnp.logical_and(keep, phibar <= divtol * rnorm0_)
+        return keep
+
+    zero = jnp.zeros((), dtype)
+    init = (x0, r1, r1, y0, jnp.zeros_like(b), jnp.zeros_like(b),
+            zero, beta1, zero, zero, beta1,
+            -jnp.ones((), dtype), zero,
+            jnp.zeros((), jnp.int32), broke0)
+    out = lax.while_loop(cond, body, init)
+    x, phibar, iters, broke = out[0], out[10], out[13], out[14]
+    return KrylovResult(
+        x=x, iters=iters, resnorm=phibar, resnorm0=rnorm0_,
+        converged=jnp.logical_and(phibar <= tol, ~broke),
+    )

@@ -69,6 +69,87 @@ class TestSolve:
             solve(A, np.ones(3))
         with pytest.raises(ValueError, match="compose"):
             solve(A, b, method="ca_gmres", pc="bjacobi")
+        with pytest.raises(ValueError, match="single RHS"):
+            solve(A, np.ones((A.shape[0], 2)), method="ca_gmres")
+
+    def test_minres_symmetric_indefinite(self):
+        rng = np.random.default_rng(91)
+        n = 128
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        d = np.concatenate([np.linspace(1, 8, n - 24),
+                            -np.linspace(1, 4, 24)])
+        A = sp.csr_matrix((Q * d) @ Q.T)
+        b = np.asarray(A @ np.ones(n))
+        x, info = solve(A, b, method="minres", rtol=1e-9,
+                        dtype=jnp.float64)
+        assert info["converged"]
+        assert info["rel_residual"] <= 2e-9
+        np.testing.assert_allclose(x, 1.0, rtol=1e-6)
+
+    def test_auto_method_and_pc_selection(self):
+        # symmetric -> minres; auto pc on a positive diagonal -> jacobi
+        A = _spd_blockable(seed=77)
+        b = np.asarray(A @ np.ones(A.shape[0]))
+        x, info = solve(A, b, method="auto", pc="auto", rtol=1e-8,
+                        dtype=jnp.float64)
+        assert info["method"] == "minres"
+        assert info["pc"] == "jacobi"   # minres auto never picks bjacobi
+        assert info["converged"] and info["rel_residual"] <= 1.1e-8
+        np.testing.assert_allclose(x, 1.0, rtol=1e-5)
+        # nonsymmetric -> gmres; BSR-routed operator -> bjacobi at the
+        # ROUTED block size
+        An = (A + sp.random(A.shape[0], A.shape[0], density=0.01,
+                            random_state=9) * 1e-2).tocsr()
+        bn = np.asarray(An @ np.ones(An.shape[0]))
+        xn, info_n = solve(An, bn, method="auto", pc="auto", rtol=1e-8,
+                           dtype=jnp.float64)
+        assert info_n["method"] == "gmres"
+        assert info_n["operator"] == "BSR"
+        assert info_n["pc"] == "bjacobi"
+        assert info_n["converged"]
+        np.testing.assert_allclose(xn, 1.0, rtol=1e-5)
+
+    def test_auto_pc_zero_diagonal_is_none(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.api import _auto_pc
+
+        # saddle-point-style zero diagonal: auto must not build jacobi
+        A = sp.csr_matrix(np.array([[0.0, 1.0], [1.0, 0.0]]))
+
+        class _FakeOp:
+            pass
+
+        assert _auto_pc(A, _FakeOp(), "gmres") == "none"
+        assert _auto_pc(A, _FakeOp(), "minres") == "none"
+
+    def test_multi_rhs_matches_column_solves(self):
+        A = _spd_blockable(seed=79)
+        n = A.shape[0]
+        rng = np.random.default_rng(7)
+        B = rng.standard_normal((n, 4))
+        X, info = solve(A, B, method="gmres", rtol=1e-9,
+                        dtype=jnp.float64)
+        assert X.shape == (n, 4)
+        assert info["converged"]
+        assert info["iters"].shape == (4,)
+        assert info["converged_per_rhs"].all()
+        assert (info["rel_residual"] <= 2e-9).all()
+        for k in range(4):
+            xk, ik = solve(A, B[:, k], method="gmres", rtol=1e-9,
+                           dtype=jnp.float64)
+            np.testing.assert_allclose(X[:, k], xk, rtol=1e-8, atol=1e-10)
+
+    def test_multi_rhs_cg_and_pc(self):
+        A = _spd_blockable(seed=83)
+        n = A.shape[0]
+        B = np.stack([np.asarray(A @ np.ones(n)),
+                      np.asarray(A @ np.arange(n, dtype=np.float64))],
+                     axis=1)
+        X, info = solve(A, B, method="cg", pc="bjacobi", pc_block_size=16,
+                        rtol=1e-10, dtype=jnp.float64)
+        assert info["converged"]
+        np.testing.assert_allclose(X[:, 0], 1.0, rtol=1e-6)
+        np.testing.assert_allclose(X[:, 1], np.arange(n), rtol=1e-6,
+                                   atol=1e-7)
 
 
 class TestLstsq:

@@ -169,16 +169,52 @@ class TestStackedDIA:
         assert out is eop
 
     def test_unstructured_routes_to_bsr_when_blockable(self):
-        # with DIA ruled out but BSR allowed, the variable-coefficient
-        # split routes to StackedBSROperator (round-3 general-sparse path)
-        eop = self._variable_coeff_ell()
-        out = blockops.as_stacked_tpu_operator(eop, max_diags=2)
+        # a genuinely blockable split (dense 16x16 sub-blocks, too many
+        # distinct diagonals for DIA) routes to StackedBSROperator under
+        # the DEFAULT cost bar.  The banded _variable_coeff_ell fixture
+        # no longer qualifies: the honest padded-width fill estimate
+        # prices its 5-point pattern above 16x at every block size —
+        # banded matrices belong on the DIA route.
+        import scipy.sparse as sp
+
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import (
+            poisson as pp,
+        )
+
+        rng = np.random.default_rng(41)
+        nbr, c = 16, 16
+        n = nbr * c
+        A = sp.lil_matrix((n, n))
+        for k in range(nbr):
+            A[k * c:(k + 1) * c, k * c:(k + 1) * c] = (
+                rng.standard_normal((c, c)) + np.eye(c) * 8.0
+            )
+            # PER-ROW-VARYING block offsets: every block row couples at a
+            # different distance, so the pattern is genuinely unbanded
+            # (> 64 distinct diagonals rules DIA out at defaults)
+            j = (k + 1 + (k % 7)) % nbr
+            A[k * c:(k + 1) * c, j * c:(j + 1) * c] = (
+                0.1 * rng.standard_normal((c, c))
+            )
+        coo = A.tocsr().tocoo()
+        a_ii, a_ic = pp.block_split_ell(
+            coo.row, coo.col, coo.data, (n, n), nblocks=2,
+            dtype=jnp.float64,
+        )
+        eop = blockops.StackedELLOperator(a_ii=a_ii, a_ic=a_ic)
+        out = blockops.as_stacked_tpu_operator(eop)
         assert isinstance(out, blockops.StackedBSROperator)
         x = blockops.rhs_ones(eop, jnp.float64)
         np.testing.assert_allclose(
             np.asarray(out.full_mv(x)), np.asarray(eop.full_mv(x)),
             rtol=1e-12, atol=1e-12,
         )
+        # the banded fixture warns and passes through at defaults
+        with pytest.warns(UserWarning, match="gather-ELL"):
+            banded = blockops.as_stacked_tpu_operator(
+                self._variable_coeff_ell(), max_diags=2
+            )
+        assert isinstance(banded, blockops.StackedELLOperator)
 
 
 class TestSM:

@@ -425,3 +425,127 @@ class TestBiCGStab:
                                     rtol=1e-9, maxiter=2000)
         assert bool(res.converged)
         np.testing.assert_allclose(np.asarray(res.x), 1.0, rtol=1e-6)
+
+
+class TestMinres:
+    """MINRES (PETSc KSPMINRES analog): symmetric INDEFINITE systems —
+    the class CG's recurrence breaks on and GMRES pays O(m·n) basis
+    traffic for.  Paige-Saunders Lanczos + Givens, one matvec and two
+    reductions per iteration."""
+
+    def _sym_indefinite(self, n=200, neg=40, seed=11):
+        rng = np.random.default_rng(seed)
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        d = np.concatenate([np.linspace(1.0, 10.0, n - neg),
+                            -np.linspace(1.0, 5.0, neg)])
+        return (Q * d) @ Q.T
+
+    def test_indefinite_matches_direct_solution(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import minres
+
+        A = self._sym_indefinite()
+        n = A.shape[0]
+        b = np.asarray(A @ np.ones(n))
+        Ad = jnp.asarray(A)
+        res = minres(lambda v: Ad @ v, jnp.asarray(b), maxiter=2000,
+                     rtol=1e-11)
+        assert bool(res.converged)
+        x = np.asarray(res.x)
+        np.testing.assert_allclose(x, 1.0, rtol=1e-7, atol=1e-9)
+        # the recurrence estimate tracks the TRUE residual
+        rel = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+        assert rel <= 2e-11
+        assert abs(float(res.resnorm) / np.linalg.norm(b) - rel) <= 1e-12
+
+    def test_spd_iteration_parity_with_cg(self, poisson_8x8):
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import minres
+
+        op, dense, b, x_exact = poisson_8x8
+        rm = minres(op.mv, b, maxiter=500, rtol=1e-10)
+        rc = cg(op.mv, b, maxiter=500, rtol=1e-10)
+        assert bool(rm.converged)
+        np.testing.assert_allclose(np.asarray(rm.x), x_exact, rtol=1e-7,
+                                   atol=1e-9)
+        # on SPD problems MINRES and CG explore the same Krylov space:
+        # counts match within a couple of steps
+        assert abs(int(rm.iters) - int(rc.iters)) <= 3
+
+    def test_scipy_iteration_anchor(self):
+        """External anchor (VERDICT r2 #3 policy): iterations to a MATCHED
+        true-residual level within ±10% of scipy.sparse.linalg.minres.
+        (Raw rtol-for-rtol counts are not comparable: scipy's default
+        stopping rule is ``rtol * ||A|| * ||x||``, not ``rtol * ||r0||``,
+        so it exits at a different achieved residual — the anchor is the
+        iteration where scipy's TRUE residual first crosses our target.)"""
+        import scipy.sparse.linalg as spla
+
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import minres
+
+        A = self._sym_indefinite(seed=12)
+        b = np.asarray(A @ np.ones(A.shape[0]))
+        bn = np.linalg.norm(b)
+        rtol = 1e-9
+        Ad = jnp.asarray(A)
+        res = minres(lambda v: Ad @ v, jnp.asarray(b), maxiter=2000,
+                     rtol=rtol)
+        rels = []
+        spla.minres(A, b, rtol=1e-13, maxiter=2000,
+                    callback=lambda xk: rels.append(
+                        np.linalg.norm(b - A @ xk) / bn))
+        crossing = 1 + next(i for i, r in enumerate(rels) if r <= rtol)
+        assert bool(res.converged)
+        assert abs(int(res.iters) - crossing) <= max(3, 0.1 * crossing)
+
+    def test_spd_precond_cuts_iterations(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import minres
+
+        rng = np.random.default_rng(13)
+        n = 200
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        d = np.linspace(1.0, 50.0, n)
+        A = (Q * d) @ Q.T + np.diag(np.linspace(1.0, 1000.0, n))
+        b = rng.standard_normal(n)
+        Ad, bj = jnp.asarray(A), jnp.asarray(b)
+        Minv = jnp.asarray(1.0 / np.diag(A))
+        plain = minres(lambda v: Ad @ v, bj, maxiter=2000, rtol=1e-10)
+        pre = minres(lambda v: Ad @ v, bj, maxiter=2000, rtol=1e-10,
+                     precond=lambda v: Minv * v)
+        assert bool(pre.converged)
+        # preconditioned test is the M-norm — check the true residual too
+        rel = np.linalg.norm(b - A @ np.asarray(pre.x)) / np.linalg.norm(b)
+        assert rel <= 1e-8
+        assert int(pre.iters) < int(plain.iters) / 2
+
+    def test_indefinite_precond_reports_not_converged(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import minres
+
+        # an INDEFINITE M invalidates the Lanczos inner product: the
+        # breakdown guard must freeze (finite result, honestly not
+        # converged) rather than report a false convergence via beta=0
+        d = jnp.asarray(np.where(np.arange(64) % 2, 1.0, -1.0))
+        A = jnp.eye(64) * 2.0
+        res = minres(lambda v: A @ v, jnp.ones(64), maxiter=100,
+                     rtol=1e-12, precond=lambda v: d * v)
+        assert np.isfinite(np.asarray(res.x)).all()
+        assert not bool(res.converged)
+
+    def test_warm_start(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import minres
+
+        op = poisson.poisson2d(24, 24)
+        b = poisson.rhs_for_exact_ones(op)
+        half = minres(op.mv, b.reshape(-1), maxiter=30, rtol=1e-12)
+        res = minres(op.mv, b.reshape(-1), half.x, maxiter=2000,
+                     rtol=1e-10)
+        assert bool(res.converged)
+        assert int(res.iters) < int(minres(op.mv, b.reshape(-1),
+                                           maxiter=2000, rtol=1e-10).iters)
+
+    def test_zero_rhs_immediate(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import minres
+
+        res = minres(lambda v: 2.0 * v, jnp.zeros(32), maxiter=10,
+                     rtol=1e-10)
+        assert bool(res.converged)
+        assert int(res.iters) == 0
+        np.testing.assert_array_equal(np.asarray(res.x), 0.0)
