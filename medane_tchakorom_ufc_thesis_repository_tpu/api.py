@@ -57,7 +57,7 @@ def _jitted_ksp(method: str, pc_kind: str, restart: int, maxiter: int,
             M = None
         elif pc_kind == "jacobi":
             M = lambda v: pc_op * v
-        else:  # bjacobi
+        else:  # bjacobi / amg — both are pytrees with a traceable .apply
             M = pc_op.apply
         if method == "cg":
             return krylov.cg(op.mv, b, x0, maxiter=maxiter, rtol=rtol,
@@ -166,13 +166,17 @@ def solve(A, b, *, method: str = "gmres", rtol: float = 1e-8,
     indefinite) | 'bicgstab' | 'ca_gmres' (SPD, ``s``-step Newton basis
     with a Lanczos-estimated interval) | 'auto' (host symmetry check →
     minres for symmetric, gmres otherwise).
-    ``pc``: 'none' | 'jacobi' | 'bjacobi' | 'auto' — 'bjacobi' factors
-    ``pc_block_size``-sized diagonal blocks as batched dense inverses;
-    'auto' picks bjacobi on block-routed (BSR) operators at the ROUTED
-    block size, jacobi on a nonzero diagonal, none otherwise.  gmres/
-    bicgstab compose on the RIGHT (the convergence test always sees the
-    TRUE residual); cg/minres use the standard SPD-M composition with
-    the test on ``||r||_2`` / ``||r||_M`` respectively.
+    ``pc``: 'none' | 'jacobi' | 'bjacobi' | 'amg' | 'auto' — 'bjacobi'
+    factors ``pc_block_size``-sized diagonal blocks as batched dense
+    inverses; 'amg' builds a smoothed-aggregation hierarchy
+    (``solvers/amg.py``, the PCGAMG analog — O(n) iterations for SPD
+    diffusion-class systems); 'auto' picks bjacobi on block-routed
+    (BSR) operators at the ROUTED block size, jacobi on a nonzero
+    diagonal, none otherwise (amg stays opt-in: its setup cost only
+    amortizes on hard SPD systems).  gmres/bicgstab compose on the
+    RIGHT (the convergence test always sees the TRUE residual);
+    cg/minres use the standard SPD-M composition with the test on
+    ``||r||_2`` / ``||r||_M`` respectively.
 
     ``b`` may be a matrix ``(n, k)`` — k independent right-hand sides
     solved in ONE jitted vmapped program (the KSPMatSolve analog; the
@@ -202,9 +206,9 @@ def solve(A, b, *, method: str = "gmres", rtol: float = 1e-8,
             f"method must be auto | gmres | cg | minres | bicgstab | "
             f"ca_gmres, got {method!r}"
         )
-    if pc not in ("auto", "none", "jacobi", "bjacobi"):
+    if pc not in ("auto", "none", "jacobi", "bjacobi", "amg"):
         raise ValueError(
-            f"pc must be auto | none | jacobi | bjacobi, got {pc!r}"
+            f"pc must be auto | none | jacobi | bjacobi | amg, got {pc!r}"
         )
     A = sp.csr_matrix(A)
     if A.shape[0] != A.shape[1]:
@@ -242,6 +246,12 @@ def solve(A, b, *, method: str = "gmres", rtol: float = 1e-8,
         pc_op = jnp.asarray(1.0 / d, dt)
     elif pc == "bjacobi":
         pc_op = block_jacobi_from_scipy(A, bs=pc_block_size, dtype=dt)
+    elif pc == "amg":
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.amg import (
+            amg_setup,
+        )
+
+        pc_op = amg_setup(A, dtype=dt)
 
     if method in ("cg", "minres", "bicgstab", "gmres"):
         run = _jitted_ksp(method, pc, restart, maxiter, rtol, atol,

@@ -25,7 +25,7 @@ Representations
     block-row gathers + batched sub-block matvecs, ``rmv`` via a
     transpose pack — the TPU path for genuinely unstructured sparsity
     with block structure (2-5x off DIA per stored value vs gather-ELL's
-    139x; BENCHMARKS.md).
+    ~2000x steady-state; BENCHMARKS.md round-3 re-measurement).
 ``DenseOp``
     Thin wrapper over a dense matrix, for tests and tall-skinny blocks.
 
@@ -36,7 +36,7 @@ by LSQR/CGNE), plus ``shape`` / ``dtype`` / ``nnz`` metadata.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -755,7 +755,8 @@ def operator_from_coo(rows, cols, vals, shape, dtype=jnp.float32,
                       max_diags: int = 64, max_bsr_cost: float = 16.0,
                       bsr_block_sizes: Tuple[int, ...] = (8, 16, 32, 64,
                                                           128),
-                      max_dense_n: int = 4096):
+                      max_dense_n: Optional[int] = None,
+                      max_bsr_bytes: int = 2 << 30):
     """The ``create_matrix_sparse`` entry point (reference
     ``src/utils/utils.c:139-155``): accept ANY sparsity pattern as COO
     and return the TPU-efficient operator directly — banded → ``DIA``,
@@ -763,9 +764,17 @@ def operator_from_coo(rows, cols, vals, shape, dtype=jnp.float32,
     eats an n ≤ ``max_dense_n`` dense matvec for breakfast: measured
     0.092 ms dense vs 1.15 ms gather-ELL at n=4096, 13×; essentially
     free at n=1024), rectangular or large residual → ``ELL`` (with the
-    gather-path warning from ``as_tpu_operator``'s policy)."""
-    from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+    gather-path warning from ``as_tpu_operator``'s policy).
 
+    ``max_dense_n`` defaults to the calibrated value for the current
+    chip (``core.calibration``; shipped v5e: 4096)."""
+    from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
+    from medane_tchakorom_ufc_thesis_repository_tpu.core.calibration import (
+        default_max_dense_n,
+    )
+
+    if max_dense_n is None:
+        max_dense_n = default_max_dense_n()
     rows = np.asarray(rows)
     cols = np.asarray(cols)
     vals = np.asarray(vals)
@@ -774,7 +783,8 @@ def operator_from_coo(rows, cols, vals, shape, dtype=jnp.float32,
             return poisson.coo_to_dia(rows, cols, vals, shape, dtype=dtype)
         routed = _route_unbanded_square_coo(
             rows, cols, vals, shape, dtype, max_bsr_cost,
-            bsr_block_sizes, max_dense_n, caller="operator_from_coo",
+            bsr_block_sizes, max_dense_n, max_bsr_bytes=max_bsr_bytes,
+            caller="operator_from_coo",
         )
         if routed is not None:
             return routed
@@ -804,10 +814,9 @@ def _dense_from_coo(rows, cols, vals, shape, dtype):
     return DenseOp(a=jnp.asarray(dense, dtype))
 
 
-# measured per-nonzero gather-ELL SpMV cost relative to the slice paths
-# on v5e (BENCHMARKS.md format table) — the bar any other representation
-# must beat before gather-ELL is the honest answer
-_ELL_RELATIVE_COST = 139.0
+# Routing constants (gather-ELL cost bar, BSR block-size penalties,
+# dense cutoff) live in core.calibration: shipped v5e measurements,
+# overridable by a per-chip file produced by ``utils.calibrate``.
 
 
 # Is there a density below which a small matrix is better left as
@@ -826,15 +835,23 @@ def _route_unbanded_square_coo(rows, cols, vals, shape, dtype,
     """Shared routing tail for square non-banded patterns: BSR if the
     estimated cost clears ``max_bsr_cost``; dense if small; then a
     last-resort comparison — a HIGH-fill BSR whose estimated per-nonzero
-    cost still undercuts the measured gather-ELL cost (139x) wins as
-    long as the pack fits in ``max_bsr_bytes``.  Returns ``None`` when
-    gather-ELL really is the best remaining option (caller builds it)."""
+    cost still undercuts the measured gather-ELL cost (139x on v5e)
+    wins as long as the pack fits in ``max_bsr_bytes``.  Returns
+    ``None`` when gather-ELL really is the best remaining option
+    (caller builds it)."""
     import warnings
 
+    from medane_tchakorom_ufc_thesis_repository_tpu.core.calibration import (
+        bsr_bs_penalty,
+        ell_relative_cost,
+    )
+
+    _ELL_RELATIVE_COST = ell_relative_cost()
+    penalty = bsr_bs_penalty()
     best = None
     for bs in bsr_block_sizes:
         fill = bsr_block_fill_from_coo(rows, cols, shape, bs)
-        cost = fill * _BSR_BS_PENALTY.get(bs, 1.0)
+        cost = fill * penalty.get(bs, 1.0)
         if best is None or cost < best[1]:
             best = (bs, cost, fill)
     if best is not None and best[1] <= max_bsr_cost:
@@ -895,18 +912,23 @@ def bsr_block_fill_from_coo(rows, cols, shape, bs: int) -> float:
     return nbr * width * bs * bs / max(len(np.asarray(rows)), 1)
 
 
-# measured per-stored-value SpMV cost relative to bs=128, v5e (same
-# 33.5M-value budget, barriered-slope timing, transposed-block layout;
-# BENCHMARKS.md BSR table: 187/164/130/63/21 Gnnz/s for
-# bs=128/16/32/64/8): bs=8 pads the (8,128) lane tiling 16x; the bs=64
-# dip reproduced across runs (XLA picks a worse batched-contraction
-# schedule there)
-_BSR_BS_PENALTY = {8: 8.0, 16: 1.3, 32: 1.5, 64: 3.0, 128: 1.0, 256: 2.5}
+def _BSR_BS_PENALTY():
+    """Per-stored-value SpMV cost by block size, relative to the best
+    (shipped: v5e barriered-slope, BENCHMARKS.md BSR table — bs=8 pads
+    the (8,128) lane tiling 16x; the bs=64 dip reproduced across runs).
+    Now an accessor over ``core.calibration`` so a per-chip file from
+    ``utils.calibrate`` overrides the shipped table."""
+    from medane_tchakorom_ufc_thesis_repository_tpu.core.calibration import (
+        bsr_bs_penalty,
+    )
+
+    return bsr_bs_penalty()
 
 
 def as_tpu_operator(op, max_diags: int = 64, max_bsr_cost: float = 16.0,
                     bsr_block_sizes: Tuple[int, ...] = (8, 16, 32, 64, 128),
-                    max_dense_n: int = 4096):
+                    max_dense_n: Optional[int] = None,
+                    max_bsr_bytes: int = 2 << 30):
     """Pick the TPU-efficient representation for ``op``.
 
     ELL matvecs are elementwise-gather-bound (two orders of magnitude off
@@ -923,18 +945,30 @@ def as_tpu_operator(op, max_diags: int = 64, max_bsr_cost: float = 16.0,
        essentially free at n ≤ 1024 (64 MB of operator storage at the
        cutoff);
     4. last resort, a HIGH-fill BSR whose estimated cost still beats
-       the measured gather-ELL cost (~139x off slice speed) wins if the
-       pack fits in memory; otherwise stays gather-ELL with a
+       the measured gather-ELL cost (~1950x off slice speed steady
+       state — see ``core.calibration``) wins if the pack fits in
+       ``max_bsr_bytes``; otherwise stays gather-ELL with a
        ``UserWarning`` — that path also has a TPU-pathological
-       scatter-add ``rmv``.
+       scatter-add ``rmv``, and above ~2048² the gather's lane-padded
+       select OOMs at compile time.
+
+    ``max_dense_n`` defaults to the calibrated value for the current
+    chip (``core.calibration``; shipped v5e: 4096).
     """
+    from medane_tchakorom_ufc_thesis_repository_tpu.core.calibration import (
+        default_max_dense_n,
+    )
+
+    if max_dense_n is None:
+        max_dense_n = default_max_dense_n()
     if isinstance(op, ELL) and op.shape[0] == op.ncols:
         if op.ndiags() <= max_diags:
             return op.to_dia()
         rows, cols, vals = op.to_coo_np()
         routed = _route_unbanded_square_coo(
             rows, cols, vals, op.shape, op.dtype, max_bsr_cost,
-            bsr_block_sizes, max_dense_n, caller="as_tpu_operator",
+            bsr_block_sizes, max_dense_n, max_bsr_bytes=max_bsr_bytes,
+            caller="as_tpu_operator",
         )
         if routed is not None:
             return routed

@@ -671,11 +671,15 @@ def stacked_bsr_from_ell(op: StackedELLOperator,
     ``block_sizes`` keeps the estimated per-nonzero cost (fill x
     measured layout penalty, shared with ``as_tpu_operator``) under
     ``max_cost`` for BOTH the diagonal parts and the coupling."""
+    from medane_tchakorom_ufc_thesis_repository_tpu.core.calibration import (
+        bsr_bs_penalty,
+    )
     from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
-        _BSR_BS_PENALTY,
         _bsr_pack_np,
         bsr_block_fill_from_coo,
     )
+
+    _BSR_BS_PENALTY = bsr_bs_penalty()
 
     nb, bsz = op.nblocks, op.block_size
     n = nb * bsz

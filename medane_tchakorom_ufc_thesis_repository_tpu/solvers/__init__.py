@@ -26,6 +26,10 @@ from medane_tchakorom_ufc_thesis_repository_tpu.solvers.refine import (  # noqa:
 from medane_tchakorom_ufc_thesis_repository_tpu.solvers.multigrid import (  # noqa: F401
     mg_preconditioner,
 )
+from medane_tchakorom_ufc_thesis_repository_tpu.solvers.amg import (  # noqa: F401
+    AMGPreconditioner,
+    amg_setup,
+)
 from medane_tchakorom_ufc_thesis_repository_tpu.solvers.bjacobi import (  # noqa: F401
     BlockJacobi,
     block_jacobi_from_coo,

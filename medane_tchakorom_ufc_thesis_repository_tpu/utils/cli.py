@@ -77,11 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="column tiles (tiled backend)")
     p.add_argument("--dtype", default=None, choices=["float32", "float64"])
     p.add_argument("--pc-type", default=None, dest="pc_type",
-                   choices=["none", "jacobi", "bjacobi"],
+                   choices=["none", "jacobi", "bjacobi", "amg"],
                    help="whole-system PC for the GMRES baseline on a "
                         "user matrix (--alg GMRES --matrix): jacobi = "
                         "diagonal scaling; bjacobi = batched dense "
-                        "block inverses (PCBJACOBI analog)")
+                        "block inverses (PCBJACOBI analog); amg = "
+                        "smoothed-aggregation multigrid (PCGAMG analog, "
+                        "SPD systems; stacked backend)")
     p.add_argument("--pc-block-size", type=int, default=None,
                    dest="pc_block_size",
                    help="bjacobi diagonal-block size (default 64)")
@@ -620,6 +622,12 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
                     coo.row, coo.col, coo.data, A.shape[0], ndev,
                     bs=cfg.pc_block_size, dtype=dtype,
                 )
+            elif cfg.pc_type == "amg":
+                raise SystemExit(
+                    "--pc-type amg runs on the stacked backend (its "
+                    "V-cycle levels are whole-system pytrees; the "
+                    "row-sharded path offers jacobi/bjacobi)"
+                )
             gop = shard_general_from_coo(
                 coo.row, coo.col, cdata, A.shape[0], ndev, dtype=dtype,
             )
@@ -672,6 +680,12 @@ def run(cfg, profile_dir=None, stage_timers=False, record_history=False):
                     d[d == 0] = 1.0
                     dinv = jnp.asarray(1.0 / d, dtype)
                     M = lambda v: dinv * v
+                elif cfg.pc_type == "amg":
+                    from medane_tchakorom_ufc_thesis_repository_tpu.solvers.amg import (  # noqa: E501
+                        amg_setup,
+                    )
+
+                    M = amg_setup(user_A, dtype=dtype).apply
                 else:
                     from medane_tchakorom_ufc_thesis_repository_tpu.solvers.bjacobi import (  # noqa: E501
                         block_jacobi_from_scipy,

@@ -63,7 +63,7 @@ class RunConfig:
     # outer-KSP ``-pc_type`` analog (iSolve:78-83).  'jacobi' = diagonal
     # scaling; 'bjacobi' = PCBJACOBI's TPU form: batched dense block
     # inverses applied as one MXU einsum (solvers/bjacobi.py).
-    pc_type: str = "none"          # none | jacobi | bjacobi
+    pc_type: str = "none"          # none | jacobi | bjacobi | amg
     pc_block_size: int = 64        # bjacobi diagonal-block size
     # decomposition (np/npb analog: nblocks = np/npb)
     nblocks: int = 2
@@ -175,10 +175,10 @@ class RunConfig:
             raise ValueError(
                 f"unknown algorithm {self.alg!r}; choose from {ALGORITHMS}"
             )
-        if self.pc_type not in ("none", "jacobi", "bjacobi"):
+        if self.pc_type not in ("none", "jacobi", "bjacobi", "amg"):
             raise ValueError(
                 f"unknown pc_type {self.pc_type!r}; "
-                "choose from none | jacobi | bjacobi"
+                "choose from none | jacobi | bjacobi | amg"
             )
         if self.pc_type != "none":
             if self.alg != "GMRES" or self.matrix is None:

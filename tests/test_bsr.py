@@ -179,9 +179,11 @@ class TestRouting:
         )
 
     def test_unblockable_warns_and_stays_ell(self):
-        # ultra-sparse random pattern (fill*penalty > the 139x ELL bar
-        # for every candidate bs): dense route disabled so the
-        # gather-ELL fallback + warning stay covered
+        # at the honest ~1950x ELL bar (round-3 re-measurement) a small
+        # matrix's high-fill BSR ALWAYS undercuts gather-ELL — the
+        # stays-ELL path is reachable only through the pack memory cap
+        # (max_bsr_bytes) or an empty candidate list; cap it here so the
+        # fallback + warning stay covered (dense route disabled too)
         A = sp.random(256, 256, density=0.002, random_state=23).tocsr()
         A = A + sp.eye(256)
         rows, cols, vals, shape = _to_coo(A)
@@ -189,7 +191,8 @@ class TestRouting:
                                  dtype=jnp.float64)
         with pytest.warns(UserWarning, match="gather-ELL"):
             out = as_tpu_operator(ell, max_diags=8, max_bsr_cost=4.0,
-                                  bsr_block_sizes=(128,), max_dense_n=0)
+                                  bsr_block_sizes=(128,), max_dense_n=0,
+                                  max_bsr_bytes=1024)
         assert isinstance(out, ELL)
 
     def test_highfill_bsr_beats_ell_fallback(self):

@@ -264,6 +264,39 @@ class TestMatrixFlag:
         assert out["final_true_rnorm"] / out["rnorm0"] <= 1.1e-8
         assert out["error_vs_ones"] < 1e-6
 
+    def test_gmres_pc_amg_on_user_matrix(self, tmp_path, capsys):
+        # whole-system smoothed-aggregation AMG (PCGAMG analog) on an
+        # SPD unstructured matrix (randomly permuted Poisson)
+        import scipy.sparse as sp
+
+        from medane_tchakorom_ufc_thesis_repository_tpu.core.poisson import (
+            poisson2d_coo,
+        )
+
+        rows, cols, vals, shape = poisson2d_coo(24, 24)
+        perm = np.random.default_rng(13).permutation(shape[0])
+        A = sp.coo_matrix((vals, (perm[rows], perm[cols])),
+                          shape=shape).tocsr()
+        path = str(tmp_path / "perm.npz")
+        sp.save_npz(path, A)
+        rc = cli.main([
+            "--alg", "GMRES", "--matrix", path, "--dtype", "float64",
+            "--rtol", "1e-8", "--maxiter", "4000",
+            "--pc-type", "amg", "--json",
+        ])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["converged"]
+        assert out["final_true_rnorm"] / out["rnorm0"] <= 1.1e-8
+        assert out["error_vs_ones"] < 1e-6
+
+    def test_pc_amg_sharded_rejected(self, tmp_path):
+        path, _ = self._save_blocky(tmp_path, seed=68)
+        with pytest.raises(SystemExit, match="stacked"):
+            cli.main([
+                "--alg", "GMRES", "--matrix", path, "--backend",
+                "sharded", "--pc-type", "amg", "--json",
+            ])
+
     def test_gmres_pc_jacobi_sharded_on_user_matrix(self, tmp_path, capsys):
         path, A = self._save_blocky(tmp_path, seed=66)
         rc = cli.main([
