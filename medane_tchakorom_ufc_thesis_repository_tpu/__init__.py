@@ -45,7 +45,9 @@ from medane_tchakorom_ufc_thesis_repository_tpu.models import (  # noqa: F401
     smsm,
 )
 from medane_tchakorom_ufc_thesis_repository_tpu.api import (  # noqa: F401
+    PreparedSolver,
     is_symmetric,
     lstsq,
+    prepare,
     solve,
 )

@@ -138,6 +138,45 @@ class TestSolve:
                            dtype=jnp.float64)
             np.testing.assert_allclose(X[:, k], xk, rtol=1e-8, atol=1e-10)
 
+    def test_prepare_reuses_setup_across_solves(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu import prepare
+
+        A = _spd_blockable(seed=85)
+        n = A.shape[0]
+        prep = prepare(A, method="cg", pc="bjacobi", pc_block_size=16,
+                       rtol=1e-10, dtype=jnp.float64)
+        assert prep.operator == "BSR"
+        for target in (np.ones(n), np.arange(n, dtype=np.float64)):
+            b = np.asarray(A @ target)
+            x, info = prep.solve(b)
+            assert info["converged"]
+            np.testing.assert_allclose(x, target, rtol=1e-6, atol=1e-7)
+        # matches the one-shot solve exactly (same cached jitted program)
+        b = np.asarray(A @ np.ones(n))
+        x1, _ = prep.solve(b)
+        x2, _ = solve(A, b, method="cg", pc="bjacobi", pc_block_size=16,
+                      rtol=1e-10, dtype=jnp.float64)
+        np.testing.assert_allclose(x1, x2, rtol=0, atol=0)
+        # multi-RHS through the same handle
+        B = np.stack([b, 2.0 * b], axis=1)
+        X, info = prep.solve(B)
+        assert info["converged"] and X.shape == (n, 2)
+        with pytest.raises(ValueError, match="length"):
+            prep.solve(np.ones(3))
+
+    def test_prepare_ca_gmres_bounds_once(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu import prepare
+
+        A = _spd_blockable(seed=87)
+        prep = prepare(A, method="ca_gmres", rtol=1e-8, s=6,
+                       dtype=jnp.float64)
+        b = np.asarray(A @ np.ones(A.shape[0]))
+        x, info = prep.solve(b)
+        assert info["converged"]
+        np.testing.assert_allclose(x, 1.0, rtol=1e-5)
+        with pytest.raises(ValueError, match="single RHS"):
+            prep.solve(np.ones((A.shape[0], 2)))
+
     def test_multi_rhs_cg_and_pc(self):
         A = _spd_blockable(seed=83)
         n = A.shape[0]
