@@ -119,16 +119,20 @@ def is_symmetric(A, *, rtol: float = 1e-12) -> bool:
     return bool(np.abs(d.data).max() <= rtol * amax)
 
 
-def _auto_method(A) -> str:
-    """'minres' for symmetric matrices, 'gmres' otherwise.
+def _auto_method(A, assume_a: Optional[str]) -> str:
+    """Resolve ``method='auto'``.
 
-    MINRES is chosen over CG for the symmetric branch because it is
-    correct for the WHOLE class (CG requires positive definiteness,
-    which no cheap host test certifies — a positive diagonal does not;
-    a truncated-Lanczos lower bound can miss a negative eigenvalue) at
-    essentially CG's per-iteration cost.  Users who know their matrix
-    is SPD pass ``method='cg'`` explicitly.
+    ``assume_a`` (the ``scipy.linalg.solve`` convention) is the user's
+    certificate: 'pos' → cg, 'sym' → minres, 'gen' → gmres.  Without
+    one, a host symmetry check picks minres for symmetric matrices and
+    gmres otherwise.  MINRES is chosen over CG for the detected-
+    symmetric branch because it is correct for the WHOLE class (CG
+    requires positive definiteness, which no cheap host test certifies
+    — a positive diagonal does not; a truncated-Lanczos lower bound can
+    miss a negative eigenvalue) at essentially CG's per-iteration cost.
     """
+    if assume_a is not None:
+        return {"pos": "cg", "sym": "minres", "gen": "gmres"}[assume_a]
     return "minres" if is_symmetric(A) else "gmres"
 
 
@@ -255,7 +259,8 @@ class PreparedSolver:
 def prepare(A, *, method: str = "gmres", rtol: float = 1e-8,
             atol: float = 0.0, maxiter: int = 10000, restart: int = 30,
             pc: str = "none", pc_block_size: int = 64,
-            dtype=None, s: int = 8) -> PreparedSolver:
+            dtype=None, s: int = 8,
+            assume_a: Optional[str] = None) -> PreparedSolver:
     """Route ``A``, build the preconditioner, and return a
     ``PreparedSolver`` whose ``.solve(b)`` reuses all of it — use this
     when the SAME matrix is solved against many right-hand sides (the
@@ -286,12 +291,16 @@ def prepare(A, *, method: str = "gmres", rtol: float = 1e-8,
         raise ValueError(
             f"pc must be auto | none | jacobi | bjacobi | amg, got {pc!r}"
         )
+    if assume_a not in (None, "gen", "sym", "pos"):
+        raise ValueError(
+            f"assume_a must be gen | sym | pos, got {assume_a!r}"
+        )
     A = sp.csr_matrix(A)
     if A.shape[0] != A.shape[1]:
         raise ValueError(f"solve needs a square matrix, got {A.shape}")
 
     if method == "auto":
-        method = _auto_method(A)
+        method = _auto_method(A, assume_a)
 
     dt = jnp.float32 if dtype is None else dtype
     op = from_scipy(A, dtype=dt)
@@ -335,7 +344,8 @@ def prepare(A, *, method: str = "gmres", rtol: float = 1e-8,
 def solve(A, b, *, method: str = "gmres", rtol: float = 1e-8,
           atol: float = 0.0, maxiter: int = 10000, restart: int = 30,
           pc: str = "none", pc_block_size: int = 64,
-          x0=None, dtype=None, s: int = 8) -> Tuple[np.ndarray, dict]:
+          x0=None, dtype=None, s: int = 8,
+          assume_a: Optional[str] = None) -> Tuple[np.ndarray, dict]:
     """Solve ``A x = b`` for a square ``scipy.sparse`` (or dense numpy)
     matrix on the TPU-routed operator (one-shot form of
     ``prepare(A, ...).solve(b)`` — use ``prepare`` to reuse the routing
@@ -344,7 +354,9 @@ def solve(A, b, *, method: str = "gmres", rtol: float = 1e-8,
     ``method``: 'gmres' | 'cg' (SPD) | 'minres' (symmetric, possibly
     indefinite) | 'bicgstab' | 'ca_gmres' (SPD, ``s``-step Newton basis
     with a Lanczos-estimated interval) | 'auto' (host symmetry check →
-    minres for symmetric, gmres otherwise).
+    minres for symmetric, gmres otherwise; ``assume_a`` — the
+    ``scipy.linalg.solve`` convention — overrides the check:
+    'pos' → cg, 'sym' → minres, 'gen' → gmres).
     ``pc``: 'none' | 'jacobi' | 'bjacobi' | 'amg' | 'auto' — 'bjacobi'
     factors ``pc_block_size``-sized diagonal blocks as batched dense
     inverses; 'amg' builds a smoothed-aggregation hierarchy
@@ -370,7 +382,8 @@ def solve(A, b, *, method: str = "gmres", rtol: float = 1e-8,
     """
     prep = prepare(A, method=method, rtol=rtol, atol=atol,
                    maxiter=maxiter, restart=restart, pc=pc,
-                   pc_block_size=pc_block_size, dtype=dtype, s=s)
+                   pc_block_size=pc_block_size, dtype=dtype, s=s,
+                   assume_a=assume_a)
     return prep.solve(b, x0=x0)
 
 

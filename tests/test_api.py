@@ -109,6 +109,18 @@ class TestSolve:
         assert info_n["converged"]
         np.testing.assert_allclose(xn, 1.0, rtol=1e-5)
 
+    def test_assume_a_overrides_detection(self):
+        A = _spd_blockable(seed=89)
+        b = np.asarray(A @ np.ones(A.shape[0]))
+        _, ip = solve(A, b, method="auto", assume_a="pos", rtol=1e-8,
+                      dtype=jnp.float64)
+        assert ip["method"] == "cg" and ip["converged"]
+        _, ig = solve(A, b, method="auto", assume_a="gen", rtol=1e-8,
+                      dtype=jnp.float64)
+        assert ig["method"] == "gmres" and ig["converged"]
+        with pytest.raises(ValueError, match="assume_a"):
+            solve(A, b, assume_a="spd")
+
     def test_auto_pc_zero_diagonal_is_none(self):
         from medane_tchakorom_ufc_thesis_repository_tpu.api import _auto_pc
 
