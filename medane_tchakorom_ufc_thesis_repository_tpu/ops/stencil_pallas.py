@@ -1,21 +1,32 @@
 """Pallas TPU kernels: row-tiled 2D/3D Poisson stencil SpMV.
 
-Design: grid over row tiles; each program DMAs its ``(TILE_M + 2, n)``
-window (tile + one halo row each side) from HBM into VMEM scratch, then
-computes the 5/7-point stencil as VPU shifted adds and writes the
-``(TILE_M, n)`` output tile.  Boundary programs zero the missing halo.
+Design: grid over row tiles; each tile's rows are DMA'd from HBM into a
+two-slot VMEM window with the NEXT tile's copy issued before the
+current tile's compute (manual double buffering — the input rides HBM
+so the halo overlap can't use the automatic pipeline).
 
-This is the hand-scheduled version of what XLA emits for the matrix-free
-``Stencil2D.mv``; it exists to (a) pin the speed-of-light reference for
-the stencil path, (b) serve as the template for fused stencil+reduction
-kernels (residual norm fused into the SpMV pass).
+Mosaic alignment rules discovered on-chip (round 4) shape everything
+here:
 
-Status: validated in interpreter mode (exact vs the XLA path).  The
-current TPU-tunnel environment cannot compile Pallas (its remote AOT
-compile helper fails libtpu init), so the production SpMV path is the
-XLA pad+slice formulation in ``core.operators`` (measured 163 Gnnz/s on
-v5e vs 31 for the naive form); these kernels are the starting point for
-real-chip runs where Mosaic is available.
+* DMA slices of an HBM array and vector slices of VMEM values must be
+  8-row aligned (``Slice shape along dimension 0 must be aligned to
+  tiling (8)``), so single-halo-row copies are illegal.  2D copies an
+  8-row halo BLOCK on each side (3-6% extra read at tile 256-512); 3D
+  views the grid as ``(nx*ny, nz)`` so one x-plane is ``ny`` aligned
+  rows and the halo copies are exact (no overhead).
+* ``jnp.pad``/concatenate on the lane dim don't lower (``result/input
+  offset mismatch``); in-plane neighbor shifts are ``pltpu.roll``
+  rotations with boundary masks instead.  Sublane (row) shifts are
+  whole-window rolls followed by aligned slices.
+
+This is the hand-scheduled version of what XLA emits for the
+matrix-free ``Stencil2D/3D.mv`` (reference ``MatMult`` hotspot,
+``/root/reference/tmp/function-calling-stack:1-60``); it exists for the
+HBM-bound sizes where XLA's pad+slice/slab formulations pay extra
+memory passes (512^3 measured ~10 passes whole-pad, 1.63x better
+slab-routed — see BENCHMARKS.md).  Validated exactly against the XLA
+path in interpreter mode AND on-chip (``tests/test_pallas.py``;
+round-4 on-chip runs).
 """
 
 from __future__ import annotations
@@ -24,62 +35,200 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_HALO = 8  # 2D halo block rows (Mosaic's sublane-tile DMA granularity)
 
-def _kernel2d(x_hbm, out_ref, scratch, sems, *, tile_m, n, diag, off):
-    i = pl.program_id(0)
-    nprog = pl.num_programs(0)
+
+def _slot(t):
+    return lax.rem(jnp.asarray(t, jnp.int32), jnp.int32(2))
+
+
+# ---------------------------------------------------------------------------
+# Shared in-kernel pieces
+# ---------------------------------------------------------------------------
+
+def lane_shift_sum(c, n):
+    """West+east neighbor sum of a ``(rows, n)`` plane via lane
+    rotations with boundary masks (the Mosaic-compilable shift —
+    ``pltpu.roll`` requires non-negative shifts, hence ``n - 1``)."""
+    lanes = lax.broadcasted_iota(jnp.int32, c.shape, 1)
+    west = jnp.where(lanes == 0, 0.0, pltpu.roll(c, 1, 1))
+    east = jnp.where(lanes == n - 1, 0.0, pltpu.roll(c, n - 1, 1))
+    return west + east
+
+
+def window_copy(x_hbm, win, sems, t, tile_r, halo_r, nprog):
+    """The 3-piece aligned copy of row-tile ``t`` (``tile_r`` rows at
+    ``halo_r``-row granularity) into window slot ``t % 2``:
+
+    * body rows ``[t*tile_r, (t+1)*tile_r)`` → ``win[halo_r:+tile_r]``
+    * halo block above (last ``halo_r`` rows of the previous tile) →
+      ``win[0:halo_r]`` (when ``t > 0``)
+    * halo block below (first ``halo_r`` rows of the next tile) →
+      ``win[halo_r+tile_r:]`` (when ``t < nprog-1``)
+
+    Returns the three descriptors so callers can ``.start()`` or
+    ``.wait()`` the same shapes (a DMA semaphore is decremented by the
+    byte count of the copy that signalled it)."""
+    s = _slot(t)
+    # pl.multiple_of: the offsets are all multiples of halo_r (>= 8) by
+    # construction, but Mosaic's divisibility prover can't see through
+    # the dynamic t — assert it
+    def _al(idx):
+        return pl.multiple_of(idx, halo_r)
 
     body = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * tile_m, tile_m), :],
-        scratch.at[pl.ds(1, tile_m), :],
-        sems.at[0],
+        x_hbm.at[pl.ds(_al(t * tile_r), tile_r), :],
+        win.at[s, pl.ds(halo_r, tile_r), :], sems.at[s, 0],
     )
+    top = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(_al(t * tile_r - halo_r), halo_r), :],
+        win.at[s, pl.ds(0, halo_r), :], sems.at[s, 1],
+    )
+    bot = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(_al((t + 1) * tile_r), halo_r), :],
+        win.at[s, pl.ds(halo_r + tile_r, halo_r), :], sems.at[s, 2],
+    )
+    return body, top, bot
+
+
+def issue_window(x_hbm, win, sems, t, tile_r, halo_r, nprog):
+    body, top, bot = window_copy(x_hbm, win, sems, t, tile_r, halo_r, nprog)
     body.start()
 
-    @pl.when(i > 0)
+    @pl.when(t > 0)
     def _():
-        top = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(i * tile_m - 1, 1), :],
-            scratch.at[pl.ds(0, 1), :],
-            sems.at[1],
-        )
         top.start()
+
+    @pl.when(t < nprog - 1)
+    def _():
+        bot.start()
+
+
+def wait_window(x_hbm, win, sems, t, tile_r, halo_r, nprog):
+    """Wait for ``issue_window(t)``'s copies; zero-fill the halo blocks
+    edge tiles don't receive."""
+    s = _slot(t)
+    body, top, bot = window_copy(x_hbm, win, sems, t, tile_r, halo_r, nprog)
+    body.wait()
+
+    @pl.when(t > 0)
+    def _():
         top.wait()
 
+    @pl.when(t == 0)
+    def _():
+        win[s, pl.ds(0, halo_r), :] = jnp.zeros(
+            (halo_r, win.shape[2]), win.dtype)
+
+    @pl.when(t < nprog - 1)
+    def _():
+        bot.wait()
+
+    @pl.when(t == nprog - 1)
+    def _():
+        win[s, pl.ds(halo_r + tile_r, halo_r), :] = jnp.zeros(
+            (halo_r, win.shape[2]), win.dtype)
+
+
+def pipelined_window(x_hbm, win, sems, i, tile_r, halo_r, nprog):
+    """Double-buffer schedule: after this, tile ``i``'s window (slot
+    ``i % 2``) is ready and tile ``i+1``'s copy is in flight.  Callers
+    read the window through the REF (plane-sized slices) — loading the
+    whole window as one vector value spills the register allocator."""
     @pl.when(i == 0)
     def _():
-        scratch[0, :] = jnp.zeros((n,), scratch.dtype)
+        issue_window(x_hbm, win, sems, 0, tile_r, halo_r, nprog)
 
-    @pl.when(i < nprog - 1)
+    @pl.when(i + 1 < nprog)
     def _():
-        bot = pltpu.make_async_copy(
-            x_hbm.at[pl.ds((i + 1) * tile_m, 1), :],
-            scratch.at[pl.ds(tile_m + 1, 1), :],
-            sems.at[2],
-        )
-        bot.start()
-        bot.wait()
+        issue_window(x_hbm, win, sems, i + 1, tile_r, halo_r, nprog)
+
+    wait_window(x_hbm, win, sems, i, tile_r, halo_r, nprog)
+
+
+def window_scratch(nrows, f, dtype):
+    """Two-slot window + DMA semaphores shared by every row-tiled
+    stencil kernel (here and in ``fused_pallas``)."""
+    return [
+        pltpu.VMEM((2, nrows, f), dtype),
+        pltpu.SemaphoreType.DMA((2, 3)),
+    ]
+
+
+def out_write_copy(o_hbm, obuf, osems, t, tile_r):
+    """Descriptor for the output write of tile ``t``: VMEM slot
+    ``t % 2`` → HBM rows ``[t*tile_r, (t+1)*tile_r)``."""
+    s = _slot(t)
+    return pltpu.make_async_copy(
+        obuf.at[s],
+        o_hbm.at[pl.ds(pl.multiple_of(t * tile_r, 8), tile_r), :],
+        osems.at[s],
+    )
+
+
+def output_pipeline(o_hbm, obuf, osems, i, tile_r, nprog, fill):
+    """Two-slot manual output write-back.
+
+    Pallas' AUTOMATIC output pipeline moves blocks at ~215 GB/s on this
+    chip while manual VMEM→HBM copies run at the ~690 GB/s streaming
+    rate (round-4 measurement: an HBM→HBM copy kernel went 4.98 →
+    1.5-1.7 ms at 512^3 from this change alone), so every stencil
+    kernel writes its output through manual DMA: wait the write issued
+    two steps ago (it used this slot), ``fill(slot)``, start this
+    tile's write, and drain everything on the last step."""
+    @pl.when(i >= 2)
+    def _():
+        out_write_copy(o_hbm, obuf, osems, i - 2, tile_r).wait()
+
+    fill(_slot(i))
+    out_write_copy(o_hbm, obuf, osems, i, tile_r).start()
 
     @pl.when(i == nprog - 1)
     def _():
-        scratch[tile_m + 1, :] = jnp.zeros((n,), scratch.dtype)
+        out_write_copy(o_hbm, obuf, osems, i, tile_r).wait()
 
-    body.wait()
+    @pl.when((i == nprog - 1) & (i >= 1))
+    def _():
+        out_write_copy(o_hbm, obuf, osems, i - 1, tile_r).wait()
 
-    c = scratch[1:tile_m + 1, :]
-    # column shifts via pad+slice (in-kernel .at[].add would lower to an
-    # unsupported scatter-add on the TPU backend)
-    cp = jnp.pad(c, ((0, 0), (1, 1)))
-    y = diag * c + off * (
-        scratch[0:tile_m, :]        # north
-        + scratch[2:tile_m + 2, :]  # south
-        + cp[:, :-2]                # west
-        + cp[:, 2:]                 # east
-    )
-    out_ref[:, :] = y
+
+def output_scratch(tile_r, f, dtype):
+    """Two-slot output buffer + write semaphores for
+    ``output_pipeline``."""
+    return [
+        pltpu.VMEM((2, tile_r, f), dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# 2D 5-point
+# ---------------------------------------------------------------------------
+
+def _kernel2d(x_hbm, o_hbm, win, sems, obuf, osems, *, tile_m, n,
+              diag, off):
+    i = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    pipelined_window(x_hbm, win, sems, i, tile_m, _HALO, nprog)
+
+    def fill(s):
+        w = win[s]
+        rows = tile_m + 2 * _HALO
+        c = w[_HALO:_HALO + tile_m, :]
+        # row neighbors: whole-window sublane rolls, then ALIGNED
+        # slices (a direct slice at offset _HALO±1 fails Mosaic's
+        # tiling check)
+        north = pltpu.roll(w, 1, 0)[_HALO:_HALO + tile_m, :]
+        south = pltpu.roll(w, rows - 1, 0)[_HALO:_HALO + tile_m, :]
+        obuf[s, :, :] = diag * c + off * (
+            north + south + lane_shift_sum(c, n)
+        )
+
+    output_pipeline(o_hbm, obuf, osems, i, tile_m, nprog, fill)
 
 
 @partial(jax.jit, static_argnames=("m", "n", "diag", "off", "tile_m"))
@@ -87,106 +236,103 @@ def stencil2d_mv_pallas(
     x: jax.Array, *, m: int, n: int,
     diag: float = 4.0, off: float = -1.0, tile_m: int = 256,
 ) -> jax.Array:
-    """y = A @ x for the 2D 5-point Poisson operator, ``x`` flat (m*n,)."""
-    tile_m = min(tile_m, m)
+    """y = A @ x for the 2D 5-point Poisson operator.
+
+    Shape-polymorphic like ``Stencil2D.mv``: pass GRID-shaped ``(m, n)``
+    state in hot loops — the 2D reshape is then a layout bitcast.  A
+    FLAT ``(m*n,)`` boundary costs a tiled-layout conversion copy
+    (T(1024) 1D vs T(8,128) 2D — measured ~2.6 ms at 512^3, dwarfing
+    the kernel itself)."""
+    shape = x.shape
+    tile_m = max(min(tile_m, m), _HALO)
     while m % tile_m:
         tile_m //= 2
+    if tile_m % _HALO:
+        raise ValueError(
+            f"stencil2d_mv_pallas needs m divisible into 8-row tiles, "
+            f"got m={m} (tile_m={tile_m})")
     grid = m // tile_m
     xg = x.reshape(m, n)
     out = pl.pallas_call(
         partial(_kernel2d, tile_m=tile_m, n=n, diag=diag, off=off),
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (tile_m, n), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((tile_m + 2, n), x.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        scratch_shapes=(window_scratch(tile_m + 2 * _HALO, n, x.dtype)
+                        + output_scratch(tile_m, n, x.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xg)
-    return out.reshape(-1)
+    return out.reshape(shape)
 
 
-def _kernel3d(x_hbm, out_ref, scratch, sems, *, tile_m, ny, nz, diag, off):
+# ---------------------------------------------------------------------------
+# 3D 7-point
+# ---------------------------------------------------------------------------
+
+def _kernel3d(x_hbm, o_hbm, win, sems, obuf, osems, *, tile_m, ny, nz,
+              diag, off):
+    """One x-slab of ``tile_m`` planes; the grid is viewed
+    ``(nx*ny, nz)`` so a plane is ``ny`` aligned rows and every window
+    slice below is ny-aligned.
+
+    Compute runs PLANE AT A TIME (statically unrolled): operating on
+    the whole ``(tile_m*ny, nz)`` window as one vector value spills the
+    register allocator catastrophically (tile=16 at 512^3 measured 5 ms
+    — no better than XLA; tile=32 OOMs VMEM on spill slots).  Per-plane
+    values are ~1 MB and pipeline cleanly against the DMA."""
     i = pl.program_id(0)
     nprog = pl.num_programs(0)
-    f = ny * nz
+    r = tile_m * ny
+    pipelined_window(x_hbm, win, sems, i, r, ny, nprog)
+    rows = lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
 
-    body = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * tile_m, tile_m), :],
-        scratch.at[pl.ds(1, tile_m), :],
-        sems.at[0],
-    )
-    body.start()
+    def fill(s):
+        for p in range(tile_m):
+            c = win[s, (p + 1) * ny:(p + 2) * ny, :]
+            xn = win[s, p * ny:(p + 1) * ny, :]
+            xs = win[s, (p + 2) * ny:(p + 3) * ny, :]
+            # y-neighbors: in-plane sublane rolls; the wrapped row is
+            # the y-boundary, masked off the row index
+            ynorth = jnp.where(rows == 0, 0.0, pltpu.roll(c, 1, 0))
+            ysouth = jnp.where(rows == ny - 1, 0.0,
+                               pltpu.roll(c, ny - 1, 0))
+            obuf[s, p * ny:(p + 1) * ny, :] = diag * c + off * (
+                xn + xs + ynorth + ysouth + lane_shift_sum(c, nz)
+            )
 
-    @pl.when(i > 0)
-    def _():
-        top = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(i * tile_m - 1, 1), :],
-            scratch.at[pl.ds(0, 1), :],
-            sems.at[1],
-        )
-        top.start()
-        top.wait()
-
-    @pl.when(i == 0)
-    def _():
-        scratch[0, :] = jnp.zeros((f,), scratch.dtype)
-
-    @pl.when(i < nprog - 1)
-    def _():
-        bot = pltpu.make_async_copy(
-            x_hbm.at[pl.ds((i + 1) * tile_m, 1), :],
-            scratch.at[pl.ds(tile_m + 1, 1), :],
-            sems.at[2],
-        )
-        bot.start()
-        bot.wait()
-
-    @pl.when(i == nprog - 1)
-    def _():
-        scratch[tile_m + 1, :] = jnp.zeros((f,), scratch.dtype)
-
-    body.wait()
-
-    # x-axis neighbors via the halo'd plane stack; y/z via in-plane
-    # pad+slice shifts (no scatter-add in-kernel)
-    c = scratch[1:tile_m + 1, :].reshape(tile_m, ny, nz)
-    cp = jnp.pad(c, ((0, 0), (1, 1), (1, 1)))
-    y = diag * c + off * (
-        scratch[0:tile_m, :].reshape(tile_m, ny, nz)
-        + scratch[2:tile_m + 2, :].reshape(tile_m, ny, nz)
-        + cp[:, :-2, 1:-1] + cp[:, 2:, 1:-1]
-        + cp[:, 1:-1, :-2] + cp[:, 1:-1, 2:]
-    )
-    out_ref[:, :] = y.reshape(tile_m, f)
+    output_pipeline(o_hbm, obuf, osems, i, r, nprog, fill)
 
 
 @partial(jax.jit, static_argnames=("nx", "ny", "nz", "diag", "off", "tile_m"))
 def stencil3d_mv_pallas(
     x: jax.Array, *, nx: int, ny: int, nz: int,
-    diag: float = 6.0, off: float = -1.0, tile_m: int = 32,
+    diag: float = 6.0, off: float = -1.0, tile_m: int = 16,
 ) -> jax.Array:
-    """y = A @ x for the 3D 7-point Poisson operator, ``x`` flat."""
+    """y = A @ x for the 3D 7-point Poisson operator.
+
+    Shape-polymorphic like ``Stencil3D.mv`` (see the 2D twin's note on
+    layout bitcasts: pass GRID-shaped ``(nx, ny, nz)`` state in hot
+    loops).  Requires ``ny % 8 == 0`` (the plane-halo DMA alignment);
+    callers route other shapes to the XLA formulation."""
+    if ny % 8:
+        raise ValueError(f"stencil3d_mv_pallas needs ny % 8 == 0, got {ny}")
+    shape = x.shape
     tile_m = min(tile_m, nx)
     while nx % tile_m:
         tile_m //= 2
     grid = nx // tile_m
-    f = ny * nz
-    xg = x.reshape(nx, f)
+    xg = x.reshape(nx * ny, nz)
     out = pl.pallas_call(
         partial(_kernel3d, tile_m=tile_m, ny=ny, nz=nz, diag=diag, off=off),
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (tile_m, f), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((nx, f), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((tile_m + 2, f), x.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        out_shape=jax.ShapeDtypeStruct((nx * ny, nz), x.dtype),
+        scratch_shapes=(window_scratch((tile_m + 2) * ny, nz, x.dtype)
+                        + output_scratch(tile_m * ny, nz, x.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xg)
-    return out.reshape(-1)
+    return out.reshape(shape)

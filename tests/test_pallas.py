@@ -42,8 +42,11 @@ class TestStencilKernels:
         op = poisson.poisson2d(m, n)
         x = _x(m * n)
         y = stencil2d_mv_pallas(x, m=m, n=n, tile_m=16)
-        np.testing.assert_array_equal(
-            np.asarray(y), np.asarray(op.mv(x))
+        # tap-summation ORDER differs from the XLA formulation (the
+        # rotate+mask shifts pair west+east before adding), so
+        # agreement is to f32 rounding, not bitwise
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(op.mv(x)), rtol=1e-6, atol=1e-6
         )
 
     def test_3d_mv_exact(self):
