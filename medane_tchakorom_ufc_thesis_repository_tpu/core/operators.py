@@ -205,13 +205,35 @@ class Stencil2D:
         # lowers to poorly-fused dynamic-update-slices on TPU).
         # Shape-polymorphic: flat (m*n,) or grid (m, n) in -> same shape
         # out; grid-shaped callers skip the flat<->tiled relayout copy.
+        # HBM-scale grids (>100 MB, e.g. the reference's 8192^2 sweep
+        # envelope) route to the windowed-DMA Pallas kernel when Mosaic
+        # is available (see Stencil3D.mv).
         m, n = self.m, self.n
         g = x if x.ndim == 2 else x.reshape(m, n)
+        if g.size * jnp.dtype(g.dtype).itemsize > _VMEM_RESIDENT_BYTES:
+            y = self._pallas_mv(g)
+            if y is not None:
+                return y if x.ndim == 2 else y.reshape(-1)
         p = jnp.pad(g, 1)
         y = self.diag * g + self.off * (
             p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:]
         )
         return y if x.ndim == 2 else y.reshape(-1)
+
+    def _pallas_mv(self, g):
+        if jnp.dtype(g.dtype) != jnp.dtype(jnp.float32):
+            return None
+        from medane_tchakorom_ufc_thesis_repository_tpu.ops import (
+            fused_pallas,
+            stencil_pallas,
+        )
+
+        if self.m % 8:  # 8-row halo-block DMA alignment
+            return None
+        if not fused_pallas.pallas_enabled():
+            return None
+        return stencil_pallas.stencil2d_mv_pallas(
+            g, m=self.m, n=self.n, diag=self.diag, off=self.off)
 
     rmv = mv  # symmetric
 
@@ -274,19 +296,23 @@ class Stencil3D:
         apply cost at 256^3 on TPU v5e — keep solver state grid-shaped
         in hot loops).
 
-        HBM-scale grids (> ~100 MB, beyond VMEM residency) route through
-        an x-slab loop: the whole-array pad+slice form costs ~10
-        memory passes under XLA's fusion split (pad materializes, the
-        6-tap sum splits into 4 sibling fusions re-reading it) — cheap
-        at VMEM speed, 7.6 ms at 512^3 f32 from HBM.  Slabbing keeps the
-        pad+fusion traffic slab-sized: measured 4.67 ms at 512^3
-        (1.63x); the remaining gap to the 2-pass roofline (~1.3 ms)
-        needs a Pallas kernel (Mosaic cannot compile through the axon
-        tunnel — ops/stencil_pallas.py is interpreter-validated)."""
+        HBM-scale grids (> ~100 MB, beyond VMEM residency) route to the
+        Pallas kernel when Mosaic is available (round 4:
+        ``ops/stencil_pallas.py`` windowed-DMA kernel — 1.76 ms at
+        512^3 f32, 533 Gnnz/s, ~89% of the measured 687 GB/s streaming
+        roofline), else through an x-slab loop: the whole-array
+        pad+slice form costs ~10 memory passes under XLA's fusion split
+        (pad materializes, the 6-tap sum splits into 4 sibling fusions
+        re-reading it) — cheap at VMEM speed, 7.6 ms at 512^3 f32 from
+        HBM.  Slabbing keeps the pad+fusion traffic slab-sized:
+        measured 4.67 ms at 512^3 (1.63x)."""
         nx, ny, nz = self.nx, self.ny, self.nz
         g = x if x.ndim == 3 else x.reshape(nx, ny, nz)
         itemsize = jnp.dtype(g.dtype).itemsize
         if g.size * itemsize > _VMEM_RESIDENT_BYTES:
+            y = self._pallas_apply(g, (), "mv")
+            if y is not None:
+                return y if x.ndim == 3 else y.reshape(-1)
             sl = _slab_planes(nx, ny * nz * itemsize)
             if sl < nx:
                 y = self._slab_mv(g, sl)
@@ -349,6 +375,31 @@ class Stencil3D:
 
     rmv = mv  # symmetric
 
+    def _pallas_apply(self, g, extras, kind, omega=None):
+        """Route an HBM-scale GRID-SHAPED apply through the Mosaic
+        stencil kernel when the environment compiles it and the shape
+        meets the DMA alignment (``ny`` divisible by the dtype's
+        sublane granularity).  Returns ``None`` to fall back to the
+        XLA slab formulations.  Callers check the >100 MB cutoff: below
+        it the whole-pad form stays VMEM-resident across solver loops
+        and beats any HBM round-trip by construction."""
+        if jnp.dtype(g.dtype) not in (jnp.dtype(jnp.float32),
+                                      jnp.dtype(jnp.bfloat16)):
+            return None
+        from medane_tchakorom_ufc_thesis_repository_tpu.ops import (
+            fused_pallas,
+            stencil_pallas,
+        )
+
+        if self.ny % stencil_pallas.sublane_granularity(g.dtype):
+            return None
+        if not fused_pallas.pallas_enabled():
+            return None
+        return stencil_pallas.stencil3d_apply_pallas(
+            g, *extras, nx=self.nx, ny=self.ny, nz=self.nz,
+            diag=self.diag, off=self.off, kind=kind, omega=omega,
+        )
+
     def _fused_apply(self, x, extras, epilogue):
         """Stencil apply with an elementwise epilogue, slab-fused at HBM
         scale (identical values either way — the epilogue sees the same
@@ -369,17 +420,44 @@ class Stencil3D:
 
     def jacobi_sweep(self, x, b, omega):
         """One damped-Jacobi smoothing sweep ``x + omega * (b - A x)``
-        with the update fused into the stencil slabs (saves ~2 full
-        memory passes per sweep at HBM scale — the MG level-0 smoother
-        hot path, ``solvers/multigrid.py``)."""
+        with the update fused into the stencil pass (Pallas kernel or
+        slab epilogue — saves ~2 full memory passes per sweep at HBM
+        scale; the MG level-0 smoother hot path,
+        ``solvers/multigrid.py``)."""
+        y = self._pallas_fused(x, (b,), "jacobi", omega)
+        if y is not None:
+            return y
         w = jnp.asarray(omega, x.dtype)
         return self._fused_apply(
             x, (b,), lambda s, ys, bb: s + w * (bb - ys)
         )
 
     def residual(self, x, b):
-        """``b - A x`` with the subtraction fused into the stencil slabs."""
+        """``b - A x`` with the subtraction fused into the stencil pass."""
+        y = self._pallas_fused(x, (b,), "residual")
+        if y is not None:
+            return y
         return self._fused_apply(x, (b,), lambda s, ys, bb: bb - ys)
+
+    def _pallas_fused(self, x, extras, kind, omega=None):
+        """Pallas route for the fused epilogues; the STATIC-omega
+        requirement (it compiles into the kernel) falls back to the
+        slab epilogue when omega arrives as a traced value."""
+        nx, ny, nz = self.nx, self.ny, self.nz
+        g = x if x.ndim == 3 else x.reshape(nx, ny, nz)
+        if g.size * jnp.dtype(g.dtype).itemsize <= _VMEM_RESIDENT_BYTES:
+            return None
+        if omega is not None:
+            try:
+                omega = float(omega)
+            except Exception:  # traced omega — not compile-time static
+                return None
+        ex = tuple(e if e.ndim == 3 else e.reshape(nx, ny, nz)
+                   for e in extras)
+        y = self._pallas_apply(g, ex, kind, omega)
+        if y is None:
+            return None
+        return y if x.ndim == 3 else y.reshape(x.shape)
 
     def to_dense(self):
         from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson

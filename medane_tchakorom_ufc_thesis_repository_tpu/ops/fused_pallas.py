@@ -50,8 +50,11 @@ logger = logging.getLogger(__name__)
 # Capability probe
 # ---------------------------------------------------------------------------
 
-def _probe_kernel(o_ref):
-    o_ref[...] = jnp.full(o_ref.shape, 1.0, o_ref.dtype)
+def _probe_kernel(x_ref, o_ref):
+    # takes an input: a zero-operand kernel's fill constant gets
+    # CAPTURED (not inlined) under ensure_compile_time_eval and pallas
+    # rejects captured constants
+    o_ref[...] = x_ref[...] + 1.0
 
 
 @functools.lru_cache(maxsize=None)
@@ -62,11 +65,16 @@ def mosaic_available() -> bool:
     AOT compile helper 500s (chipless libtpu init — an environment
     limitation, not a kernel fault)."""
     try:
-        y = pl.pallas_call(
-            _probe_kernel,
-            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
-        )()
-        ok = bool(np.asarray(y)[0, 0] == 1.0)
+        # ensure_compile_time_eval: the probe is usually first reached
+        # while TRACING a solver (routing decisions run at trace time);
+        # a zero-operand pallas_call would join the ambient trace and
+        # the readback would see a tracer — force eager evaluation
+        with jax.ensure_compile_time_eval():
+            y = pl.pallas_call(
+                _probe_kernel,
+                out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            )(jnp.zeros((8, 128), jnp.float32))
+            ok = bool(np.asarray(y)[0, 0] == 1.0)
     except Exception as e:  # noqa: BLE001 — any failure means "not here"
         logger.info(
             "Pallas/Mosaic unavailable on backend %r (%s: %.200s) — "

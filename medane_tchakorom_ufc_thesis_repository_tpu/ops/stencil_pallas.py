@@ -244,13 +244,15 @@ def stencil2d_mv_pallas(
     (T(1024) 1D vs T(8,128) 2D — measured ~2.6 ms at 512^3, dwarfing
     the kernel itself)."""
     shape = x.shape
-    tile_m = max(min(tile_m, m), _HALO)
-    while m % tile_m:
-        tile_m //= 2
-    if tile_m % _HALO:
+    # largest 8-row-aligned divisor of m at most tile_m (every DMA
+    # offset must be a multiple of the 8-row halo granularity)
+    tile_m = min(tile_m, m) - (min(tile_m, m) % _HALO)
+    while tile_m >= _HALO and m % tile_m:
+        tile_m -= _HALO
+    if tile_m < _HALO:
         raise ValueError(
             f"stencil2d_mv_pallas needs m divisible into 8-row tiles, "
-            f"got m={m} (tile_m={tile_m})")
+            f"got m={m}")
     grid = m // tile_m
     xg = x.reshape(m, n)
     out = pl.pallas_call(
@@ -268,11 +270,21 @@ def stencil2d_mv_pallas(
 
 
 # ---------------------------------------------------------------------------
-# 3D 7-point
+# 3D 7-point, with optional fused elementwise epilogues
 # ---------------------------------------------------------------------------
 
-def _kernel3d(x_hbm, o_hbm, win, sems, obuf, osems, *, tile_m, ny, nz,
-              diag, off):
+def extra_copy(e_hbm, ebuf, esems, t, tile_r, align):
+    """Body-rows-only copy of an extra elementwise operand (the RHS of
+    a fused residual/jacobi epilogue) for tile ``t`` into slot
+    ``t % 2`` — extras need no halo."""
+    s = _slot(t)
+    return pltpu.make_async_copy(
+        e_hbm.at[pl.ds(pl.multiple_of(t * tile_r, align), tile_r), :],
+        ebuf.at[s], esems.at[s],
+    )
+
+
+def _kernel3d(x_hbm, *rest, tile_m, ny, nz, diag, off, kind, omega):
     """One x-slab of ``tile_m`` planes; the grid is viewed
     ``(nx*ny, nz)`` so a plane is ``ny`` aligned rows and every window
     slice below is ny-aligned.
@@ -281,58 +293,133 @@ def _kernel3d(x_hbm, o_hbm, win, sems, obuf, osems, *, tile_m, ny, nz,
     the whole ``(tile_m*ny, nz)`` window as one vector value spills the
     register allocator catastrophically (tile=16 at 512^3 measured 5 ms
     — no better than XLA; tile=32 OOMs VMEM on spill slots).  Per-plane
-    values are ~1 MB and pipeline cleanly against the DMA."""
+    values are ~1 MB and pipeline cleanly against the DMA.
+
+    ``kind``: 'mv' (y = A x), 'residual' (b - A x), 'jacobi'
+    (x + omega (b - A x)) — the fused forms save the separate
+    elementwise passes of the MG smoother hot path exactly like the
+    slab epilogues in ``Stencil3D._fused_apply``."""
+    has_extra = kind != "mv"
+    if has_extra:
+        (e_hbm, o_hbm, win, sems, ebuf, esems, obuf, osems) = rest
+    else:
+        (o_hbm, win, sems, obuf, osems) = rest
     i = pl.program_id(0)
     nprog = pl.num_programs(0)
     r = tile_m * ny
-    pipelined_window(x_hbm, win, sems, i, r, ny, nprog)
+
+    @pl.when(i == 0)
+    def _():
+        issue_window(x_hbm, win, sems, 0, r, ny, nprog)
+        if has_extra:
+            extra_copy(e_hbm, ebuf, esems, 0, r, ny).start()
+
+    @pl.when(i + 1 < nprog)
+    def _():
+        issue_window(x_hbm, win, sems, i + 1, r, ny, nprog)
+        if has_extra:
+            extra_copy(e_hbm, ebuf, esems, i + 1, r, ny).start()
+
+    wait_window(x_hbm, win, sems, i, r, ny, nprog)
+    if has_extra:
+        extra_copy(e_hbm, ebuf, esems, i, r, ny).wait()
+
     rows = lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
+    dt = obuf.dtype
 
     def fill(s):
         for p in range(tile_m):
-            c = win[s, (p + 1) * ny:(p + 2) * ny, :]
-            xn = win[s, p * ny:(p + 1) * ny, :]
-            xs = win[s, (p + 2) * ny:(p + 3) * ny, :]
+            # compute in f32 regardless of the storage dtype: Mosaic's
+            # rotate only handles 32-bit data ("Rotate with non-32-bit
+            # data" on bf16), and the DMA traffic — the binding cost —
+            # stays in the storage dtype either way
+            c = win[s, (p + 1) * ny:(p + 2) * ny, :].astype(jnp.float32)
+            xn = win[s, p * ny:(p + 1) * ny, :].astype(jnp.float32)
+            xs = win[s, (p + 2) * ny:(p + 3) * ny, :].astype(jnp.float32)
             # y-neighbors: in-plane sublane rolls; the wrapped row is
             # the y-boundary, masked off the row index
             ynorth = jnp.where(rows == 0, 0.0, pltpu.roll(c, 1, 0))
             ysouth = jnp.where(rows == ny - 1, 0.0,
                                pltpu.roll(c, ny - 1, 0))
-            obuf[s, p * ny:(p + 1) * ny, :] = diag * c + off * (
+            ys = diag * c + off * (
                 xn + xs + ynorth + ysouth + lane_shift_sum(c, nz)
             )
+            if kind == "residual":
+                b = ebuf[s, p * ny:(p + 1) * ny, :].astype(jnp.float32)
+                ys = b - ys
+            elif kind == "jacobi":
+                b = ebuf[s, p * ny:(p + 1) * ny, :].astype(jnp.float32)
+                ys = c + jnp.float32(omega) * (b - ys)
+            obuf[s, p * ny:(p + 1) * ny, :] = ys.astype(dt)
 
     output_pipeline(o_hbm, obuf, osems, i, r, nprog, fill)
 
 
-@partial(jax.jit, static_argnames=("nx", "ny", "nz", "diag", "off", "tile_m"))
-def stencil3d_mv_pallas(
-    x: jax.Array, *, nx: int, ny: int, nz: int,
-    diag: float = 6.0, off: float = -1.0, tile_m: int = 16,
+def sublane_granularity(dtype) -> int:
+    """Mosaic's DMA/vector row-alignment granularity: the sublane tile
+    is 8 rows for 4-byte types, 16 for 2-byte (bf16)."""
+    return 8 * (4 // jnp.dtype(dtype).itemsize)
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "nz", "diag", "off",
+                                   "tile_m", "kind", "omega"))
+def stencil3d_apply_pallas(
+    x: jax.Array, *extras, nx: int, ny: int, nz: int,
+    diag: float = 6.0, off: float = -1.0, tile_m: int = 0,
+    kind: str = "mv", omega: float | None = None,
 ) -> jax.Array:
-    """y = A @ x for the 3D 7-point Poisson operator.
+    """3D 7-point stencil apply with optional fused epilogue.
+
+    ``kind='mv'`` → ``A @ x``; ``'residual'`` → ``b - A @ x``;
+    ``'jacobi'`` → ``x + omega (b - A @ x)`` with ``b = extras[0]`` and
+    STATIC ``omega`` (it compiles into the kernel).
 
     Shape-polymorphic like ``Stencil3D.mv`` (see the 2D twin's note on
     layout bitcasts: pass GRID-shaped ``(nx, ny, nz)`` state in hot
-    loops).  Requires ``ny % 8 == 0`` (the plane-halo DMA alignment);
+    loops).  Requires ``ny`` divisible by the dtype's sublane
+    granularity (8 f32 / 16 bf16 — the plane-halo DMA alignment);
     callers route other shapes to the XLA formulation."""
-    if ny % 8:
-        raise ValueError(f"stencil3d_mv_pallas needs ny % 8 == 0, got {ny}")
+    gran = sublane_granularity(x.dtype)
+    if ny % gran:
+        raise ValueError(
+            f"stencil3d_apply_pallas needs ny % {gran} == 0 for "
+            f"{x.dtype}, got ny={ny}")
     shape = x.shape
+    if not tile_m:
+        # fused kinds carry an extra two-slot operand buffer; smaller
+        # tiles keep the working set under the ~128 MB VMEM
+        budget = 8 if (extras and ny * nz * x.dtype.itemsize >= 2**20) \
+            else 16
+        tile_m = budget
     tile_m = min(tile_m, nx)
     while nx % tile_m:
         tile_m //= 2
     grid = nx // tile_m
     xg = x.reshape(nx * ny, nz)
+    eg = tuple(e.reshape(nx * ny, nz) for e in extras)
+    scratch = window_scratch((tile_m + 2) * ny, nz, x.dtype)
+    if extras:
+        scratch += [pltpu.VMEM((2, tile_m * ny, nz), x.dtype),
+                    pltpu.SemaphoreType.DMA((2,))]
+    scratch += output_scratch(tile_m * ny, nz, x.dtype)
     out = pl.pallas_call(
-        partial(_kernel3d, tile_m=tile_m, ny=ny, nz=nz, diag=diag, off=off),
+        partial(_kernel3d, tile_m=tile_m, ny=ny, nz=nz, diag=diag,
+                off=off, kind=kind, omega=omega),
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+                  for _ in range(1 + len(eg))],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         out_shape=jax.ShapeDtypeStruct((nx * ny, nz), x.dtype),
-        scratch_shapes=(window_scratch((tile_m + 2) * ny, nz, x.dtype)
-                        + output_scratch(tile_m * ny, nz, x.dtype)),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(xg)
+    )(xg, *eg)
     return out.reshape(shape)
+
+
+def stencil3d_mv_pallas(x, *, nx, ny, nz, diag=6.0, off=-1.0, tile_m=16):
+    """y = A @ x for the 3D 7-point Poisson operator (``kind='mv'`` of
+    ``stencil3d_apply_pallas``)."""
+    return stencil3d_apply_pallas(
+        x, nx=nx, ny=ny, nz=nz, diag=diag, off=off, tile_m=tile_m,
+        kind="mv")

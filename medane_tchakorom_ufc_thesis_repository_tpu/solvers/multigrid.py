@@ -207,7 +207,10 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0) -> jax.Array:
     dims = levels.dims[level]
     A = _make_op(dims, levels.diag, levels.off)
     dtype = b.dtype
-    omega = jnp.asarray(_JACOBI_OMEGA[len(dims)] / levels.diag, dtype)
+    # keep omega a PYTHON float: the Pallas jacobi route needs a
+    # compile-time-static omega, and jnp.asarray under an active trace
+    # returns a tracer that float() cannot concretize
+    omega = _JACOBI_OMEGA[len(dims)] / levels.diag
 
     if level == len(levels.dims) - 1:
         lmin, lmax = _dirichlet_bounds(dims, levels.diag, levels.off)

@@ -19,6 +19,7 @@ from medane_tchakorom_ufc_thesis_repository_tpu.ops import (
 )
 from medane_tchakorom_ufc_thesis_repository_tpu.ops.stencil_pallas import (
     stencil2d_mv_pallas,
+    stencil3d_apply_pallas,
     stencil3d_mv_pallas,
 )
 
@@ -60,6 +61,55 @@ class TestStencilKernels:
             np.asarray(y), np.asarray(op.mv(x).reshape(-1)),
             rtol=1e-6, atol=1e-6,
         )
+
+    def test_3d_grid_shaped(self):
+        nx = ny = nz = 16
+        op = poisson.poisson3d(nx, ny, nz)
+        g = _x(nx * ny * nz, 4).reshape(nx, ny, nz)
+        y = stencil3d_mv_pallas(g, nx=nx, ny=ny, nz=nz, tile_m=4)
+        assert y.shape == (nx, ny, nz)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(op.mv(g)), rtol=1e-6, atol=1e-6,
+        )
+
+    def test_3d_fused_residual(self):
+        nx = ny = nz = 16
+        op = poisson.poisson3d(nx, ny, nz)
+        x, b = _x(nx**3, 1), _x(nx**3, 2)
+        r = stencil3d_apply_pallas(
+            x, b, nx=nx, ny=ny, nz=nz, tile_m=4, kind="residual")
+        np.testing.assert_allclose(
+            np.asarray(r), np.asarray(b - op.mv(x)), rtol=1e-6, atol=1e-6,
+        )
+
+    def test_3d_fused_jacobi(self):
+        nx = ny = nz = 16
+        op = poisson.poisson3d(nx, ny, nz)
+        x, b = _x(nx**3, 5), _x(nx**3, 6)
+        w = 0.857 / 6.0
+        y = stencil3d_apply_pallas(
+            x, b, nx=nx, ny=ny, nz=nz, tile_m=4, kind="jacobi", omega=w)
+        ref = x + w * (b - op.mv(x))
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(ref), rtol=1e-5, atol=1e-6,
+        )
+
+    def test_3d_bf16(self):
+        nx = nz = 8
+        ny = 16  # bf16 sublane granularity
+        op = poisson.poisson3d(nx, ny, nz)
+        x = _x(nx * ny * nz, 7, dtype=jnp.bfloat16)
+        y = stencil3d_mv_pallas(x, nx=nx, ny=ny, nz=nz, tile_m=4)
+        ref = op.mv(x.astype(jnp.float32))
+        np.testing.assert_allclose(
+            np.asarray(y, dtype=np.float32), np.asarray(ref).reshape(-1),
+            rtol=3e-2, atol=3e-2,
+        )
+
+    def test_3d_alignment_guard(self):
+        with pytest.raises(ValueError, match="ny"):
+            stencil3d_apply_pallas(
+                _x(4 * 12 * 8), nx=4, ny=12, nz=8, kind="mv")
 
 
 @pytest.mark.usefixtures("_interpret")
