@@ -15,8 +15,7 @@ per block-row; the block-column ids ride the scalar-prefetch channel
 (SMEM) so each slot's x-block DMA address is known at program start.
 
 Status: interpreter-exact vs the XLA path (``tests/test_pallas.py``);
-Mosaic cannot compile through this tunnel (see
-``fused_pallas.mosaic_available``).
+compiles on-chip since round 4 (see ``fused_pallas.mosaic_available``).
 """
 
 from __future__ import annotations

@@ -23,11 +23,11 @@ the operand instead of two):
     single pass over the ``(k, n)`` basis panel.
 
 Status: validated EXACTLY against the XLA paths in interpreter mode
-(``tests/test_pallas.py``).  The axon tunnel cannot compile Mosaic
-(its remote AOT helper lacks the server-side libtpu env), so on this
-environment ``mosaic_available()`` is False and the XLA formulations
-stay active; on a real-chip TPU deployment the probe compiles a
-trivial kernel once and flips these on (see ``pallas_enabled``).
+(``tests/test_pallas.py``) and compiled on-chip since round 4 (the
+tunnel gained Mosaic AOT support).  ``mosaic_available()`` probes
+once per process and the routing helpers below flip the kernels on
+only where they beat the measured XLA formulation (see
+``pallas_enabled``); ``MEDANE_TPU_PALLAS=0/1`` force-overrides.
 """
 
 from __future__ import annotations
@@ -60,10 +60,10 @@ def _probe_kernel(x_ref, o_ref):
 @functools.lru_cache(maxsize=None)
 def mosaic_available() -> bool:
     """True when Pallas/Mosaic kernels compile AND run on the default
-    backend (cached).  Logs the reason when they do not: on CPU the
-    TPU lowering is unavailable, and through the axon tunnel the remote
-    AOT compile helper 500s (chipless libtpu init — an environment
-    limitation, not a kernel fault)."""
+    backend (cached).  Logs the reason when they do not (e.g. on CPU
+    the TPU lowering is unavailable; a remote-compile service without
+    libtpu AOT support 500s — an environment limitation, not a kernel
+    fault)."""
     try:
         # ensure_compile_time_eval: the probe is usually first reached
         # while TRACING a solver (routing decisions run at trace time);
@@ -172,7 +172,7 @@ def stencil2d_spmm_pallas(
     out = pl.pallas_call(
         partial(_spmm2d_kernel, tile_m=tile_m, n=n, diag=diag, off=off),
         grid=(s, grid_m),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, tile_m, n), lambda j, i: (j, i, 0),
             memory_space=pltpu.VMEM,
