@@ -61,7 +61,8 @@ def _jitted_ksp(method: str, pc_kind: str, restart: int, maxiter: int,
             M = pc_op.apply
         if method == "cg":
             return krylov.cg(op.mv, b, x0, maxiter=maxiter, rtol=rtol,
-                             atol=atol, precond=M)
+                             atol=atol, precond=M,
+                             matvec_dot=getattr(op, "mv_dot", None))
         if method == "minres":
             return krylov.minres(op.mv, b, x0, maxiter=maxiter,
                                  rtol=rtol, atol=atol, precond=M)

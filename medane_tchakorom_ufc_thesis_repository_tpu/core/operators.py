@@ -375,6 +375,24 @@ class Stencil3D:
 
     rmv = mv  # symmetric
 
+    def mv_dot(self, x):
+        """``(A @ x, x · A x)`` — CG's MatMult+VecTDot pair.  At HBM
+        scale the Pallas 'mv_dot' kind accumulates the dot on-core
+        while the apply streams (ZERO extra HBM traffic); elsewhere the
+        separate dot is VMEM-resident and XLA's fusion is already fine.
+        The dot accumulates in f32 regardless of storage dtype."""
+        nx, ny, nz = self.nx, self.ny, self.nz
+        g = x if x.ndim == 3 else x.reshape(nx, ny, nz)
+        if g.size * jnp.dtype(g.dtype).itemsize > _VMEM_RESIDENT_BYTES:
+            out = self._pallas_apply(g, (), "mv_dot")
+            if out is not None:
+                y, dot = out
+                return (y if x.ndim == 3 else y.reshape(-1),
+                        dot.astype(x.dtype))
+        y = self.mv(g)
+        dot = jnp.sum(g.astype(jnp.float32) * y.astype(jnp.float32))
+        return (y if x.ndim == 3 else y.reshape(-1), dot.astype(x.dtype))
+
     def _pallas_apply(self, g, extras, kind, omega=None):
         """Route an HBM-scale GRID-SHAPED apply through the Mosaic
         stencil kernel when the environment compiles it and the shape

@@ -267,7 +267,7 @@ def stencil2d_mv_norm_pallas(
         partial(_mv_norm2d_kernel, tile_m=tile_m, n=n, diag=diag, off=off),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((tile_m, n), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],

@@ -298,10 +298,16 @@ def _kernel3d(x_hbm, *rest, tile_m, ny, nz, diag, off, kind, omega):
     ``kind``: 'mv' (y = A x), 'residual' (b - A x), 'jacobi'
     (x + omega (b - A x)) — the fused forms save the separate
     elementwise passes of the MG smoother hot path exactly like the
-    slab epilogues in ``Stencil3D._fused_apply``."""
-    has_extra = kind != "mv"
+    slab epilogues in ``Stencil3D._fused_apply``; 'mv_dot'
+    (y = A x plus the scalar x·Ax accumulated across the sequential
+    grid — CG's direction dot p·Ap with ZERO extra HBM traffic, the
+    reference's VecTDot-after-MatMult pair)."""
+    has_extra = kind in ("residual", "jacobi")
+    has_acc = kind == "mv_dot"
     if has_extra:
         (e_hbm, o_hbm, win, sems, ebuf, esems, obuf, osems) = rest
+    elif has_acc:
+        (o_hbm, acc_ref, win, sems, obuf, osems) = rest
     else:
         (o_hbm, win, sems, obuf, osems) = rest
     i = pl.program_id(0)
@@ -327,7 +333,15 @@ def _kernel3d(x_hbm, *rest, tile_m, ny, nz, diag, off, kind, omega):
     rows = lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
     dt = obuf.dtype
 
+    if has_acc:
+        @pl.when(i == 0)
+        def _():
+            # Mosaic cannot store SCALARS to VMEM — keep every
+            # accumulator access (1, 1)-shaped
+            acc_ref[...] = jnp.zeros((1, 1), acc_ref.dtype)
+
     def fill(s):
+        parts = []
         for p in range(tile_m):
             # compute in f32 regardless of the storage dtype: Mosaic's
             # rotate only handles 32-bit data ("Rotate with non-32-bit
@@ -350,7 +364,17 @@ def _kernel3d(x_hbm, *rest, tile_m, ny, nz, diag, off, kind, omega):
             elif kind == "jacobi":
                 b = ebuf[s, p * ny:(p + 1) * ny, :].astype(jnp.float32)
                 ys = c + jnp.float32(omega) * (b - ys)
+            elif kind == "mv_dot":
+                # both operands of the dot are already on-core (c is the
+                # window's center plane, ys just computed) — collect
+                # per-plane (1, 1) partial sums in registers, one VMEM
+                # read-modify-write per TILE below
+                parts.append(jnp.sum(c * ys, keepdims=True))
             obuf[s, p * ny:(p + 1) * ny, :] = ys.astype(dt)
+        if parts:
+            # TPU grid programs run sequentially, so += on the shared
+            # (1, 1) accumulator block is race-free
+            acc_ref[...] += sum(parts)
 
     output_pipeline(o_hbm, obuf, osems, i, r, nprog, fill)
 
@@ -372,7 +396,9 @@ def stencil3d_apply_pallas(
 
     ``kind='mv'`` → ``A @ x``; ``'residual'`` → ``b - A @ x``;
     ``'jacobi'`` → ``x + omega (b - A @ x)`` with ``b = extras[0]`` and
-    STATIC ``omega`` (it compiles into the kernel).
+    STATIC ``omega`` (it compiles into the kernel); ``'mv_dot'`` →
+    ``(A @ x, x · A x)`` with the dot accumulated in f32 on-core (both
+    operands already live in VMEM — no extra HBM pass vs 'mv').
 
     Shape-polymorphic like ``Stencil3D.mv`` (see the 2D twin's note on
     layout bitcasts: pass GRID-shaped ``(nx, ny, nz)`` state in hot
@@ -402,18 +428,31 @@ def stencil3d_apply_pallas(
         scratch += [pltpu.VMEM((2, tile_m * ny, nz), x.dtype),
                     pltpu.SemaphoreType.DMA((2,))]
     scratch += output_scratch(tile_m * ny, nz, x.dtype)
+    out_specs = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    out_shape = jax.ShapeDtypeStruct((nx * ny, nz), x.dtype)
+    if kind == "mv_dot":
+        # second output: the f32 dot accumulator — a (1, 1) VMEM block
+        # every program maps to (sequential grid => race-free +=)
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((1, 1), jnp.float32)]
     out = pl.pallas_call(
         partial(_kernel3d, tile_m=tile_m, ny=ny, nz=nz, diag=diag,
                 off=off, kind=kind, omega=omega),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
                   for _ in range(1 + len(eg))],
-        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        out_shape=jax.ShapeDtypeStruct((nx * ny, nz), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(xg, *eg)
+    if kind == "mv_dot":
+        y, acc = out
+        return y.reshape(shape), acc[0, 0]
     return out.reshape(shape)
 
 

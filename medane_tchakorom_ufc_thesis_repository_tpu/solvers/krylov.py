@@ -312,9 +312,19 @@ def cg(
     axis_name=None,
     precond: Optional[Callable] = None,
     divtol: float = 1e5,
+    matvec_dot: Optional[Callable] = None,
 ) -> KrylovResult:
     """Conjugate gradients for SPD systems (the reference's outer-CG config,
     ``config/default_run_variables`` outer ksp_type cg).
+
+    ``matvec_dot``: optional fused ``p -> (A p, p · A p)`` (LOCAL dot —
+    it is still ``psum``-reduced here).  ``Stencil3D.mv_dot`` computes
+    the dot on-core while the Pallas apply streams, removing the
+    separate two-read reduction pass of CG's MatMult+VecTDot pair at
+    HBM scale (the reference's back-to-back MatMult/VecTDot hotspot,
+    ``/root/reference/tmp/function-calling-stack:1-60``).  Must return
+    bit-identical ``A p`` and a dot consistent with
+    ``jnp.vdot(p, A p)`` up to reduction order.
 
     ``divtol``: divergence cutoff (PETSc KSPConvergedDefault divtol 1e5,
     same convention as ``gmres``): stop iterating when the recurrence
@@ -339,8 +349,12 @@ def cg(
 
     def body(carry):
         x, r, p, rz, rs, iters = carry
-        ap = matvec(p)
-        pap = psum(jnp.vdot(p, ap))
+        if matvec_dot is not None:
+            ap, pap_loc = matvec_dot(p)
+            pap = psum(pap_loc)
+        else:
+            ap = matvec(p)
+            pap = psum(jnp.vdot(p, ap))
         alpha = jnp.where(pap != 0, rz / jnp.where(pap != 0, pap, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * ap

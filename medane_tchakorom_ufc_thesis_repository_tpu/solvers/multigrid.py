@@ -225,8 +225,23 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0) -> jax.Array:
     smooth = getattr(A, "jacobi_sweep",
                      lambda x_, b_, w: x_ + w * (b_ - A.mv(x_)))
     resid = getattr(A, "residual", lambda x_, b_: b_ - A.mv(x_))
-    x = omega * b
-    for _ in range(levels.nu - 1):
+    if levels.nu >= 2:
+        # x0 = 0 folds the first TWO sweeps into ONE stencil apply:
+        # x2 = w b + w (b - A (w b)) = (2w - w^2 diag) b - w^2 off * N b
+        # — a modified-coefficient stencil on b (same values up to
+        # rounding), one Pallas/slab pass instead of scale + sweep
+        # (5 memory passes -> 2 at HBM scale)
+        A2 = _make_op(
+            dims,
+            2.0 * omega - omega * omega * levels.diag,
+            -omega * omega * levels.off,
+        )
+        x = A2.mv(b)
+        presweeps = levels.nu - 2
+    else:
+        x = omega * b
+        presweeps = levels.nu - 1
+    for _ in range(presweeps):
         x = smooth(x, b, omega)
 
     r = resid(x, b)
@@ -235,9 +250,11 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0) -> jax.Array:
     ec = vcycle(levels, rc, level + 1)
     if levels.cycle == "w" and level + 1 < len(levels.dims) - 1:
         # W-cycle: re-solve the coarse problem on ITS residual (second
-        # recursive visit per level, skipped at the coarsest)
+        # recursive visit per level, skipped at the coarsest); the
+        # fused residual form saves the separate subtraction pass
         Ac = _make_op(levels.dims[level + 1], levels.diag, levels.off)
-        ec = ec + vcycle(levels, rc - Ac.mv(ec), level + 1)
+        resid_c = getattr(Ac, "residual", lambda x_, b_: b_ - Ac.mv(x_))
+        ec = ec + vcycle(levels, resid_c(ec, rc), level + 1)
     x = x + _prolong(ec, levels.dims[level + 1]).astype(dtype)
 
     for _ in range(levels.nu):

@@ -288,7 +288,8 @@ def _df_fused_program(op, rtol: float, max_passes: int,
         def body(carry):
             xhi, xlo, rhi, rnorm, passes = carry
             d = cg(op.mv, rhi / rnorm, maxiter=pcg_maxiter,
-                   rtol=inner_rtol, precond=M).x
+                   rtol=inner_rtol, precond=M,
+                   matvec_dot=getattr(op, "mv_dot", None)).x
             upd = df64.df_mul_f32((d, jnp.zeros_like(d)), rnorm)
             xhi2, xlo2 = df64.df_add((xhi, xlo), upd)
             rhi2, _rlo2 = residual((bhi, blo), (xhi2, xlo2))

@@ -94,6 +94,20 @@ class TestStencilKernels:
             np.asarray(y), np.asarray(ref), rtol=1e-5, atol=1e-6,
         )
 
+    def test_3d_mv_dot(self):
+        nx = ny = nz = 16
+        op = poisson.poisson3d(nx, ny, nz)
+        x = _x(nx**3, 3)
+        y, dot = stencil3d_apply_pallas(
+            x, nx=nx, ny=ny, nz=nz, tile_m=4, kind="mv_dot")
+        ref_y = op.mv(x).reshape(-1)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(ref_y), rtol=1e-6, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(dot), float(jnp.vdot(x, ref_y)), rtol=1e-5,
+        )
+
     def test_3d_bf16(self):
         nx = nz = 8
         ny = 16  # bf16 sublane granularity

@@ -75,6 +75,31 @@ def test_cg_matches_dense_solve(poisson_8x8):
     assert bool(res.converged)
 
 
+def test_cg_matvec_dot_identical_iterates(poisson_8x8):
+    """``matvec_dot`` (the fused MatMult+VecTDot hook Stencil3D.mv_dot
+    plugs in) must reproduce plain CG bit-for-bit when the fused pair is
+    computed the same way."""
+    op, dense, b, x_exact = poisson_8x8
+    plain = cg(op.mv, b, maxiter=37, rtol=1e-12)
+    fused = cg(op.mv, b, maxiter=37, rtol=1e-12,
+               matvec_dot=lambda p: (op.mv(p), jnp.vdot(p, op.mv(p))))
+    assert int(plain.iters) == int(fused.iters)
+    np.testing.assert_array_equal(np.asarray(plain.x), np.asarray(fused.x))
+
+
+def test_stencil3d_mv_dot_pair():
+    """Stencil3D.mv_dot returns (A x, x·Ax) consistent with mv + vdot
+    (the sub-VMEM fallback path; the Pallas kind is covered in
+    tests/test_pallas.py)."""
+    from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson as p3
+    op = p3.poisson3d(8, 8, 8)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(512), jnp.float32)
+    y, dot = op.mv_dot(x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(op.mv(x)), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(dot), float(jnp.vdot(x, op.mv(x))), rtol=1e-5)
+
+
 def test_gmres_vmap_over_blocks(poisson_8x8):
     """Batched GMRES over a leading block axis — the single-chip analog of
     the reference's two concurrent per-block inner KSPSolves."""
