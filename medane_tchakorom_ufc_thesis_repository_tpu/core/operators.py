@@ -457,6 +457,74 @@ class Stencil3D:
             return y
         return self._fused_apply(x, (b,), lambda s, ys, bb: bb - ys)
 
+    def prolong_jacobi(self, x, b, e, omega):
+        """``m + omega (b - A m)`` with ``m = x + P e`` (PWC
+        prolongation of the coarse correction ``e``) — the V-cycle's
+        correction step fused with the first post-smoothing sweep, or
+        ``None`` when the Mosaic kernel is not routable (callers fall
+        back to prolong + add + ``jacobi_sweep``)."""
+        nx, ny, nz = self.nx, self.ny, self.nz
+        g = x if x.ndim == 3 else x.reshape(nx, ny, nz)
+        if g.size * jnp.dtype(g.dtype).itemsize <= _VMEM_RESIDENT_BYTES:
+            return None
+        if jnp.dtype(g.dtype) not in (jnp.dtype(jnp.float32),
+                                      jnp.dtype(jnp.bfloat16)):
+            return None
+        from medane_tchakorom_ufc_thesis_repository_tpu.ops import (
+            fused_pallas,
+            stencil_pallas,
+        )
+
+        gran = stencil_pallas.sublane_granularity(g.dtype)
+        # the coarse plane's LANE dim (nz//2) must be a whole number of
+        # 128-lane tiles: Mosaic rejects VMEM slices whose minor dim
+        # is not 128-aligned (measured at 384^3: nz//2 = 192 fails)
+        if ny % (2 * gran) or nx % 2 or (nz // 2) % 128 or nx % 8:
+            return None
+        if not fused_pallas.pallas_enabled():
+            return None
+        try:
+            omega = float(omega)
+        except (TypeError, jax.errors.TracerArrayConversionError):
+            return None
+        bg = b if b.ndim == 3 else b.reshape(nx, ny, nz)
+        return stencil_pallas.stencil3d_prolong_jacobi_pallas(
+            g, bg, e, nx=nx, ny=ny, nz=nz, diag=self.diag, off=self.off,
+            omega=omega,
+        )
+
+    def residual_restrict(self, x, b, scale=1.0):
+        """``scale * mean_{2x2x2}(b - A x)`` on the factor-2-coarsened
+        grid, or ``None`` when the fused Mosaic kernel is not routable
+        (CPU, unaligned shape, or below the HBM cutoff — callers fall
+        back to ``residual`` + the XLA restriction).  At HBM scale the
+        fine residual never touches HBM: x and b stream in, only the
+        1/8-size coarse residual streams out (the MG coarsening step,
+        ``solvers/multigrid.py``)."""
+        nx, ny, nz = self.nx, self.ny, self.nz
+        g = x if x.ndim == 3 else x.reshape(nx, ny, nz)
+        if g.size * jnp.dtype(g.dtype).itemsize <= _VMEM_RESIDENT_BYTES:
+            return None
+        if jnp.dtype(g.dtype) not in (jnp.dtype(jnp.float32),
+                                      jnp.dtype(jnp.bfloat16)):
+            return None
+        from medane_tchakorom_ufc_thesis_repository_tpu.ops import (
+            fused_pallas,
+            stencil_pallas,
+        )
+
+        gran = stencil_pallas.sublane_granularity(g.dtype)
+        # nz//2 must be 128-lane aligned (see prolong_jacobi)
+        if ny % (2 * gran) or nx % 2 or (nz // 2) % 128 or nx % 8:
+            return None
+        if not fused_pallas.pallas_enabled():
+            return None
+        bg = b if b.ndim == 3 else b.reshape(nx, ny, nz)
+        return stencil_pallas.stencil3d_residual_restrict_pallas(
+            g, bg, nx=nx, ny=ny, nz=nz, diag=self.diag, off=self.off,
+            scale=float(scale),
+        )
+
     def _pallas_fused(self, x, extras, kind, omega=None):
         """Pallas route for the fused epilogues; the STATIC-omega
         requirement (it compiles into the kernel) falls back to the

@@ -462,3 +462,280 @@ def stencil3d_mv_pallas(x, *, nx, ny, nz, diag=6.0, off=-1.0, tile_m=16):
     return stencil3d_apply_pallas(
         x, nx=nx, ny=ny, nz=nz, diag=diag, off=off, tile_m=tile_m,
         kind="mv")
+
+
+# ---------------------------------------------------------------------------
+# 3D fused residual + restriction (the MG V-cycle's coarsening step)
+# ---------------------------------------------------------------------------
+
+def _pair_select(np_, k, dt):
+    """(np_//2, np_) 0/1 matrix summing adjacent row pairs when applied
+    from the left (k=0) / (np_, np_//2) from the right (k=1) — the
+    Mosaic-compilable form of stride-2 compaction (strided slices and
+    lane addressing don't lower; one small MXU matmul does).  Each
+    orientation is built directly with iota compares (no transpose — a
+    vector-value transpose needn't lower)."""
+    shape = (np_ // 2, np_) if k == 0 else (np_, np_ // 2)
+    rows = lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = lax.broadcasted_iota(jnp.int32, shape, 1)
+    hit = (cols // 2 == rows) if k == 0 else (rows // 2 == cols)
+    return jnp.where(hit, 1.0, 0.0).astype(dt)
+
+
+def _kernel3d_rr(x_hbm, b_hbm, rc_hbm, win, sems, bbuf, bsems, obuf,
+                 osems, *, tile_m, ny, nz, diag, off, scale):
+    """Residual + full-weighting restriction in ONE pass: reads x and b
+    (fine), writes ONLY the coarse ``rc = scale * mean_{2x2x2}(b - A x)``
+    — the fine residual never exists in HBM.  The V-cycle uses r for
+    nothing but restriction (``solvers/multigrid.py``), so this replaces
+    a fused-residual write (268 MB at 512^3 bf16) plus a
+    relayout-penalized strided restriction read with zero extra traffic:
+    x + b in, rc (1/8 size) out.
+
+    Restriction compaction runs on the MXU: per fine-plane pair,
+    ``Y @ (r_2q + r_2q+1) @ Z`` with 0/1 pairing matrices (~26 GMAC at
+    512^3 — sub-ms at bf16 operand width; products with 0/1 matrices are
+    exact, accumulation in f32)."""
+    i = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    r = tile_m * ny
+
+    @pl.when(i == 0)
+    def _():
+        issue_window(x_hbm, win, sems, 0, r, ny, nprog)
+        extra_copy(b_hbm, bbuf, bsems, 0, r, ny).start()
+
+    @pl.when(i + 1 < nprog)
+    def _():
+        issue_window(x_hbm, win, sems, i + 1, r, ny, nprog)
+        extra_copy(b_hbm, bbuf, bsems, i + 1, r, ny).start()
+
+    wait_window(x_hbm, win, sems, i, r, ny, nprog)
+    extra_copy(b_hbm, bbuf, bsems, i, r, ny).wait()
+
+    rows = lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
+    dt = obuf.dtype
+    cdt = x_hbm.dtype  # matmul operand width == storage width
+    ymat = _pair_select(ny, 0, cdt)          # (ny/2, ny)
+    zmat = _pair_select(nz, 1, cdt)          # (nz, nz/2)
+    s8 = jnp.float32(scale / 8.0)
+    # f32 operands: HIGHEST, or the MXU silently truncates them to bf16
+    # (the CLAUDE.md precision trap — measured 6e-3 relerr without);
+    # bf16 operands are already exact through the 0/1 matrices
+    prec = (lax.Precision.HIGHEST if cdt == jnp.dtype(jnp.float32)
+            else lax.Precision.DEFAULT)
+
+    def resid_plane(s, p):
+        c = win[s, (p + 1) * ny:(p + 2) * ny, :].astype(jnp.float32)
+        xn = win[s, p * ny:(p + 1) * ny, :].astype(jnp.float32)
+        xs = win[s, (p + 2) * ny:(p + 3) * ny, :].astype(jnp.float32)
+        ynorth = jnp.where(rows == 0, 0.0, pltpu.roll(c, 1, 0))
+        ysouth = jnp.where(rows == ny - 1, 0.0, pltpu.roll(c, ny - 1, 0))
+        ys = diag * c + off * (
+            xn + xs + ynorth + ysouth + lane_shift_sum(c, nz)
+        )
+        b = bbuf[s, p * ny:(p + 1) * ny, :].astype(jnp.float32)
+        return b - ys
+
+    def fill(s):
+        for q in range(tile_m // 2):
+            m = (s8 * (resid_plane(s, 2 * q)
+                       + resid_plane(s, 2 * q + 1))).astype(cdt)
+            yq = jax.lax.dot_general(
+                ymat, m, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec).astype(cdt)
+            out = jax.lax.dot_general(
+                yq, zmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            obuf[s, q * (ny // 2):(q + 1) * (ny // 2), :] = out.astype(dt)
+
+    output_pipeline(rc_hbm, obuf, osems, i, tile_m // 2 * (ny // 2),
+                    nprog, fill)
+
+
+def _kernel3d_pj(x_hbm, b_hbm, e_hbm, o_hbm, win, sems, bbuf, bsems,
+                 ewin, esems, obuf, osems, *, tile_m, ny, nz, diag, off,
+                 omega):
+    """Coarse-correction + first post-smooth sweep in ONE pass:
+    ``x' = m + omega (b - A m)`` with ``m = x + P e`` (piecewise-constant
+    prolongation of the coarse correction ``e``).  Replaces prolong +
+    add + jacobi_sweep — one full fine-grid read/write pair of HBM
+    traffic saved per V-cycle level visit.
+
+    The PWC expansion is two 0/1 matmuls per COARSE plane
+    (``Yexp @ e_q @ Zexp`` — exact products, f32 accumulate); each
+    expansion is reused by its two fine planes, and only a rolling
+    3-plane working set stays live (whole-window values spill the
+    register allocator)."""
+    i = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    r = tile_m * ny
+    rc = (tile_m // 2) * (ny // 2)
+
+    @pl.when(i == 0)
+    def _():
+        issue_window(x_hbm, win, sems, 0, r, ny, nprog)
+        issue_window(e_hbm, ewin, esems, 0, rc, ny // 2, nprog)
+        extra_copy(b_hbm, bbuf, bsems, 0, r, ny).start()
+
+    @pl.when(i + 1 < nprog)
+    def _():
+        issue_window(x_hbm, win, sems, i + 1, r, ny, nprog)
+        issue_window(e_hbm, ewin, esems, i + 1, rc, ny // 2, nprog)
+        extra_copy(b_hbm, bbuf, bsems, i + 1, r, ny).start()
+
+    wait_window(x_hbm, win, sems, i, r, ny, nprog)
+    wait_window(e_hbm, ewin, esems, i, rc, ny // 2, nprog)
+    extra_copy(b_hbm, bbuf, bsems, i, r, ny).wait()
+
+    rows = lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
+    dt = obuf.dtype
+    cdt = x_hbm.dtype
+    yexp = _pair_select(ny, 1, cdt)          # (ny, ny/2): rows//2 == col
+    zexp = _pair_select(nz, 0, cdt)          # (nz/2, nz): cols//2 == row
+    prec = (lax.Precision.HIGHEST if cdt == jnp.dtype(jnp.float32)
+            else lax.Precision.DEFAULT)  # see _kernel3d_rr
+
+    def fill(s):
+        nyh = ny // 2
+
+        def eplane(qw):
+            # window-local coarse plane qw in [0, tile_m//2 + 2): slot 0
+            # is the halo plane below, zero-filled by wait_window at the
+            # grid edges exactly like the x window
+            eq = ewin[s, qw * nyh:(qw + 1) * nyh, :]
+            up = jax.lax.dot_general(
+                yexp, eq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec).astype(cdt)
+            return jax.lax.dot_general(
+                up, zexp, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+
+        def mplane(p):
+            # fine window plane p in [0, tile_m + 2); global fine index
+            # g = i*tile_m + p - 1, coarse q = g // 2, window-local
+            # qw = q - (i*tile_m//2 - 1) = (p - 1) // 2 + 1 for p >= 1;
+            # p = 0 is the halo plane below: g odd when tile_m even, so
+            # qw = 0 only at the very first plane of a tile — handled
+            # uniformly by floor division
+            qw = (p - 1) // 2 + 1
+            xv = win[s, p * ny:(p + 1) * ny, :].astype(jnp.float32)
+            return xv + eplane(qw)
+
+        ecache = {}
+
+        def m_of(p):
+            if p not in ecache:
+                ecache[p] = mplane(p)
+            # evict planes that can no longer be referenced (keep the
+            # SSA working set at 3 planes)
+            for k in [k for k in ecache if k < p - 2]:
+                del ecache[k]
+            return ecache[p]
+
+        for p in range(tile_m):
+            prev, cur, nxt = m_of(p), m_of(p + 1), m_of(p + 2)
+            ynorth = jnp.where(rows == 0, 0.0, pltpu.roll(cur, 1, 0))
+            ysouth = jnp.where(rows == ny - 1, 0.0,
+                               pltpu.roll(cur, ny - 1, 0))
+            ys = diag * cur + off * (
+                prev + nxt + ynorth + ysouth + lane_shift_sum(cur, nz)
+            )
+            b = bbuf[s, p * ny:(p + 1) * ny, :].astype(jnp.float32)
+            out = cur + jnp.float32(omega) * (b - ys)
+            obuf[s, p * ny:(p + 1) * ny, :] = out.astype(dt)
+
+    output_pipeline(o_hbm, obuf, osems, i, r, nprog, fill)
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "nz", "diag", "off",
+                                   "tile_m", "omega"))
+def stencil3d_prolong_jacobi_pallas(
+    x: jax.Array, b: jax.Array, e: jax.Array, *, nx: int, ny: int,
+    nz: int, diag: float = 6.0, off: float = -1.0, tile_m: int = 0,
+    omega: float = 1.0,
+) -> jax.Array:
+    """``m + omega (b - A m)`` with ``m = x + P e``: the V-cycle's
+    coarse-grid correction fused with the first post-smoothing sweep.
+    ``e`` is the coarse ``(nx//2, ny//2, nz//2)`` correction."""
+    gran = sublane_granularity(x.dtype)
+    if ny % (2 * gran) or nx % 2 or nz % 2:
+        raise ValueError(
+            f"prolong_jacobi needs even dims and ny % {2 * gran} == 0 "
+            f"for {x.dtype}, got {(nx, ny, nz)}")
+    if not tile_m:
+        tile_m = 8
+    tile_m = min(tile_m, nx)
+    while nx % tile_m or tile_m % 2:
+        tile_m //= 2
+    if tile_m < 2:
+        raise ValueError(f"nx={nx} not tileable into even plane tiles")
+    grid = nx // tile_m
+    xg = x.reshape(nx * ny, nz)
+    bg = b.reshape(nx * ny, nz)
+    eg = e.reshape(nx // 2 * (ny // 2), nz // 2).astype(x.dtype)
+    scratch = window_scratch((tile_m + 2) * ny, nz, x.dtype)
+    scratch += [pltpu.VMEM((2, tile_m * ny, nz), x.dtype),
+                pltpu.SemaphoreType.DMA((2,))]
+    scratch += window_scratch((tile_m // 2 + 2) * (ny // 2), nz // 2,
+                              x.dtype)
+    scratch += output_scratch(tile_m * ny, nz, x.dtype)
+    out = pl.pallas_call(
+        partial(_kernel3d_pj, tile_m=tile_m, ny=ny, nz=nz, diag=diag,
+                off=off, omega=omega),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        out_shape=jax.ShapeDtypeStruct((nx * ny, nz), x.dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xg, bg, eg)
+    return out.reshape(x.shape if x.ndim == 3 else (nx, ny, nz))
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "nz", "diag", "off",
+                                   "tile_m", "scale"))
+def stencil3d_residual_restrict_pallas(
+    x: jax.Array, b: jax.Array, *, nx: int, ny: int, nz: int,
+    diag: float = 6.0, off: float = -1.0, tile_m: int = 0,
+    scale: float = 1.0,
+) -> jax.Array:
+    """``scale * mean_{2x2x2 cells}(b - A x)`` — grid-shaped
+    ``(nx//2, ny//2, nz//2)`` output.  Requires even dims, ``ny`` and
+    ``ny//2`` aligned to the dtype's sublane granularity; callers route
+    other shapes to the XLA composition."""
+    gran = sublane_granularity(x.dtype)
+    if ny % (2 * gran) or nx % 2 or nz % 2:
+        raise ValueError(
+            f"residual_restrict needs even dims and ny % {2 * gran} == 0"
+            f" for {x.dtype}, got {(nx, ny, nz)}")
+    if not tile_m:
+        tile_m = 8
+    tile_m = min(tile_m, nx)
+    while nx % tile_m or tile_m % 2:
+        tile_m //= 2
+    if tile_m < 2:
+        raise ValueError(f"nx={nx} not tileable into even plane tiles")
+    grid = nx // tile_m
+    xg = x.reshape(nx * ny, nz)
+    bg = b.reshape(nx * ny, nz)
+    scratch = window_scratch((tile_m + 2) * ny, nz, x.dtype)
+    scratch += [pltpu.VMEM((2, tile_m * ny, nz), x.dtype),
+                pltpu.SemaphoreType.DMA((2,))]
+    scratch += output_scratch(tile_m // 2 * (ny // 2), nz // 2, x.dtype)
+    out = pl.pallas_call(
+        partial(_kernel3d_rr, tile_m=tile_m, ny=ny, nz=nz, diag=diag,
+                off=off, scale=scale),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        out_shape=jax.ShapeDtypeStruct((nx // 2 * (ny // 2), nz // 2),
+                                       x.dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xg, bg)
+    return out.reshape(nx // 2, ny // 2, nz // 2)

@@ -124,6 +124,10 @@ def gmres(
     # Floor of 1 keeps maxiter=0 a graceful no-op (zero-width H would
     # fail to trace).
     m = max(1, min(restart, maxiter))
+    # x0 = 0 => r0 = b EXACTLY: skip the initial matvec (a Pallas
+    # stencil apply is an opaque kernel XLA cannot fold on zeros, and
+    # even the XLA form costs a full memory pass at HBM scale)
+    x0_zero = x0 is None
     if x0 is None:
         x0 = jnp.zeros_like(b)
 
@@ -134,7 +138,7 @@ def gmres(
     def pnorm(v):
         return jnp.sqrt(psum(jnp.sum(v * v)))
 
-    r0 = b - matvec(x0)
+    r0 = b if x0_zero else b - matvec(x0)
     beta0 = pnorm(r0)
     rnorm0_ = beta0 if rnorm0 is None else jnp.asarray(rnorm0, dtype)
     tol = _tol(jnp.asarray(rtol, dtype), jnp.asarray(atol, dtype), rnorm0_)
@@ -339,10 +343,12 @@ def cg(
     """
     dtype = b.dtype
     psum = make_reducer(axis_name)
+    x0_zero = x0 is None
     if x0 is None:
         x0 = jnp.zeros_like(b)
     M = precond if precond is not None else (lambda v: v)
-    r = b - matvec(x0)
+    # x0 = 0 => r0 = b exactly; skip the initial matvec (see gmres)
+    r = b if x0_zero else b - matvec(x0)
     beta0 = jnp.sqrt(psum(jnp.vdot(r, r)))
     rnorm0_ = beta0 if rnorm0 is None else jnp.asarray(rnorm0, dtype)
     tol = _tol(jnp.asarray(rtol, dtype), jnp.asarray(atol, dtype), rnorm0_)
@@ -429,13 +435,15 @@ def bicgstab(
     """
     dtype = b.dtype
     psum = make_reducer(axis_name)
+    x0_zero = x0 is None
     if x0 is None:
         x0 = jnp.zeros_like(b)
     M = precond if precond is not None else (lambda v: v)
     amv = (lambda v: matvec(M(v))) if precond is not None else matvec
 
     # right-PC: iterate y with x = M y; r0 = b - A x0 either way
-    r = b - matvec(x0)
+    # (x0 = 0 => r0 = b exactly; skip the matvec, see gmres)
+    r = b if x0_zero else b - matvec(x0)
     beta0 = jnp.sqrt(psum(jnp.vdot(r, r)))
     rnorm0_ = beta0 if rnorm0 is None else jnp.asarray(rnorm0, dtype)
     tol = _tol(jnp.asarray(rtol, dtype), jnp.asarray(atol, dtype), rnorm0_)
@@ -530,12 +538,14 @@ def minres(
     """
     dtype = b.dtype
     psum = make_reducer(axis_name)
+    x0_zero = x0 is None
     if x0 is None:
         x0 = jnp.zeros_like(b)
     M = precond if precond is not None else (lambda v: v)
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
 
-    r1 = b - matvec(x0)
+    # x0 = 0 => r1 = b exactly; skip the initial matvec (see gmres)
+    r1 = b if x0_zero else b - matvec(x0)
     y0 = M(r1)
     beta1sq, rtrue0sq = psum(
         jnp.stack([jnp.vdot(r1, y0), jnp.vdot(r1, r1)]))

@@ -244,9 +244,17 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0) -> jax.Array:
     for _ in range(presweeps):
         x = smooth(x, b, omega)
 
-    r = resid(x, b)
-    # (2h)^2 / h^2 rescaling of the h^2-convention residual
-    rc = 4.0 * _restrict(r, dims)
+    # (2h)^2 / h^2 rescaling of the h^2-convention residual.  The fused
+    # Mosaic kernel computes residual + restriction in ONE pass (the
+    # fine r never exists in HBM — it is used for nothing else); the
+    # fallback composes the two ops
+    rc = None
+    rr = getattr(A, "residual_restrict", None)
+    if rr is not None:
+        rc = rr(x, b, scale=4.0)
+    if rc is None:
+        r = resid(x, b)
+        rc = 4.0 * _restrict(r, dims)
     ec = vcycle(levels, rc, level + 1)
     if levels.cycle == "w" and level + 1 < len(levels.dims) - 1:
         # W-cycle: re-solve the coarse problem on ITS residual (second
@@ -255,9 +263,20 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0) -> jax.Array:
         Ac = _make_op(levels.dims[level + 1], levels.diag, levels.off)
         resid_c = getattr(Ac, "residual", lambda x_, b_: b_ - Ac.mv(x_))
         ec = ec + vcycle(levels, resid_c(ec, rc), level + 1)
-    x = x + _prolong(ec, levels.dims[level + 1]).astype(dtype)
+    # coarse correction + first post-smooth sweep, fused when the
+    # Mosaic kernel routes (prolong + add + sweep in one pass)
+    post = levels.nu
+    xp = None
+    if levels.nu >= 1:
+        pj = getattr(A, "prolong_jacobi", None)
+        if pj is not None:
+            xp = pj(x, b, ec.astype(dtype), omega)
+    if xp is not None:
+        x, post = xp, levels.nu - 1
+    else:
+        x = x + _prolong(ec, levels.dims[level + 1]).astype(dtype)
 
-    for _ in range(levels.nu):
+    for _ in range(post):
         x = smooth(x, b, omega)
     return x
 

@@ -108,6 +108,46 @@ class TestStencilKernels:
             float(dot), float(jnp.vdot(x, ref_y)), rtol=1e-5,
         )
 
+    def test_3d_residual_restrict(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.ops.stencil_pallas import (
+            stencil3d_residual_restrict_pallas,
+        )
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import (
+            multigrid as mg,
+        )
+        nx = ny = nz = 16
+        op = poisson.poisson3d(nx, ny, nz)
+        x = _x(nx**3, 8).reshape(nx, ny, nz)
+        b = _x(nx**3, 9).reshape(nx, ny, nz)
+        rc = stencil3d_residual_restrict_pallas(
+            x, b, nx=nx, ny=ny, nz=nz, scale=4.0)
+        ref = 4.0 * mg._restrict(b - op.mv(x), (nx, ny, nz))
+        assert rc.shape == (nx // 2, ny // 2, nz // 2)
+        np.testing.assert_allclose(
+            np.asarray(rc), np.asarray(ref), rtol=1e-5, atol=1e-5,
+        )
+
+    def test_3d_prolong_jacobi(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.ops.stencil_pallas import (
+            stencil3d_prolong_jacobi_pallas,
+        )
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import (
+            multigrid as mg,
+        )
+        nx = ny = nz = 16
+        op = poisson.poisson3d(nx, ny, nz)
+        x = _x(nx**3, 10).reshape(nx, ny, nz)
+        b = _x(nx**3, 11).reshape(nx, ny, nz)
+        e = _x((nx // 2) ** 3, 12).reshape(nx // 2, ny // 2, nz // 2)
+        w = 0.857 / 6.0
+        y = stencil3d_prolong_jacobi_pallas(
+            x, b, e, nx=nx, ny=ny, nz=nz, omega=w)
+        m = x + mg._prolong(e, (nx // 2, ny // 2, nz // 2))
+        ref = m + w * (b - op.mv(m))
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(ref), rtol=1e-5, atol=1e-5,
+        )
+
     def test_3d_bf16(self):
         nx = nz = 8
         ny = 16  # bf16 sublane granularity
