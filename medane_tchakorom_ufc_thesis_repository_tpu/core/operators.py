@@ -393,7 +393,8 @@ class Stencil3D:
         dot = jnp.sum(g.astype(jnp.float32) * y.astype(jnp.float32))
         return (y if x.ndim == 3 else y.reshape(-1), dot.astype(x.dtype))
 
-    def _pallas_apply(self, g, extras, kind, omega=None):
+    def _pallas_apply(self, g, extras, kind, omega=None,
+                      out_dtype=None):
         """Route an HBM-scale GRID-SHAPED apply through the Mosaic
         stencil kernel when the environment compiles it and the shape
         meets the DMA alignment (``ny`` divisible by the dtype's
@@ -416,6 +417,7 @@ class Stencil3D:
         return stencil_pallas.stencil3d_apply_pallas(
             g, *extras, nx=self.nx, ny=self.ny, nz=self.nz,
             diag=self.diag, off=self.off, kind=kind, omega=omega,
+            out_dtype=out_dtype,
         )
 
     def _fused_apply(self, x, extras, epilogue):
@@ -436,19 +438,27 @@ class Stencil3D:
         y = epilogue(g, self.mv(g), *ex)
         return y if x.ndim == 3 else y.reshape(-1)
 
-    def jacobi_sweep(self, x, b, omega):
+    def jacobi_sweep(self, x, b, omega, out_dtype=None):
         """One damped-Jacobi smoothing sweep ``x + omega * (b - A x)``
         with the update fused into the stencil pass (Pallas kernel or
         slab epilogue — saves ~2 full memory passes per sweep at HBM
         scale; the MG level-0 smoother hot path,
-        ``solvers/multigrid.py``)."""
-        y = self._pallas_fused(x, (b,), "jacobi", omega)
+        ``solvers/multigrid.py``).
+
+        ``out_dtype``: storage dtype of the result (default
+        ``x.dtype``) — the Pallas kernel writes it directly, removing
+        the separate cast pass at the bf16-cycle/f32-solver boundary;
+        the fallbacks cast after (XLA fuses the cast into its epilogue
+        pass, so values match either way)."""
+        y = self._pallas_fused(x, (b,), "jacobi", omega,
+                               out_dtype=out_dtype)
         if y is not None:
             return y
         w = jnp.asarray(omega, x.dtype)
-        return self._fused_apply(
+        y = self._fused_apply(
             x, (b,), lambda s, ys, bb: s + w * (bb - ys)
         )
+        return y if out_dtype is None else y.astype(out_dtype)
 
     def residual(self, x, b):
         """``b - A x`` with the subtraction fused into the stencil pass."""
@@ -525,7 +535,8 @@ class Stencil3D:
             scale=float(scale),
         )
 
-    def _pallas_fused(self, x, extras, kind, omega=None):
+    def _pallas_fused(self, x, extras, kind, omega=None,
+                      out_dtype=None):
         """Pallas route for the fused epilogues; the STATIC-omega
         requirement (it compiles into the kernel) falls back to the
         slab epilogue when omega arrives as a traced value."""
@@ -540,7 +551,7 @@ class Stencil3D:
                 return None
         ex = tuple(e if e.ndim == 3 else e.reshape(nx, ny, nz)
                    for e in extras)
-        y = self._pallas_apply(g, ex, kind, omega)
+        y = self._pallas_apply(g, ex, kind, omega, out_dtype=out_dtype)
         if y is None:
             return None
         return y if x.ndim == 3 else y.reshape(x.shape)

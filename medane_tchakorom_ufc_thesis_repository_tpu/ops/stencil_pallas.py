@@ -386,11 +386,12 @@ def sublane_granularity(dtype) -> int:
 
 
 @partial(jax.jit, static_argnames=("nx", "ny", "nz", "diag", "off",
-                                   "tile_m", "kind", "omega"))
+                                   "tile_m", "kind", "omega",
+                                   "out_dtype"))
 def stencil3d_apply_pallas(
     x: jax.Array, *extras, nx: int, ny: int, nz: int,
     diag: float = 6.0, off: float = -1.0, tile_m: int = 0,
-    kind: str = "mv", omega: float | None = None,
+    kind: str = "mv", omega: float | None = None, out_dtype=None,
 ) -> jax.Array:
     """3D 7-point stencil apply with optional fused epilogue.
 
@@ -399,6 +400,12 @@ def stencil3d_apply_pallas(
     STATIC ``omega`` (it compiles into the kernel); ``'mv_dot'`` →
     ``(A @ x, x · A x)`` with the dot accumulated in f32 on-core (both
     operands already live in VMEM — no extra HBM pass vs 'mv').
+
+    ``out_dtype``: output storage dtype (default: ``x.dtype``).  The
+    kernel computes in f32 regardless, so writing a different width is
+    free — it removes the separate cast pass at a precision boundary
+    (e.g. the bf16 MG cycle's correction returned to the f32 CG loop).
+    Extras may also differ in dtype from ``x`` for the same reason.
 
     Shape-polymorphic like ``Stencil3D.mv`` (see the 2D twin's note on
     layout bitcasts: pass GRID-shaped ``(nx, ny, nz)`` state in hot
@@ -410,6 +417,7 @@ def stencil3d_apply_pallas(
         raise ValueError(
             f"stencil3d_apply_pallas needs ny % {gran} == 0 for "
             f"{x.dtype}, got ny={ny}")
+    odt = jnp.dtype(out_dtype) if out_dtype is not None else x.dtype
     shape = x.shape
     if not tile_m:
         # fused kinds carry an extra two-slot operand buffer; smaller
@@ -425,11 +433,11 @@ def stencil3d_apply_pallas(
     eg = tuple(e.reshape(nx * ny, nz) for e in extras)
     scratch = window_scratch((tile_m + 2) * ny, nz, x.dtype)
     if extras:
-        scratch += [pltpu.VMEM((2, tile_m * ny, nz), x.dtype),
+        scratch += [pltpu.VMEM((2, tile_m * ny, nz), eg[0].dtype),
                     pltpu.SemaphoreType.DMA((2,))]
-    scratch += output_scratch(tile_m * ny, nz, x.dtype)
+    scratch += output_scratch(tile_m * ny, nz, odt)
     out_specs = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
-    out_shape = jax.ShapeDtypeStruct((nx * ny, nz), x.dtype)
+    out_shape = jax.ShapeDtypeStruct((nx * ny, nz), odt)
     if kind == "mv_dot":
         # second output: the f32 dot accumulator — a (1, 1) VMEM block
         # every program maps to (sequential grid => race-free +=)

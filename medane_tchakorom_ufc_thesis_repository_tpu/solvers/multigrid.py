@@ -200,10 +200,16 @@ def plan(op, *, nu: int = 2, min_size: int = 4,
     )
 
 
-def vcycle(levels: MGLevels, b: jax.Array, level: int = 0) -> jax.Array:
+def vcycle(levels: MGLevels, b: jax.Array, level: int = 0,
+           out_dtype=None) -> jax.Array:
     """One V(nu, nu) cycle for ``A x = b`` from the zero initial guess,
     returning the approximate solution (grid-shaped).  A fixed linear
-    symmetric operation in ``b`` — valid as a CG preconditioner."""
+    symmetric operation in ``b`` — valid as a CG preconditioner.
+
+    ``out_dtype``: dtype of the RETURNED correction (default:
+    ``b.dtype``).  When the level-0 smoother is a fused Mosaic kernel
+    the final sweep writes this dtype directly — the bf16-cycle →
+    f32-solver boundary costs no separate cast pass."""
     dims = levels.dims[level]
     A = _make_op(dims, levels.diag, levels.off)
     dtype = b.dtype
@@ -214,9 +220,10 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0) -> jax.Array:
 
     if level == len(levels.dims) - 1:
         lmin, lmax = _dirichlet_bounds(dims, levels.diag, levels.off)
-        return chebyshev(
+        x = chebyshev(
             A.mv, b, maxiter=levels.coarse_iters, lmin=lmin, lmax=lmax
         ).x
+        return x if out_dtype is None else x.astype(out_dtype)
 
     # pre-smoothing (x0 = 0 folds the first sweep into a scale).
     # jacobi_sweep/residual fuse the elementwise update into the
@@ -276,9 +283,17 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0) -> jax.Array:
     else:
         x = x + _prolong(ec, levels.dims[level + 1]).astype(dtype)
 
+    js = getattr(A, "jacobi_sweep", None)
+    if post and js is not None:
+        # final sweep writes the requested output dtype directly
+        # (fused into the Pallas kernel at HBM scale; the fallbacks
+        # cast after — identical values)
+        for _ in range(post - 1):
+            x = smooth(x, b, omega)
+        return js(x, b, omega, out_dtype=out_dtype)
     for _ in range(post):
         x = smooth(x, b, omega)
-    return x
+    return x if out_dtype is None else x.astype(out_dtype)
 
 
 def mg_preconditioner(op, *, nu: int = 2, min_size: int = 4,
@@ -310,7 +325,9 @@ def mg_preconditioner(op, *, nu: int = 2, min_size: int = 4,
     def M(r: jax.Array) -> jax.Array:
         g = r if r.ndim == len(dims) else r.reshape(dims)
         if cycle_dtype is not None and g.dtype != cycle_dtype:
-            z = vcycle(levels, g.astype(cycle_dtype)).astype(r.dtype)
+            # out_dtype folds the cast back to the solver dtype into
+            # the cycle's final smoothing kernel (no separate pass)
+            z = vcycle(levels, g.astype(cycle_dtype), out_dtype=r.dtype)
         else:
             z = vcycle(levels, g)
         return z if r.ndim == len(dims) else z.reshape(-1)
