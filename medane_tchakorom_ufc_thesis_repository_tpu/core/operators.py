@@ -467,6 +467,36 @@ class Stencil3D:
             return y
         return self._fused_apply(x, (b,), lambda s, ys, bb: bb - ys)
 
+    def mv_cast(self, x, dtype):
+        """``(A @ x, x)`` both rounded to ``dtype`` in one streaming
+        pass, or ``None`` when the fused Mosaic kernel is not routable
+        (callers cast then apply).  The entry of a reduced-precision MG
+        cycle: the f32 residual is read ONCE; the pre-smoothed iterate
+        and the RHS copy leave at cycle precision with no separate cast
+        pass (``solvers/multigrid.py``)."""
+        nx, ny, nz = self.nx, self.ny, self.nz
+        g = x if x.ndim == 3 else x.reshape(nx, ny, nz)
+        if g.size * jnp.dtype(g.dtype).itemsize <= _VMEM_RESIDENT_BYTES:
+            return None
+        if jnp.dtype(g.dtype) not in (jnp.dtype(jnp.float32),
+                                      jnp.dtype(jnp.bfloat16)):
+            return None
+        from medane_tchakorom_ufc_thesis_repository_tpu.ops import (
+            fused_pallas,
+            stencil_pallas,
+        )
+
+        gran = max(stencil_pallas.sublane_granularity(g.dtype),
+                   stencil_pallas.sublane_granularity(dtype))
+        if ny % gran or nx % 8:
+            return None
+        if not fused_pallas.pallas_enabled():
+            return None
+        return stencil_pallas.stencil3d_mv_cast_pallas(
+            g, nx=nx, ny=ny, nz=nz, diag=self.diag, off=self.off,
+            out_dtype=dtype,
+        )
+
     def prolong_jacobi(self, x, b, e, omega):
         """``m + omega (b - A m)`` with ``m = x + P e`` (PWC
         prolongation of the coarse correction ``e``) — the V-cycle's

@@ -10,7 +10,12 @@ orthogonalization path.
 
 from medane_tchakorom_ufc_thesis_repository_tpu.ops.stencil_pallas import (  # noqa: F401
     stencil2d_mv_pallas,
+    stencil3d_apply_pallas,
+    stencil3d_df_residual_pallas,
+    stencil3d_mv_cast_pallas,
     stencil3d_mv_pallas,
+    stencil3d_prolong_jacobi_pallas,
+    stencil3d_residual_restrict_pallas,
 )
 
 from medane_tchakorom_ufc_thesis_repository_tpu.ops.fused_pallas import (  # noqa: F401

@@ -472,6 +472,247 @@ def stencil3d_mv_pallas(x, *, nx, ny, nz, diag=6.0, off=-1.0, tile_m=16):
         kind="mv")
 
 
+def output_pipeline2(outs, i, nprog, fill):
+    """``output_pipeline`` for kernels with several HBM outputs.
+    ``outs``: sequence of ``(o_hbm, obuf, osems, tile_r)``."""
+    for (o, ob, osm, tr) in outs:
+        @pl.when(i >= 2)
+        def _(o=o, ob=ob, osm=osm, tr=tr):
+            out_write_copy(o, ob, osm, i - 2, tr).wait()
+
+    fill(_slot(i))
+    for (o, ob, osm, tr) in outs:
+        out_write_copy(o, ob, osm, i, tr).start()
+
+        @pl.when(i == nprog - 1)
+        def _(o=o, ob=ob, osm=osm, tr=tr):
+            out_write_copy(o, ob, osm, i, tr).wait()
+
+        @pl.when((i == nprog - 1) & (i >= 1))
+        def _(o=o, ob=ob, osm=osm, tr=tr):
+            out_write_copy(o, ob, osm, i - 1, tr).wait()
+
+
+def _kernel3d_mvc(x_hbm, y_hbm, c_hbm, win, sems, ybuf, ysems, cbuf,
+                  csems, *, tile_m, ny, nz, diag, off):
+    """``y = A x`` AND a cast copy of ``x`` in one streaming pass — the
+    MG cycle's entry: the f32 residual arrives, the bf16 pre-smoothed
+    iterate and the bf16 RHS copy leave, so the precision boundary costs
+    no separate cast pass (x is read ONCE at f32 width instead of
+    cast-write + bf16 reread)."""
+    i = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    r = tile_m * ny
+
+    @pl.when(i == 0)
+    def _():
+        issue_window(x_hbm, win, sems, 0, r, ny, nprog)
+
+    @pl.when(i + 1 < nprog)
+    def _():
+        issue_window(x_hbm, win, sems, i + 1, r, ny, nprog)
+
+    wait_window(x_hbm, win, sems, i, r, ny, nprog)
+
+    rows = lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
+    ydt, cdt2 = ybuf.dtype, cbuf.dtype
+
+    def fill(s):
+        for p in range(tile_m):
+            c = win[s, (p + 1) * ny:(p + 2) * ny, :].astype(jnp.float32)
+            xn = win[s, p * ny:(p + 1) * ny, :].astype(jnp.float32)
+            xs = win[s, (p + 2) * ny:(p + 3) * ny, :].astype(jnp.float32)
+            ynorth = jnp.where(rows == 0, 0.0, pltpu.roll(c, 1, 0))
+            ysouth = jnp.where(rows == ny - 1, 0.0,
+                               pltpu.roll(c, ny - 1, 0))
+            ys = diag * c + off * (
+                xn + xs + ynorth + ysouth + lane_shift_sum(c, nz)
+            )
+            ybuf[s, p * ny:(p + 1) * ny, :] = ys.astype(ydt)
+            cbuf[s, p * ny:(p + 1) * ny, :] = c.astype(cdt2)
+
+    output_pipeline2([(y_hbm, ybuf, ysems, r), (c_hbm, cbuf, csems, r)],
+                     i, nprog, fill)
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "nz", "diag", "off",
+                                   "tile_m", "out_dtype"))
+def stencil3d_mv_cast_pallas(
+    x: jax.Array, *, nx: int, ny: int, nz: int,
+    diag: float = 6.0, off: float = -1.0, tile_m: int = 0,
+    out_dtype=jnp.bfloat16,
+):
+    """``(A @ x, x)`` both written at ``out_dtype`` in one pass over
+    ``x`` — the fused cast-in of a reduced-precision MG cycle."""
+    gran = sublane_granularity(x.dtype)
+    if ny % gran or ny % sublane_granularity(out_dtype):
+        raise ValueError(
+            f"stencil3d_mv_cast_pallas needs ny aligned for both "
+            f"{x.dtype} and {out_dtype}, got ny={ny}")
+    odt = jnp.dtype(out_dtype)
+    shape = x.shape
+    if not tile_m:
+        tile_m = 8
+    tile_m = min(tile_m, nx)
+    while nx % tile_m:
+        tile_m //= 2
+    grid = nx // tile_m
+    xg = x.reshape(nx * ny, nz)
+    scratch = window_scratch((tile_m + 2) * ny, nz, x.dtype)
+    scratch += output_scratch(tile_m * ny, nz, odt)
+    scratch += output_scratch(tile_m * ny, nz, odt)
+    y, c = pl.pallas_call(
+        partial(_kernel3d_mvc, tile_m=tile_m, ny=ny, nz=nz, diag=diag,
+                off=off),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((nx * ny, nz), odt)] * 2,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xg)
+    oshape = shape if x.ndim == 3 else (nx, ny, nz)
+    return y.reshape(oshape), c.reshape(oshape)
+
+
+def _kernel3d_dfr(xh_hbm, xl_hbm, bh_hbm, bl_hbm, rh_hbm, rl_hbm,
+                  winh, semsh, winl, semsl, bhbuf, bhsems, blbuf, blsems,
+                  ohbuf, ohsems, olbuf, olsems, *, tile_m, ny, nz,
+                  diag, off):
+    """Double-float (two-f32 EFT) residual ``b - A x`` in one streaming
+    pass — the hand-scheduled form of ``solvers.df64``'s
+    ``_df_residual_core_3d`` (same operation tree, so same ~2^-48
+    accuracy class).  Four HBM-scale operands in, two out; the XLA slab
+    form re-reads windows across its pad/concat fusions (~2x the
+    traffic floor at 512^3)."""
+    from medane_tchakorom_ufc_thesis_repository_tpu.solvers.df64 import (
+        _int_coeff_mul,
+        df_add,
+        df_add_f32,
+        df_neg,
+        two_sum,
+    )
+
+    i = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    r = tile_m * ny
+
+    @pl.when(i == 0)
+    def _():
+        issue_window(xh_hbm, winh, semsh, 0, r, ny, nprog)
+        issue_window(xl_hbm, winl, semsl, 0, r, ny, nprog)
+        extra_copy(bh_hbm, bhbuf, bhsems, 0, r, ny).start()
+        extra_copy(bl_hbm, blbuf, blsems, 0, r, ny).start()
+
+    @pl.when(i + 1 < nprog)
+    def _():
+        issue_window(xh_hbm, winh, semsh, i + 1, r, ny, nprog)
+        issue_window(xl_hbm, winl, semsl, i + 1, r, ny, nprog)
+        extra_copy(bh_hbm, bhbuf, bhsems, i + 1, r, ny).start()
+        extra_copy(bl_hbm, blbuf, blsems, i + 1, r, ny).start()
+
+    wait_window(xh_hbm, winh, semsh, i, r, ny, nprog)
+    wait_window(xl_hbm, winl, semsl, i, r, ny, nprog)
+    extra_copy(bh_hbm, bhbuf, bhsems, i, r, ny).wait()
+    extra_copy(bl_hbm, blbuf, blsems, i, r, ny).wait()
+
+    rows = lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
+    lanes = lax.broadcasted_iota(jnp.int32, (ny, nz), 1)
+
+    def shifts(c):
+        """Masked neighbor values of one plane (y-north/south via
+        sublane rolls, z-west/east via lane rolls — the Mosaic
+        equivalent of the padded-window taps)."""
+        yn = jnp.where(rows == 0, 0.0, pltpu.roll(c, 1, 0))
+        ys = jnp.where(rows == ny - 1, 0.0, pltpu.roll(c, ny - 1, 0))
+        zw = jnp.where(lanes == 0, 0.0, pltpu.roll(c, 1, 1))
+        ze = jnp.where(lanes == nz - 1, 0.0, pltpu.roll(c, nz - 1, 1))
+        return yn, ys, zw, ze
+
+    def fill(s):
+        for p in range(tile_m):
+            chi = winh[s, (p + 1) * ny:(p + 2) * ny, :]
+            xnh = winh[s, p * ny:(p + 1) * ny, :]
+            xsh = winh[s, (p + 2) * ny:(p + 3) * ny, :]
+            ynh, ysh, zwh, zeh = shifts(chi)
+            # EFT neighbor-sum tree — operation-for-operation the
+            # _df_residual_core_3d order (results match to reduction
+            # order, ~2^-48)
+            s1, e1 = two_sum(xnh, xsh)
+            s2, e2 = two_sum(ynh, ysh)
+            s3, e3 = two_sum(zwh, zeh)
+            t1, e4 = two_sum(s1, s2)
+            nh, e5 = two_sum(t1, s3)
+            cl = winl[s, (p + 1) * ny:(p + 2) * ny, :]
+            xnl = winl[s, p * ny:(p + 1) * ny, :]
+            xsl = winl[s, (p + 2) * ny:(p + 3) * ny, :]
+            ynl, ysl, zwl, zel = shifts(cl)
+            # left-associated like df64's taps() so the lo-component
+            # rounding matches the XLA form bit-for-bit
+            tlo = xnl + xsl + ynl + ysl + zwl + zel
+            nl = (((e1 + e2) + (e3 + e4)) + e5) + tlo
+            # ndf = off * (nh, nl): off = -1 for the Poisson family —
+            # exact either way via _int_coeff_mul-style scaling
+            if abs(off) in (1.0, 2.0, 4.0, 0.5, 0.25):
+                ndf = (nh * off, nl * off)
+            else:
+                ndf = df_add_f32(_int_coeff_mul(nh, off),
+                                 jnp.float32(off) * nl)
+            ddf = _int_coeff_mul(chi, diag)
+            ddf = df_add_f32(ddf, jnp.float32(diag) * cl)
+            ax = df_add(ddf, ndf)
+            bh = bhbuf[s, p * ny:(p + 1) * ny, :]
+            bl = blbuf[s, p * ny:(p + 1) * ny, :]
+            rhi, rlo = df_add((bh, bl), df_neg(ax))
+            ohbuf[s, p * ny:(p + 1) * ny, :] = rhi
+            olbuf[s, p * ny:(p + 1) * ny, :] = rlo
+
+    output_pipeline2([(rh_hbm, ohbuf, ohsems, r),
+                      (rl_hbm, olbuf, olsems, r)], i, nprog, fill)
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "nz", "diag", "off",
+                                   "tile_m"))
+def stencil3d_df_residual_pallas(
+    xhi: jax.Array, xlo: jax.Array, bhi: jax.Array, blo: jax.Array,
+    *, nx: int, ny: int, nz: int, diag: float = 6.0, off: float = -1.0,
+    tile_m: int = 4,
+):
+    """``b - A x`` in double-float (two-f32) arithmetic, one streaming
+    pass (see ``_kernel3d_dfr``).  Returns ``(rhi, rlo)`` grid-shaped.
+    f32 components only; ``ny % 8 == 0`` (DMA alignment)."""
+    if ny % 8:
+        raise ValueError(f"df residual kernel needs ny % 8 == 0, got {ny}")
+    tile_m = min(tile_m, nx)
+    while nx % tile_m:
+        tile_m //= 2
+    grid = nx // tile_m
+    gs = [a.reshape(nx * ny, nz) for a in (xhi, xlo, bhi, blo)]
+    dt = xhi.dtype
+    scratch = window_scratch((tile_m + 2) * ny, nz, dt)
+    scratch += window_scratch((tile_m + 2) * ny, nz, dt)
+    scratch += [pltpu.VMEM((2, tile_m * ny, nz), dt),
+                pltpu.SemaphoreType.DMA((2,))]
+    scratch += [pltpu.VMEM((2, tile_m * ny, nz), dt),
+                pltpu.SemaphoreType.DMA((2,))]
+    scratch += output_scratch(tile_m * ny, nz, dt)
+    scratch += output_scratch(tile_m * ny, nz, dt)
+    rh, rl = pl.pallas_call(
+        partial(_kernel3d_dfr, tile_m=tile_m, ny=ny, nz=nz, diag=diag,
+                off=off),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((nx * ny, nz), dt)] * 2,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*gs)
+    shape = xhi.shape if xhi.ndim == 3 else (nx, ny, nz)
+    return rh.reshape(shape), rl.reshape(shape)
+
+
 # ---------------------------------------------------------------------------
 # 3D fused residual + restriction (the MG V-cycle's coarsening step)
 # ---------------------------------------------------------------------------

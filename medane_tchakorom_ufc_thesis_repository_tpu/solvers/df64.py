@@ -228,6 +228,24 @@ def stencil3d_df_residual(nx: int, ny: int, nz: int, diag: float, off: float):
     if sl >= nx:
         return residual_whole
 
+    def residual_routed(b: DF, x: DF) -> DF:
+        """HBM scale: the Mosaic df-residual kernel when it compiles
+        (one streaming pass over the four operands — the XLA slab form
+        re-reads windows across its sibling fusions), else the slab
+        loop.  Same EFT operation tree either way (bit-identical,
+        ``tests/test_pallas.py``)."""
+        from medane_tchakorom_ufc_thesis_repository_tpu.ops import (
+            fused_pallas,
+            stencil_pallas,
+        )
+
+        if ny % 8 == 0 and nx % 4 == 0 and fused_pallas.pallas_enabled():
+            rhi, rlo = stencil_pallas.stencil3d_df_residual_pallas(
+                x[0], x[1], b[0], b[1], nx=nx, ny=ny, nz=nz,
+                diag=diag, off=off)
+            return rhi, rlo
+        return residual_slab(b, x)
+
     def residual_slab(b: DF, x: DF) -> DF:
         bhi, blo = b
         xhi, xlo = x
@@ -259,7 +277,7 @@ def stencil3d_df_residual(nx: int, ny: int, nz: int, diag: float, off: float):
         init = (jnp.empty_like(xhi), jnp.empty_like(xlo))
         return lax.fori_loop(0, nx // sl, body, init)
 
-    return residual_slab
+    return residual_routed
 
 
 def _df_combine(hi, lo, coeff: float) -> DF:

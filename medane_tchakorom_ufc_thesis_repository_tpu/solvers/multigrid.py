@@ -201,7 +201,7 @@ def plan(op, *, nu: int = 2, min_size: int = 4,
 
 
 def vcycle(levels: MGLevels, b: jax.Array, level: int = 0,
-           out_dtype=None) -> jax.Array:
+           out_dtype=None, cast_dtype=None) -> jax.Array:
     """One V(nu, nu) cycle for ``A x = b`` from the zero initial guess,
     returning the approximate solution (grid-shaped).  A fixed linear
     symmetric operation in ``b`` — valid as a CG preconditioner.
@@ -209,15 +209,22 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0,
     ``out_dtype``: dtype of the RETURNED correction (default:
     ``b.dtype``).  When the level-0 smoother is a fused Mosaic kernel
     the final sweep writes this dtype directly — the bf16-cycle →
-    f32-solver boundary costs no separate cast pass."""
+    f32-solver boundary costs no separate cast pass.
+
+    ``cast_dtype``: the cycle's arithmetic dtype when it differs from
+    ``b.dtype`` — the entry cast fuses into the zero-guess pre-smooth
+    (``Stencil3D.mv_cast``: f32 in, bf16 iterate + bf16 RHS copy out,
+    one streaming pass); the fallback casts first, same values up to
+    one f32-vs-bf16 rounding of the first apply."""
     dims = levels.dims[level]
     A = _make_op(dims, levels.diag, levels.off)
-    dtype = b.dtype
     # keep omega a PYTHON float: the Pallas jacobi route needs a
     # compile-time-static omega, and jnp.asarray under an active trace
     # returns a tracer that float() cannot concretize
     omega = _JACOBI_OMEGA[len(dims)] / levels.diag
 
+    if cast_dtype is not None and level == len(levels.dims) - 1:
+        b = b.astype(cast_dtype)   # degenerate one-level hierarchy
     if level == len(levels.dims) - 1:
         lmin, lmax = _dirichlet_bounds(dims, levels.diag, levels.off)
         x = chebyshev(
@@ -232,6 +239,8 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0,
     smooth = getattr(A, "jacobi_sweep",
                      lambda x_, b_, w: x_ + w * (b_ - A.mv(x_)))
     resid = getattr(A, "residual", lambda x_, b_: b_ - A.mv(x_))
+    needs_cast = (cast_dtype is not None
+                  and b.dtype != jnp.dtype(cast_dtype))
     if levels.nu >= 2:
         # x0 = 0 folds the first TWO sweeps into ONE stencil apply:
         # x2 = w b + w (b - A (w b)) = (2w - w^2 diag) b - w^2 off * N b
@@ -243,11 +252,26 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0,
             2.0 * omega - omega * omega * levels.diag,
             -omega * omega * levels.off,
         )
-        x = A2.mv(b)
+        pair = None
+        if needs_cast:
+            mc = getattr(A2, "mv_cast", None)
+            if mc is not None:
+                # entry cast fused into the pre-smooth: f32 b in, bf16
+                # x2 + bf16 b copy out — one pass over the f32 operand
+                pair = mc(b, cast_dtype)
+        if pair is not None:
+            x, b = pair
+        else:
+            if needs_cast:
+                b = b.astype(cast_dtype)
+            x = A2.mv(b)
         presweeps = levels.nu - 2
     else:
+        if needs_cast:
+            b = b.astype(cast_dtype)
         x = omega * b
         presweeps = levels.nu - 1
+    dtype = x.dtype   # the cycle's arithmetic dtype from here on
     for _ in range(presweeps):
         x = smooth(x, b, omega)
 
@@ -325,9 +349,11 @@ def mg_preconditioner(op, *, nu: int = 2, min_size: int = 4,
     def M(r: jax.Array) -> jax.Array:
         g = r if r.ndim == len(dims) else r.reshape(dims)
         if cycle_dtype is not None and g.dtype != cycle_dtype:
-            # out_dtype folds the cast back to the solver dtype into
-            # the cycle's final smoothing kernel (no separate pass)
-            z = vcycle(levels, g.astype(cycle_dtype), out_dtype=r.dtype)
+            # cast_dtype folds the entry cast into the pre-smooth
+            # kernel; out_dtype folds the cast back to the solver dtype
+            # into the final smoothing kernel (no separate passes)
+            z = vcycle(levels, g, out_dtype=r.dtype,
+                       cast_dtype=cycle_dtype)
         else:
             z = vcycle(levels, g)
         return z if r.ndim == len(dims) else z.reshape(-1)

@@ -108,6 +108,54 @@ class TestStencilKernels:
             float(dot), float(jnp.vdot(x, ref_y)), rtol=1e-5,
         )
 
+    def test_3d_mv_cast(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.ops.stencil_pallas import (
+            stencil3d_mv_cast_pallas,
+        )
+        nx = nz = 8
+        ny = 16  # bf16 output needs 16-row alignment
+        op = poisson.poisson3d(nx, ny, nz)
+        x = _x(nx * ny * nz, 13).reshape(nx, ny, nz)
+        y, c = stencil3d_mv_cast_pallas(
+            x, nx=nx, ny=ny, nz=nz, out_dtype=jnp.bfloat16)
+        assert y.dtype == jnp.bfloat16 and c.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(y, np.float32), np.asarray(op.mv(x)),
+            rtol=1e-2, atol=1e-2,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(c, np.float32),
+            np.asarray(x.astype(jnp.bfloat16), np.float32),
+        )
+
+    def test_3d_df_residual(self):
+        from medane_tchakorom_ufc_thesis_repository_tpu.ops.stencil_pallas import (
+            stencil3d_df_residual_pallas,
+        )
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers import df64
+        nx = ny = nz = 16
+        rng = np.random.default_rng(21)
+        x64 = rng.standard_normal((nx, ny, nz))
+        b64 = rng.standard_normal((nx, ny, nz))
+        xhi, xlo = df64.df_from_f64(x64)
+        bhi, blo = df64.df_from_f64(b64)
+        rh, rl = stencil3d_df_residual_pallas(
+            xhi, xlo, bhi, blo, nx=nx, ny=ny, nz=nz)
+        # whole-array XLA form: identical EFT operation tree
+        import jax.numpy as jnp2
+        phi, plo = jnp2.pad(xhi, 1), jnp2.pad(xlo, 1)
+        eh, el = df64._df_residual_core_3d(phi, plo, bhi, blo, 6.0, -1.0)
+        np.testing.assert_array_equal(np.asarray(rh), np.asarray(eh))
+        np.testing.assert_allclose(
+            np.asarray(rl), np.asarray(el), atol=1e-10)
+        # and the df result equals the f64 residual to ~2^-48
+        r64 = (np.asarray(rh, np.float64) + np.asarray(rl, np.float64))
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson as pp
+        A = pp.poisson3d_dense_np(nx, ny, nz, 6.0, -1.0)
+        ref64 = b64.reshape(-1) - A @ x64.reshape(-1)
+        np.testing.assert_allclose(
+            r64.reshape(-1), ref64, rtol=1e-13, atol=1e-12)
+
     def test_3d_residual_restrict(self):
         from medane_tchakorom_ufc_thesis_repository_tpu.ops.stencil_pallas import (
             stencil3d_residual_restrict_pallas,
