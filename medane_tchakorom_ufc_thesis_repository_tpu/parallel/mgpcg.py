@@ -817,11 +817,14 @@ def _northstar_fused_run(mesh: Mesh, opcfg, rtol: float, inner_rtol: float,
         init = (x0, jnp.zeros_like(bhi), bhi, rnorm0,
                 jnp.zeros((), jnp.int32))
         xhi, xlo, _rhi, rnorm, passes = lax.while_loop(cond, body, init)
-        return xhi, xlo, rnorm, rnorm0, passes
+        # one stacked scalar output: separate float()/int() readbacks
+        # are a tunnel round-trip EACH (see refine._df_fused_program)
+        stats = jnp.stack([rnorm, rnorm0, passes.astype(jnp.float32)])
+        return xhi, xlo, stats
 
     run = jax.jit(shard_map(
         body_fn, mesh=mesh, in_specs=(),
-        out_specs=(spec, spec, scalar, scalar, scalar),
+        out_specs=(spec, spec, scalar),
         check_vma=False,
     ))
     return run
@@ -852,8 +855,11 @@ def sharded_df_northstar_fused(
         int(max_passes), int(nu), int(min_size), int(coarse_iters),
         str(cycle),
     )
-    xhi, xlo, rnorm, rnorm0, passes = run()
-    rn, rn0, p = float(rnorm), float(rnorm0), int(passes)
+    import numpy as _np
+
+    xhi, xlo, stats = run()
+    stats = _np.asarray(stats)
+    rn, rn0, p = float(stats[0]), float(stats[1]), int(stats[2])
     return RefineResult((xhi, xlo), p, [], rn, rn0, rn <= rtol * rn0)
 
 
