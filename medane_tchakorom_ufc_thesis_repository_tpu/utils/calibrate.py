@@ -83,7 +83,10 @@ def _slope_time(step, x, i1=40, i2=120, reps=3, op=None):
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    return (best(c2) - best(c1)) / (i2 - i1)
+    # Under heavy host contention (CPU xdist lanes) the two best-of
+    # times can invert, making the slope <= 0 — physically meaningless
+    # and it poisons every downstream ratio.  Floor at 1 ns/apply.
+    return max((best(c2) - best(c1)) / (i2 - i1), 1e-9)
 
 
 def _random_block_coo(n: int, bs: int, stored: int, seed: int = 0):
