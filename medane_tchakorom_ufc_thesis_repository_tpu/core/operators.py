@@ -460,6 +460,73 @@ class Stencil3D:
         )
         return y if out_dtype is None else y.astype(out_dtype)
 
+    def axpy_mv_dot(self, z, p, beta):
+        """``(p', A p', p' · A p')`` with ``p' = z + beta p`` — PCG's
+        direction update + matvec + direction dot in one streaming pass
+        (four HBM streams instead of six; ``ops/stencil_pallas.py``
+        '_kernel3d_amvd').  ``beta`` is a traced per-iteration scalar.
+
+        MEASURED NEGATIVE on v5e at 512^3: 7.4 ms vs ~5.4 for
+        axpy + ``mv_dot`` (the two halo-windowed input streams don't
+        overlap as well as one; north-star 0.308 vs 0.292 s) — so the
+        fused north-star does NOT route here; kept for meshes/chips
+        where the stream trade differs.
+        Fallback composes the axpy with ``mv_dot`` (identical values up
+        to f32 rounding of the fused form's recomputed halo planes —
+        the same p' expression evaluated in f32 either way)."""
+        nx, ny, nz = self.nx, self.ny, self.nz
+        g = z if z.ndim == 3 else z.reshape(nx, ny, nz)
+        gp = p if p.ndim == 3 else p.reshape(nx, ny, nz)
+        if (g.size * jnp.dtype(g.dtype).itemsize > _VMEM_RESIDENT_BYTES
+                and jnp.dtype(g.dtype) == jnp.dtype(jnp.float32)):
+            from medane_tchakorom_ufc_thesis_repository_tpu.ops import (
+                fused_pallas,
+                stencil_pallas,
+            )
+
+            if (ny % stencil_pallas.sublane_granularity(g.dtype) == 0
+                    and fused_pallas.pallas_enabled()):
+                pn, ap, dot = stencil_pallas.stencil3d_axpy_mv_dot_pallas(
+                    g, gp, beta, nx=nx, ny=ny, nz=nz, diag=self.diag,
+                    off=self.off)
+                if z.ndim != 3:
+                    pn, ap = pn.reshape(z.shape), ap.reshape(z.shape)
+                return pn, ap, dot
+        pn = g + jnp.asarray(beta, g.dtype) * gp.astype(g.dtype)
+        ap, dot = self.mv_dot(pn)
+        if z.ndim != 3:
+            pn, ap = pn.reshape(z.shape), ap.reshape(z.shape)
+        return pn, ap, dot
+
+    def jacobi_sweep_dot(self, x, b, omega, out_dtype=None):
+        """``(x', b · x')`` with ``x' = x + omega (b - A x)`` — the
+        damped-Jacobi sweep plus the dot of the result against the RHS,
+        accumulated on-core by the Pallas 'jacobi_dot' kind.  This is
+        PCG's ``vdot(r, z)`` immediately after the MG cycle: the
+        cycle's final smoothing kernel already holds both operands in
+        VMEM, so the dot costs ZERO extra HBM traffic (vs a separate
+        two-array reduction pass, ~1.3 ms at 512^3).  The dot
+        accumulates in f32; the fallback computes the sweep then an
+        explicit f32 dot (free at VMEM-resident sizes)."""
+        nx, ny, nz = self.nx, self.ny, self.nz
+        g = x if x.ndim == 3 else x.reshape(nx, ny, nz)
+        gb = b if b.ndim == 3 else b.reshape(nx, ny, nz)
+        if g.size * jnp.dtype(g.dtype).itemsize > _VMEM_RESIDENT_BYTES:
+            try:
+                w = float(omega)
+            except Exception:   # traced omega — not compile-time static
+                w = None
+            if w is not None:
+                out = self._pallas_apply(g, (gb,), "jacobi_dot", w,
+                                         out_dtype=out_dtype)
+                if out is not None:
+                    y, dot = out
+                    return (y if x.ndim == 3 else y.reshape(x.shape),
+                            dot)
+        y = self.jacobi_sweep(g, gb, omega, out_dtype=out_dtype)
+        dot = jnp.sum(gb.astype(jnp.float32) * y.astype(jnp.float32))
+        return (y if x.ndim == 3 else y.reshape(x.shape), dot)
+
     def residual(self, x, b):
         """``b - A x`` with the subtraction fused into the stencil pass."""
         y = self._pallas_fused(x, (b,), "residual")

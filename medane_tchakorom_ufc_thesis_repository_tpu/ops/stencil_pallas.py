@@ -301,10 +301,16 @@ def _kernel3d(x_hbm, *rest, tile_m, ny, nz, diag, off, kind, omega):
     slab epilogues in ``Stencil3D._fused_apply``; 'mv_dot'
     (y = A x plus the scalar x·Ax accumulated across the sequential
     grid — CG's direction dot p·Ap with ZERO extra HBM traffic, the
-    reference's VecTDot-after-MatMult pair)."""
-    has_extra = kind in ("residual", "jacobi")
-    has_acc = kind == "mv_dot"
-    if has_extra:
+    reference's VecTDot-after-MatMult pair); 'jacobi_dot' (the jacobi
+    sweep plus the scalar b·x' — PCG's post-preconditioner vdot(r, z)
+    accumulated while the MG cycle's final smoothing kernel already
+    holds both operands in VMEM)."""
+    has_extra = kind in ("residual", "jacobi", "jacobi_dot")
+    has_acc = kind in ("mv_dot", "jacobi_dot")
+    if kind == "jacobi_dot":
+        (e_hbm, o_hbm, acc_ref, win, sems, ebuf, esems, obuf,
+         osems) = rest
+    elif has_extra:
         (e_hbm, o_hbm, win, sems, ebuf, esems, obuf, osems) = rest
     elif has_acc:
         (o_hbm, acc_ref, win, sems, obuf, osems) = rest
@@ -361,9 +367,14 @@ def _kernel3d(x_hbm, *rest, tile_m, ny, nz, diag, off, kind, omega):
             if kind == "residual":
                 b = ebuf[s, p * ny:(p + 1) * ny, :].astype(jnp.float32)
                 ys = b - ys
-            elif kind == "jacobi":
+            elif kind in ("jacobi", "jacobi_dot"):
                 b = ebuf[s, p * ny:(p + 1) * ny, :].astype(jnp.float32)
                 ys = c + jnp.float32(omega) * (b - ys)
+                if kind == "jacobi_dot":
+                    # b and the smoothed result are both on-core —
+                    # vdot(b, x') costs zero extra HBM traffic (PCG's
+                    # r·z right after the MG cycle)
+                    parts.append(jnp.sum(b * ys, keepdims=True))
             elif kind == "mv_dot":
                 # both operands of the dot are already on-core (c is the
                 # window's center plane, ys just computed) — collect
@@ -438,7 +449,7 @@ def stencil3d_apply_pallas(
     scratch += output_scratch(tile_m * ny, nz, odt)
     out_specs = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     out_shape = jax.ShapeDtypeStruct((nx * ny, nz), odt)
-    if kind == "mv_dot":
+    if kind in ("mv_dot", "jacobi_dot"):
         # second output: the f32 dot accumulator — a (1, 1) VMEM block
         # every program maps to (sequential grid => race-free +=)
         out_specs = [out_specs,
@@ -458,7 +469,7 @@ def stencil3d_apply_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(xg, *eg)
-    if kind == "mv_dot":
+    if kind in ("mv_dot", "jacobi_dot"):
         y, acc = out
         return y.reshape(shape), acc[0, 0]
     return out.reshape(shape)
@@ -574,6 +585,129 @@ def stencil3d_mv_cast_pallas(
     )(xg)
     oshape = shape if x.ndim == 3 else (nx, ny, nz)
     return y.reshape(oshape), c.reshape(oshape)
+
+
+def _kernel3d_amvd(z_hbm, p_hbm, beta_hbm, pn_hbm, ap_hbm, acc_ref,
+                   zwin, zsems, pwin, psems, pnbuf, pnsems, apbuf,
+                   apsems, *, tile_m, ny, nz, diag, off):
+    """PCG's direction update + matvec + direction dot in ONE pass:
+    ``p' = z + beta p``, ``ap = A p'``, ``acc = p' · ap``.
+
+    The classical order runs these as an axpy pass (read z+p, write p:
+    ~2 ms at 512^3) followed by the mv_dot kernel (read p, write ap) —
+    but p' is a cheap elementwise function of z and p, so the stencil
+    can consume it straight out of registers: halo planes of p' are
+    recomputed from the two input windows (the same rolling 3-plane
+    working set as the prolong_jacobi kernel).  Four HBM streams
+    (read z, p; write p', ap) instead of six.  ``beta`` arrives as a
+    (1, 1) VMEM value — it is a traced per-iteration scalar, not a
+    compile-time constant."""
+    i = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    r = tile_m * ny
+
+    @pl.when(i == 0)
+    def _():
+        issue_window(z_hbm, zwin, zsems, 0, r, ny, nprog)
+        issue_window(p_hbm, pwin, psems, 0, r, ny, nprog)
+
+    @pl.when(i + 1 < nprog)
+    def _():
+        issue_window(z_hbm, zwin, zsems, i + 1, r, ny, nprog)
+        issue_window(p_hbm, pwin, psems, i + 1, r, ny, nprog)
+
+    wait_window(z_hbm, zwin, zsems, i, r, ny, nprog)
+    wait_window(p_hbm, pwin, psems, i, r, ny, nprog)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros((1, 1), acc_ref.dtype)
+
+    rows = lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
+    beta = beta_hbm[0, 0].astype(jnp.float32)
+    pdt, adt = pnbuf.dtype, apbuf.dtype
+
+    def fill(s):
+        cache = {}
+
+        def pn_of(q):
+            # window plane q of p' = z + beta p (halo planes are
+            # zero-filled by wait_window at the grid edges, so the
+            # Dirichlet boundary falls out: z=0, p=0 => p'=0)
+            if q not in cache:
+                zc = zwin[s, q * ny:(q + 1) * ny, :].astype(jnp.float32)
+                pc = pwin[s, q * ny:(q + 1) * ny, :].astype(jnp.float32)
+                cache[q] = zc + beta * pc
+            for k in [k for k in cache if k < q - 2]:
+                del cache[k]
+            return cache[q]
+
+        parts = []
+        for p in range(tile_m):
+            prev, cur, nxt = pn_of(p), pn_of(p + 1), pn_of(p + 2)
+            ynorth = jnp.where(rows == 0, 0.0, pltpu.roll(cur, 1, 0))
+            ysouth = jnp.where(rows == ny - 1, 0.0,
+                               pltpu.roll(cur, ny - 1, 0))
+            ys = diag * cur + off * (
+                prev + nxt + ynorth + ysouth + lane_shift_sum(cur, nz)
+            )
+            parts.append(jnp.sum(cur * ys, keepdims=True))
+            pnbuf[s, p * ny:(p + 1) * ny, :] = cur.astype(pdt)
+            apbuf[s, p * ny:(p + 1) * ny, :] = ys.astype(adt)
+        acc_ref[...] += sum(parts)
+
+    output_pipeline2([(pn_hbm, pnbuf, pnsems, r),
+                      (ap_hbm, apbuf, apsems, r)], i, nprog, fill)
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "nz", "diag", "off",
+                                   "tile_m"))
+def stencil3d_axpy_mv_dot_pallas(
+    z: jax.Array, p: jax.Array, beta: jax.Array, *, nx: int, ny: int,
+    nz: int, diag: float = 6.0, off: float = -1.0, tile_m: int = 0,
+):
+    """``(p', A p', p' · A p')`` with ``p' = z + beta p`` — PCG's
+    direction update fused into the stencil matvec (see
+    ``_kernel3d_amvd``).  ``beta`` is a traced scalar."""
+    gran = sublane_granularity(z.dtype)
+    if ny % gran:
+        raise ValueError(
+            f"axpy_mv_dot needs ny % {gran} == 0 for {z.dtype}, "
+            f"got ny={ny}")
+    shape = z.shape
+    if not tile_m:
+        tile_m = 8
+    tile_m = min(tile_m, nx)
+    while nx % tile_m:
+        tile_m //= 2
+    grid = nx // tile_m
+    zg = z.reshape(nx * ny, nz)
+    pg = p.reshape(nx * ny, nz).astype(z.dtype)
+    bg = jnp.asarray(beta, jnp.float32).reshape(1, 1)
+    scratch = window_scratch((tile_m + 2) * ny, nz, z.dtype)
+    scratch += window_scratch((tile_m + 2) * ny, nz, z.dtype)
+    scratch += output_scratch(tile_m * ny, nz, z.dtype)
+    scratch += output_scratch(tile_m * ny, nz, z.dtype)
+    pn, ap, acc = pl.pallas_call(
+        partial(_kernel3d_amvd, tile_m=tile_m, ny=ny, nz=nz, diag=diag,
+                off=off),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                   pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                   pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((nx * ny, nz), z.dtype),
+                   jax.ShapeDtypeStruct((nx * ny, nz), z.dtype),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(zg, pg, bg)
+    return pn.reshape(shape), ap.reshape(shape), acc[0, 0]
 
 
 def _kernel3d_dfr(xh_hbm, xl_hbm, bh_hbm, bl_hbm, rh_hbm, rl_hbm,

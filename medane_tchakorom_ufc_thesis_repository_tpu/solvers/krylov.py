@@ -317,6 +317,8 @@ def cg(
     precond: Optional[Callable] = None,
     divtol: float = 1e5,
     matvec_dot: Optional[Callable] = None,
+    precond_dot: Optional[Callable] = None,
+    matvec_axpy_dot: Optional[Callable] = None,
 ) -> KrylovResult:
     """Conjugate gradients for SPD systems (the reference's outer-CG config,
     ``config/default_run_variables`` outer ksp_type cg).
@@ -340,13 +342,33 @@ def cg(
     convergence test still on the TRUE residual norm ``||r||_2`` (PETSc
     UNPRECONDITIONED norm type), so tolerances mean the same thing with
     and without preconditioning.
+
+    ``precond_dot``: optional fused ``r -> (z, r · z)`` (LOCAL dot —
+    ``psum``-reduced here), the preconditioner twin of ``matvec_dot``:
+    ``mg_preconditioner(op, return_rdot=True)`` accumulates PCG's
+    post-cycle ``vdot(r, z)`` inside the cycle's final Pallas smoothing
+    kernel, removing the separate two-array reduction pass (~1.3 ms at
+    512^3).  Takes precedence over ``precond`` when both are given.
+
+    ``matvec_axpy_dot``: optional fused ``(z, p, beta) -> (p', A p',
+    p' · A p')`` with ``p' = z + beta p`` (``Stencil3D.axpy_mv_dot``) —
+    the direction update rides the matvec's streaming pass (four HBM
+    streams instead of six at 512^3).  Single-device path only; takes
+    precedence over ``matvec_dot`` for the direction matvec.
     """
     dtype = b.dtype
     psum = make_reducer(axis_name)
     x0_zero = x0 is None
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    M = precond if precond is not None else (lambda v: v)
+    if precond is not None:
+        M = precond
+    elif precond_dot is not None:
+        # the SPMD path and the rare non-dot uses below ride the fused
+        # form too (XLA drops the unused scalar output)
+        M = lambda v: precond_dot(v)[0]   # noqa: E731
+    else:
+        M = lambda v: v                   # noqa: E731
     # x0 = 0 => r0 = b exactly; skip the initial matvec (see gmres)
     r = b if x0_zero else b - matvec(x0)
     rs0 = psum(jnp.vdot(r, r))
@@ -379,13 +401,21 @@ def cg(
         # iterates are bit-identical to the classical order.
         def body(carry):
             x, r, p, rz, rs, iters = carry
-            z = M(r)
-            rz_new = psum(jnp.vdot(r, z))
+            if precond_dot is not None:
+                z, rz_loc = precond_dot(r)
+                rz_new = psum(rz_loc.astype(dtype))
+            else:
+                z = M(r)
+                rz_new = psum(jnp.vdot(r, z))
             beta = jnp.where(
                 jnp.logical_and(iters > 0, rz != 0),
                 rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
-            p = z + beta * p
-            ap, pap = mvd(p)
+            if matvec_axpy_dot is not None:
+                p, ap, pap_loc = matvec_axpy_dot(z, p, beta)
+                pap = psum(pap_loc.astype(dtype))
+            else:
+                p = z + beta * p
+                ap, pap = mvd(p)
             alpha = jnp.where(
                 pap != 0, rz_new / jnp.where(pap != 0, pap, 1.0), 0.0)
             x = x + alpha * p

@@ -201,7 +201,7 @@ def plan(op, *, nu: int = 2, min_size: int = 4,
 
 
 def vcycle(levels: MGLevels, b: jax.Array, level: int = 0,
-           out_dtype=None, cast_dtype=None) -> jax.Array:
+           out_dtype=None, cast_dtype=None, rdot: bool = False):
     """One V(nu, nu) cycle for ``A x = b`` from the zero initial guess,
     returning the approximate solution (grid-shaped).  A fixed linear
     symmetric operation in ``b`` — valid as a CG preconditioner.
@@ -215,7 +215,16 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0,
     ``b.dtype`` — the entry cast fuses into the zero-guess pre-smooth
     (``Stencil3D.mv_cast``: f32 in, bf16 iterate + bf16 RHS copy out,
     one streaming pass); the fallback casts first, same values up to
-    one f32-vs-bf16 rounding of the first apply."""
+    one f32-vs-bf16 rounding of the first apply.
+
+    ``rdot``: return ``(z, d)`` with ``d ≈ b · z`` (PCG's post-cycle
+    ``vdot(r, z)``) accumulated inside the final smoothing kernel at
+    zero HBM cost, or ``d = None`` when the final sweep cannot carry
+    the accumulator (caller computes the dot itself).  Under a bf16
+    ``cast_dtype`` the dot sees the bf16-rounded residual copy — the
+    per-element roundings are symmetric and average out across n
+    elements (relative error ~1e-6 at 512^3, measured), and CG's
+    alpha/beta are flat to first order around their exact values."""
     dims = levels.dims[level]
     A = _make_op(dims, levels.diag, levels.off)
     # keep omega a PYTHON float: the Pallas jacobi route needs a
@@ -230,7 +239,8 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0,
         x = chebyshev(
             A.mv, b, maxiter=levels.coarse_iters, lmin=lmin, lmax=lmax
         ).x
-        return x if out_dtype is None else x.astype(out_dtype)
+        x = x if out_dtype is None else x.astype(out_dtype)
+        return (x, None) if rdot else x
 
     # pre-smoothing (x0 = 0 folds the first sweep into a scale).
     # jacobi_sweep/residual fuse the elementwise update into the
@@ -314,15 +324,21 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0,
         # cast after — identical values)
         for _ in range(post - 1):
             x = smooth(x, b, omega)
+        if rdot:
+            jsd = getattr(A, "jacobi_sweep_dot", None)
+            if jsd is not None:
+                return jsd(x, b, omega, out_dtype=out_dtype)
+            return js(x, b, omega, out_dtype=out_dtype), None
         return js(x, b, omega, out_dtype=out_dtype)
     for _ in range(post):
         x = smooth(x, b, omega)
-    return x if out_dtype is None else x.astype(out_dtype)
+    x = x if out_dtype is None else x.astype(out_dtype)
+    return (x, None) if rdot else x
 
 
 def mg_preconditioner(op, *, nu: int = 2, min_size: int = 4,
                       coarse_iters: int = 40, cycle: str = "w",
-                      dtype=None) -> Callable:
+                      dtype=None, return_rdot: bool = False) -> Callable:
     """Return ``M(r) -> z ~= A^{-1} r`` (one V- or W-cycle, both
     symmetric — valid CG preconditioners), shape-polymorphic like the
     stencil ``mv`` (flat or grid-shaped input).
@@ -358,4 +374,23 @@ def mg_preconditioner(op, *, nu: int = 2, min_size: int = 4,
             z = vcycle(levels, g)
         return z if r.ndim == len(dims) else z.reshape(-1)
 
-    return M
+    if not return_rdot:
+        return M
+
+    def M_dot(r: jax.Array):
+        """``(z, r·z)`` — the cycle plus PCG's post-preconditioner dot,
+        accumulated inside the final smoothing kernel when it routes to
+        Pallas (``cg(precond_dot=...)``); otherwise an explicit vdot
+        against the TRUE f32 residual (exact, and free at VMEM-resident
+        sizes)."""
+        g = r if r.ndim == len(dims) else r.reshape(dims)
+        if cycle_dtype is not None and g.dtype != cycle_dtype:
+            z, d = vcycle(levels, g, out_dtype=r.dtype,
+                          cast_dtype=cycle_dtype, rdot=True)
+        else:
+            z, d = vcycle(levels, g, rdot=True)
+        if d is None:
+            d = jnp.sum(g.astype(jnp.float32) * z.astype(jnp.float32))
+        return (z if r.ndim == len(dims) else z.reshape(-1), d)
+
+    return M_dot

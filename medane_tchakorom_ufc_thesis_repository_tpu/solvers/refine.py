@@ -275,8 +275,11 @@ def _df_fused_program(op, rtol: float, max_passes: int,
     )
 
     residual = df64.df_residual_for(op)
-    M = mg_preconditioner(op, nu=nu, min_size=min_size,
-                          coarse_iters=coarse_iters, cycle=cycle)
+    # return_rdot: PCG's post-cycle vdot(r, z) accumulates inside the
+    # cycle's final Pallas smoothing kernel (zero extra HBM traffic)
+    Md = mg_preconditioner(op, nu=nu, min_size=min_size,
+                           coarse_iters=coarse_iters, cycle=cycle,
+                           return_rdot=True)
 
     _norm = df64.scaled_norm
 
@@ -287,8 +290,12 @@ def _df_fused_program(op, rtol: float, max_passes: int,
 
         def body(carry):
             xhi, xlo, rhi, rnorm, passes = carry
+            # NOT matvec_axpy_dot: the fused p-update kernel
+            # (axpy_mv_dot) measured SLOWER here — 0.308 vs 0.292 s at
+            # 512^3 (its two halo-windowed input streams don't overlap
+            # as well as axpy + mv_dot's one; 7.4 vs ~5.4 ms/iter pair)
             d = cg(op.mv, rhi / rnorm, maxiter=pcg_maxiter,
-                   rtol=inner_rtol, precond=M,
+                   rtol=inner_rtol, precond_dot=Md,
                    matvec_dot=getattr(op, "mv_dot", None)).x
             upd = df64.df_mul_f32((d, jnp.zeros_like(d)), rnorm)
             xhi2, xlo2 = df64.df_add((xhi, xlo), upd)

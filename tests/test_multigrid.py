@@ -138,6 +138,31 @@ class TestPCG:
         assert bool(res.converged)
         assert int(res.iters) <= 20
 
+    def test_return_rdot_parity(self):
+        """mg_preconditioner(return_rdot=True) returns the SAME cycle
+        output plus r·z, and cg(precond_dot=...) converges identically
+        (same iteration count; the dot rides the fused kernel at HBM
+        scale, an explicit vdot here)."""
+        op = poisson.poisson3d(32, 32, 32)
+        b = poisson.rhs_for_exact_ones(op).astype(jnp.float32)
+        M = mg_preconditioner(op)
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.multigrid import (  # noqa: E501
+            mg_preconditioner as _mgp,
+        )
+        Md = _mgp(op, return_rdot=True)
+        z, d = Md(b)
+        z2 = M(b)
+        np.testing.assert_allclose(np.asarray(z), np.asarray(z2),
+                                   rtol=1e-7, atol=0)
+        np.testing.assert_allclose(
+            float(d), float(jnp.vdot(b, z2)), rtol=1e-5)
+        r1 = cg(op.mv, b, rtol=1e-6, maxiter=50, precond=M)
+        r2 = cg(op.mv, b, rtol=1e-6, maxiter=50, precond_dot=Md)
+        assert bool(r2.converged)
+        assert int(r1.iters) == int(r2.iters)
+        np.testing.assert_allclose(
+            np.asarray(r1.x), np.asarray(r2.x), rtol=1e-4, atol=1e-6)
+
     def test_identity_precond_matches_plain(self):
         op = poisson.poisson2d(16, 16)
         b = poisson.rhs_for_exact_ones(op).astype(jnp.float64)

@@ -94,6 +94,46 @@ class TestStencilKernels:
             np.asarray(y), np.asarray(ref), rtol=1e-5, atol=1e-6,
         )
 
+    def test_3d_jacobi_dot(self):
+        # the sweep plus b·x' accumulated on-core (PCG's post-cycle
+        # vdot(r, z) inside the MG final smoothing kernel)
+        nx = ny = nz = 16
+        op = poisson.poisson3d(nx, ny, nz)
+        x, b = _x(nx**3, 7), _x(nx**3, 8)
+        w = 0.857 / 6.0
+        y, dot = stencil3d_apply_pallas(
+            x, b, nx=nx, ny=ny, nz=nz, tile_m=4, kind="jacobi_dot",
+            omega=w)
+        ref = x + w * (b - op.mv(x))
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(ref), rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(dot), float(jnp.vdot(b, ref)), rtol=1e-5,
+        )
+
+    def test_3d_axpy_mv_dot(self):
+        # PCG direction-update + matvec + dot in one kernel (not wired
+        # into the fused north-star — measured slower on v5e, see
+        # Stencil3D.axpy_mv_dot — but kept exact and routable)
+        from medane_tchakorom_ufc_thesis_repository_tpu.ops.stencil_pallas import (  # noqa: E501
+            stencil3d_axpy_mv_dot_pallas,
+        )
+        nx = ny = nz = 16
+        op = poisson.poisson3d(nx, ny, nz)
+        z, p = _x(nx**3, 9), _x(nx**3, 10)
+        beta = jnp.float32(0.37)
+        pn, ap, dot = stencil3d_axpy_mv_dot_pallas(
+            z, p, beta, nx=nx, ny=ny, nz=nz, tile_m=4)
+        pref = z + 0.37 * p
+        apref = op.mv(pref)
+        np.testing.assert_allclose(
+            np.asarray(pn), np.asarray(pref), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(ap), np.asarray(apref), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            float(dot), float(jnp.vdot(pref, apref)), rtol=1e-5)
+
     def test_3d_mv_dot(self):
         nx = ny = nz = 16
         op = poisson.poisson3d(nx, ny, nz)
