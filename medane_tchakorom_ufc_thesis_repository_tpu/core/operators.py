@@ -230,6 +230,8 @@ class Stencil2D:
 
         if self.m % 8:  # 8-row halo-block DMA alignment
             return None
+        if self.n % 128:  # lane dim must be whole 128-lane tiles (see
+            return None   # Stencil3D._pallas_route_ok)
         if not fused_pallas.pallas_enabled():
             return None
         return stencil_pallas.stencil2d_mv_pallas(
@@ -393,6 +395,30 @@ class Stencil3D:
         dot = jnp.sum(g.astype(jnp.float32) * y.astype(jnp.float32))
         return (y if x.ndim == 3 else y.reshape(-1), dot.astype(x.dtype))
 
+    def _pallas_route_ok(self, dtype):
+        """Single Mosaic route-eligibility gate shared by every Pallas
+        route (``_pallas_apply`` and ``axpy_mv_dot``), so a new guard
+        added here applies to all of them: supported dtype (f32/bf16),
+        ``ny`` on the dtype's DMA sublane granularity, and an
+        environment that compiles Mosaic."""
+        if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                    jnp.dtype(jnp.bfloat16)):
+            return False
+        from medane_tchakorom_ufc_thesis_repository_tpu.ops import (
+            fused_pallas,
+            stencil_pallas,
+        )
+
+        if self.ny % stencil_pallas.sublane_granularity(dtype):
+            return False
+        # The kernels view the grid as (nx*ny, nz): the lane dim nz must
+        # be a whole number of 128-lane tiles or the HBM DMA slices fail
+        # to lower (Mosaic memref_slice on a padded-lane memref; 320^3
+        # failed this way — the (102400, 320) view tiles to 384 lanes).
+        if self.nz % 128:
+            return False
+        return fused_pallas.pallas_enabled()
+
     def _pallas_apply(self, g, extras, kind, omega=None,
                       out_dtype=None):
         """Route an HBM-scale GRID-SHAPED apply through the Mosaic
@@ -402,18 +428,12 @@ class Stencil3D:
         XLA slab formulations.  Callers check the >100 MB cutoff: below
         it the whole-pad form stays VMEM-resident across solver loops
         and beats any HBM round-trip by construction."""
-        if jnp.dtype(g.dtype) not in (jnp.dtype(jnp.float32),
-                                      jnp.dtype(jnp.bfloat16)):
+        if not self._pallas_route_ok(g.dtype):
             return None
         from medane_tchakorom_ufc_thesis_repository_tpu.ops import (
-            fused_pallas,
             stencil_pallas,
         )
 
-        if self.ny % stencil_pallas.sublane_granularity(g.dtype):
-            return None
-        if not fused_pallas.pallas_enabled():
-            return None
         return stencil_pallas.stencil3d_apply_pallas(
             g, *extras, nx=self.nx, ny=self.ny, nz=self.nz,
             diag=self.diag, off=self.off, kind=kind, omega=omega,
@@ -479,13 +499,11 @@ class Stencil3D:
         gp = p if p.ndim == 3 else p.reshape(nx, ny, nz)
         if (g.size * jnp.dtype(g.dtype).itemsize > _VMEM_RESIDENT_BYTES
                 and jnp.dtype(g.dtype) == jnp.dtype(jnp.float32)):
-            from medane_tchakorom_ufc_thesis_repository_tpu.ops import (
-                fused_pallas,
-                stencil_pallas,
-            )
+            if self._pallas_route_ok(g.dtype):
+                from medane_tchakorom_ufc_thesis_repository_tpu.ops import (  # noqa: E501
+                    stencil_pallas,
+                )
 
-            if (ny % stencil_pallas.sublane_granularity(g.dtype) == 0
-                    and fused_pallas.pallas_enabled()):
                 pn, ap, dot = stencil_pallas.stencil3d_axpy_mv_dot_pallas(
                     g, gp, beta, nx=nx, ny=ny, nz=nz, diag=self.diag,
                     off=self.off)

@@ -70,9 +70,13 @@ def window_copy(x_hbm, win, sems, t, tile_r, halo_r, nprog):
     * halo block below (first ``halo_r`` rows of the next tile) →
       ``win[halo_r+tile_r:]`` (when ``t < nprog-1``)
 
-    Returns the three descriptors so callers can ``.start()`` or
-    ``.wait()`` the same shapes (a DMA semaphore is decremented by the
-    byte count of the copy that signalled it)."""
+    Returns three CONSTRUCTOR thunks, not descriptors: callers build
+    each descriptor inside the ``pl.when`` body that ``.start()``s or
+    ``.wait()``s it, so edge tiles never trace a descriptor they don't
+    use (an unused descriptor logs ``AsyncCopyDescriptor was not used``
+    at trace time — it polluted every bench tail until round 5).  A DMA
+    semaphore is decremented by the byte count of the copy that
+    signalled it, so start/wait must construct identical shapes."""
     s = _slot(t)
     # pl.multiple_of: the offsets are all multiples of halo_r (>= 8) by
     # construction, but Mosaic's divisibility prover can't see through
@@ -80,32 +84,38 @@ def window_copy(x_hbm, win, sems, t, tile_r, halo_r, nprog):
     def _al(idx):
         return pl.multiple_of(idx, halo_r)
 
-    body = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(_al(t * tile_r), tile_r), :],
-        win.at[s, pl.ds(halo_r, tile_r), :], sems.at[s, 0],
-    )
-    top = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(_al(t * tile_r - halo_r), halo_r), :],
-        win.at[s, pl.ds(0, halo_r), :], sems.at[s, 1],
-    )
-    bot = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(_al((t + 1) * tile_r), halo_r), :],
-        win.at[s, pl.ds(halo_r + tile_r, halo_r), :], sems.at[s, 2],
-    )
+    def body():
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(_al(t * tile_r), tile_r), :],
+            win.at[s, pl.ds(halo_r, tile_r), :], sems.at[s, 0],
+        )
+
+    def top():
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(_al(t * tile_r - halo_r), halo_r), :],
+            win.at[s, pl.ds(0, halo_r), :], sems.at[s, 1],
+        )
+
+    def bot():
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(_al((t + 1) * tile_r), halo_r), :],
+            win.at[s, pl.ds(halo_r + tile_r, halo_r), :], sems.at[s, 2],
+        )
+
     return body, top, bot
 
 
 def issue_window(x_hbm, win, sems, t, tile_r, halo_r, nprog):
     body, top, bot = window_copy(x_hbm, win, sems, t, tile_r, halo_r, nprog)
-    body.start()
+    body().start()
 
     @pl.when(t > 0)
     def _():
-        top.start()
+        top().start()
 
     @pl.when(t < nprog - 1)
     def _():
-        bot.start()
+        bot().start()
 
 
 def wait_window(x_hbm, win, sems, t, tile_r, halo_r, nprog):
@@ -113,11 +123,11 @@ def wait_window(x_hbm, win, sems, t, tile_r, halo_r, nprog):
     edge tiles don't receive."""
     s = _slot(t)
     body, top, bot = window_copy(x_hbm, win, sems, t, tile_r, halo_r, nprog)
-    body.wait()
+    body().wait()
 
     @pl.when(t > 0)
     def _():
-        top.wait()
+        top().wait()
 
     @pl.when(t == 0)
     def _():
@@ -126,7 +136,7 @@ def wait_window(x_hbm, win, sems, t, tile_r, halo_r, nprog):
 
     @pl.when(t < nprog - 1)
     def _():
-        bot.wait()
+        bot().wait()
 
     @pl.when(t == nprog - 1)
     def _():

@@ -361,12 +361,14 @@ def cg(
     x0_zero = x0 is None
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    if precond is not None:
-        M = precond
-    elif precond_dot is not None:
-        # the SPMD path and the rare non-dot uses below ride the fused
-        # form too (XLA drops the unused scalar output)
+    if precond_dot is not None:
+        # precedence matches the docstring: precond_dot wins over precond,
+        # so the SPMD branch and the single-device body use the SAME
+        # preconditioner.  The SPMD path and the rare non-dot uses below
+        # ride the fused form too (XLA drops the unused scalar output).
         M = lambda v: precond_dot(v)[0]   # noqa: E731
+    elif precond is not None:
+        M = precond
     else:
         M = lambda v: v                   # noqa: E731
     # x0 = 0 => r0 = b exactly; skip the initial matvec (see gmres)

@@ -159,7 +159,9 @@ class TestPCG:
         r1 = cg(op.mv, b, rtol=1e-6, maxiter=50, precond=M)
         r2 = cg(op.mv, b, rtol=1e-6, maxiter=50, precond_dot=Md)
         assert bool(r2.converged)
-        assert int(r1.iters) == int(r2.iters)
+        # rz via jnp.vdot vs jnp.sum(g*z) are different reduction
+        # expressions; allow one-iteration slack at the tolerance boundary
+        assert abs(int(r1.iters) - int(r2.iters)) <= 1
         np.testing.assert_allclose(
             np.asarray(r1.x), np.asarray(r2.x), rtol=1e-4, atol=1e-6)
 
