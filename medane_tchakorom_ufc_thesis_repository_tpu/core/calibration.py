@@ -31,6 +31,7 @@ __all__ = [
     "SHIPPED",
     "bsr_bs_penalty",
     "calibration_path",
+    "aij_relative_cost",
     "default_max_dense_n",
     "ell_relative_cost",
     "load",
@@ -55,10 +56,17 @@ __all__ = [
 #   * max_dense_n: largest n routed to a dense MXU matvec (dense beat
 #     gather-ELL at every density tested up to this size; above it the
 #     n^2 storage dominates — 64 MB f32 at the cutoff)
+#   * aij_relative_cost: Clos-routed AIJ SpMV per-nonzero cost relative
+#     to the slice paths (round-5 on-chip measurement at n=65536 d=10
+#     random structureless, chained-slope).  Pattern-independent by
+#     construction — replaces ell_relative_cost as the unstructured
+#     routing bar (gather-ELL is retired from routing; its constant is
+#     kept for the format table and tests).
 SHIPPED = {
     "bsr_bs_penalty": {8: 8.0, 16: 1.3, 32: 1.5, 64: 3.0, 128: 1.0,
                        256: 2.5},
     "ell_relative_cost": 1950.0,
+    "aij_relative_cost": 60.0,
     "max_dense_n": 4096,
 }
 
@@ -107,6 +115,9 @@ def load() -> dict:
                 if "ell_relative_cost" in data:
                     out["ell_relative_cost"] = float(
                         data["ell_relative_cost"])
+                if "aij_relative_cost" in data:
+                    out["aij_relative_cost"] = float(
+                        data["aij_relative_cost"])
                 if "max_dense_n" in data:
                     out["max_dense_n"] = int(data["max_dense_n"])
                 out["source"] = path
@@ -130,6 +141,10 @@ def bsr_bs_penalty() -> dict:
 
 def ell_relative_cost() -> float:
     return load()["ell_relative_cost"]
+
+
+def aij_relative_cost() -> float:
+    return load()["aij_relative_cost"]
 
 
 def default_max_dense_n() -> int:

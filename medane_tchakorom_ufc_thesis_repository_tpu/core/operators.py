@@ -1041,6 +1041,135 @@ def _coo_symmetric(rows, cols, vals) -> bool:
             and bool(np.array_equal(va, vb)))
 
 
+@dataclasses.dataclass(frozen=True)
+class AIJSegment:
+    """One routed row segment of an ``AIJ`` operator (device arrays are
+    the static gather/permutation maps; see ``ops/aij_pack.py``)."""
+
+    chunk_ids: jax.Array   # (a,) int32
+    k1_idx: jax.Array      # (a*8, 128) int32 (packed 5-field)
+    k2_idx: jax.Array      # (a*8, 128) int32 (packed 3-field)
+    k3_idx: jax.Array      # (a*8, 128) int32 (packed 3-field)
+    vals: jax.Array        # (a*8, 128)
+    y_tile: jax.Array      # (a,) int32
+    a: int
+    tile0: int
+    ntiles: int
+
+
+_register(AIJSegment,
+          ["chunk_ids", "k1_idx", "k2_idx", "k3_idx", "vals", "y_tile"],
+          ["a", "tile0", "ntiles"])
+
+
+@dataclasses.dataclass(frozen=True)
+class AIJ:
+    """General unstructured sparse operator — the PETSc MatAIJ analog
+    (reference ``create_matrix_sparse``, ``src/utils/utils.c:139-155``).
+
+    ANY sparsity pattern, square or rectangular, at any size: the pack
+    compiles the access pattern into a Clos-routed gather program over
+    the Mosaic ``dynamic_gather`` primitives (``ops/aij_pack.py`` has
+    the construction; ``ops/aij_pallas.py`` the kernels).  Per-apply
+    traffic is pattern-independent, ~7x the values-read roofline — vs
+    the raw gather-ELL path's ~2000x (or failure to compile past
+    n=4096) that made large structureless matrices the one capability
+    hole against PETSc through round 4.
+
+    ``rmv`` (LSQR/CGNE's transpose matvec) runs a second plan packed
+    from the transpose — a gather like any other, where ELL's rmv was a
+    TPU-pathological scatter-add.
+
+    On backends without Mosaic the same routing runs as pure-XLA
+    ``take_along_axis`` over the (8, 128) block axes (reach ≤ 8 / ≤ 128
+    keeps the lowered selects small, unlike the whole-x gather).
+    """
+
+    segments: Tuple[AIJSegment, ...]
+    t_segments: Tuple[AIJSegment, ...]
+    nrows: int
+    ncols: int
+    n_pad_cols: int
+    n_pad_rows: int
+    nnz_count: int
+    fill: float
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.nrows, self.ncols)
+
+    @property
+    def dtype(self):
+        return self.segments[0].vals.dtype
+
+    @property
+    def nnz(self) -> int:
+        return self.nnz_count
+
+    @staticmethod
+    def from_coo(rows, cols, vals, shape, dtype=jnp.float32,
+                 with_rmv: bool = True, target_nnz: int = 900_000):
+        from medane_tchakorom_ufc_thesis_repository_tpu.ops import aij_pack
+
+        def to_segs(plan):
+            return tuple(
+                AIJSegment(
+                    chunk_ids=jnp.asarray(s.chunk_ids),
+                    k1_idx=jnp.asarray(s.k1_idx),
+                    k2_idx=jnp.asarray(s.k2_idx),
+                    k3_idx=jnp.asarray(s.k3_idx),
+                    vals=jnp.asarray(s.vals),
+                    y_tile=jnp.asarray(s.y_tile),
+                    a=s.a, tile0=s.tile0, ntiles=s.ntiles,
+                ) for s in plan.segments
+            )
+
+        np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
+        plan = aij_pack.pack_aij(rows, cols, vals, shape, dtype=np_dtype,
+                                 target_nnz=target_nnz)
+        t_plan = None
+        if with_rmv:
+            t_plan = aij_pack.pack_aij(cols, rows, vals,
+                                       (shape[1], shape[0]),
+                                       dtype=np_dtype,
+                                       target_nnz=target_nnz)
+        return AIJ(
+            segments=to_segs(plan),
+            t_segments=to_segs(t_plan) if t_plan is not None else (),
+            nrows=int(shape[0]), ncols=int(shape[1]),
+            n_pad_cols=plan.n_pad_cols,
+            n_pad_rows=(t_plan.n_pad_cols if t_plan is not None
+                        else 1024 * max(1, -(-int(shape[0]) // 1024))),
+            nnz_count=plan.nnz, fill=plan.fill,
+        )
+
+    def _apply(self, segments, n_pad, nout, x):
+        from medane_tchakorom_ufc_thesis_repository_tpu.ops import (
+            aij_pack,
+            aij_pallas,
+            fused_pallas,
+        )
+
+        if fused_pallas.pallas_enabled():
+            interpret = jax.default_backend() != "tpu"
+            return aij_pallas.aij_mv_pallas(
+                segments, n_pad, nout, x, interpret=interpret)
+        return aij_pack.aij_mv_jnp(segments, n_pad, nout, x)
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        return self._apply(self.segments, self.n_pad_cols, self.nrows, x)
+
+    def rmv(self, y: jax.Array) -> jax.Array:
+        if not self.t_segments:
+            raise ValueError("AIJ packed with with_rmv=False")
+        return self._apply(self.t_segments, self.n_pad_rows, self.ncols, y)
+
+
+_register(AIJ, ["segments", "t_segments"],
+          ["nrows", "ncols", "n_pad_cols", "n_pad_rows", "nnz_count",
+           "fill"])
+
+
 def operator_from_coo(rows, cols, vals, shape, dtype=jnp.float32,
                       max_diags: int = 64, max_bsr_cost: float = 16.0,
                       bsr_block_sizes: Tuple[int, ...] = (8, 16, 32, 64,
@@ -1084,16 +1213,9 @@ def operator_from_coo(rows, cols, vals, shape, dtype=jnp.float32,
         # least-squares KSPs (lsqr/cgne) drive
         return _dense_from_coo(rows, cols, vals, shape, dtype)
     else:
-        import warnings
-
-        warnings.warn(
-            "operator_from_coo: rectangular matrix stays gather-ELL "
-            f"(too large for the dense route, max(shape) > "
-            f"{max_dense_n}); mv pays ~139x off TPU slice speed and "
-            "rmv — which lsqr/cgne drive every iteration — is a "
-            "TPU-pathological scatter-add",
-            UserWarning, stacklevel=2,
-        )
+        # large rectangular → AIJ (Clos-routed gather; rmv is a second
+        # routed gather, not a scatter-add)
+        return AIJ.from_coo(rows, cols, vals, shape, dtype=dtype)
     return poisson.coo_to_ell(rows, cols, vals, shape, dtype=dtype)
 
 
@@ -1125,10 +1247,10 @@ def _route_unbanded_square_coo(rows, cols, vals, shape, dtype,
     """Shared routing tail for square non-banded patterns: BSR if the
     estimated cost clears ``max_bsr_cost``; dense if small; then a
     last-resort comparison — a HIGH-fill BSR whose estimated per-nonzero
-    cost still undercuts the measured gather-ELL cost (139x on v5e)
-    wins as long as the pack fits in ``max_bsr_bytes``.  Returns
-    ``None`` when gather-ELL really is the best remaining option
-    (caller builds it)."""
+    cost still undercuts the measured Clos-AIJ cost wins as long as the
+    pack fits in ``max_bsr_bytes``; otherwise AIJ (the routed gather —
+    pattern-independent, compiles at any n).  Never returns None since
+    round 5: the "stay on gather-ELL and warn" branch is retired."""
     import warnings
 
     from medane_tchakorom_ufc_thesis_repository_tpu.core.calibration import (
@@ -1149,7 +1271,17 @@ def _route_unbanded_square_coo(rows, cols, vals, shape, dtype,
                             dtype=dtype)
     if shape[0] <= max_dense_n:
         return _dense_from_coo(rows, cols, vals, shape, dtype)
-    if best is not None and best[1] < _ELL_RELATIVE_COST:
+    # AIJ: Clos-routed gather SpMV — pattern-independent cost, compiles
+    # at any n (the gather-ELL path OOM'd past ~2048² and ran ~2000x
+    # off slice speed; the round-4 "stay on gather-ELL and warn" branch
+    # is retired).  A HIGH-fill BSR only wins when its estimated cost
+    # undercuts the measured AIJ cost.
+    from medane_tchakorom_ufc_thesis_repository_tpu.core.calibration import (
+        aij_relative_cost,
+    )
+
+    _AIJ_COST = aij_relative_cost()
+    if best is not None and best[1] < _AIJ_COST:
         bs, cost, fill = best
         # values + transpose pack + indices ≈ 2.5x the stored values
         pack_bytes = 2.5 * fill * len(rows) * np.dtype(dtype).itemsize
@@ -1158,21 +1290,14 @@ def _route_unbanded_square_coo(rows, cols, vals, shape, dtype,
                 f"{caller}: matrix is neither banded nor cleanly "
                 f"blockable; using HIGH-fill BSR(bs={bs}) at an "
                 f"estimated {cost:.0f}x per-nonzero cost — still "
-                f"~{_ELL_RELATIVE_COST / max(cost, 1e-9):.1f}x faster "
-                "than gather-ELL (pass max_bsr_cost=inf to silence, "
-                "or max_dense_n/max_bsr_cost to reroute)",
+                f"~{_AIJ_COST / max(cost, 1e-9):.1f}x faster "
+                "than the routed-gather AIJ (pass max_bsr_cost=inf to "
+                "silence, or max_dense_n/max_bsr_cost to reroute)",
                 UserWarning, stacklevel=3,
             )
             return BSR.from_coo(rows, cols, vals, shape, bs=bs,
                                 dtype=dtype)
-    warnings.warn(
-        f"{caller}: matrix is neither banded nor blockable and too "
-        f"large for the dense route (n > {max_dense_n}); staying on "
-        f"gather-ELL, ~{_ELL_RELATIVE_COST:.0f}x off TPU slice speed "
-        "with a scatter-add rmv (BENCHMARKS.md format table)",
-        UserWarning, stacklevel=3,
-    )
-    return None
+    return AIJ.from_coo(rows, cols, vals, shape, dtype=dtype)
 
 
 def from_scipy(A, dtype=jnp.float32, **route_kw):

@@ -204,6 +204,94 @@ def comm_build_error() -> Optional[str]:
 
 
 # ---------------------------------------------------------------------------
+# Clos routing library (src/clos.cpp) — Euler-split edge coloring for the
+# AIJ gather SpMV (ops/clos_route.py)
+# ---------------------------------------------------------------------------
+
+_CLOS_SRC = os.path.join(_HERE, "src", "clos.cpp")
+_CLOS_SO = os.path.join(_HERE, "_clos.so")
+
+_clos_lib = None
+_clos_error: Optional[str] = None
+
+
+def _build_clos() -> Optional[str]:
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        "-o", _CLOS_SO, _CLOS_SRC,
+    ]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=120
+        )
+    except (OSError, subprocess.TimeoutExpired) as e:
+        return f"{type(e).__name__}: {e}"
+    if proc.returncode != 0:
+        return proc.stderr[-2000:]
+    return None
+
+
+def load_clos() -> Optional[ctypes.CDLL]:
+    global _clos_lib, _clos_error
+    with _lib_lock:
+        if _clos_lib is not None:
+            return _clos_lib
+        if _clos_error is not None:
+            return None
+        if not os.path.exists(_CLOS_SO) or (
+            os.path.exists(_CLOS_SRC)
+            and os.path.getmtime(_CLOS_SRC) > os.path.getmtime(_CLOS_SO)
+        ):
+            err = _build_clos()
+            if err is not None:
+                _clos_error = err
+                return None
+        lib = ctypes.CDLL(_CLOS_SO)
+        i64 = ctypes.c_int64
+        p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.euler_color.argtypes = [i64, i64, i64, i64, p_i64, p_i64, p_i32]
+        lib.euler_color.restype = None
+        lib.euler_color_blocks.argtypes = [i64, p_i64, p_i64, p_i32]
+        lib.euler_color_blocks.restype = None
+        _clos_lib = lib
+        return _clos_lib
+
+
+def clos_available() -> bool:
+    return load_clos() is not None
+
+
+def euler_color(src, dst, nl: int, nr: int, delta: int, out) -> None:
+    """Native Δ-edge-coloring (see ops/clos_route.edge_color)."""
+    lib = load_clos()
+    assert lib is not None
+    lib.euler_color(len(src), nl, nr, delta,
+                    np.ascontiguousarray(src, np.int64),
+                    np.ascontiguousarray(dst, np.int64), out)
+
+
+def euler_color_blocks(src, dst) -> np.ndarray:
+    """Batched per-block 8-colorings: ``src``/``dst`` are (nb, 1024)
+    lane indices in [0, 128); returns (nb, 1024) int32 colors in [0, 8).
+    Falls back to the python colorer block by block."""
+    src = np.ascontiguousarray(src, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
+    nb = src.shape[0]
+    out = np.zeros((nb, 1024), np.int32)
+    lib = load_clos()
+    if lib is not None:
+        lib.euler_color_blocks(nb, src.reshape(-1), dst.reshape(-1),
+                               out.reshape(-1))
+        return out
+    from medane_tchakorom_ufc_thesis_repository_tpu.ops import clos_route
+
+    for b in range(nb):
+        out[b] = clos_route.edge_color(src[b], dst[b], 128, 128, 8)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # numpy-facing builders (native fast path, numpy fallback)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,454 @@
+"""AIJ pack: arbitrary-pattern sparse matrices -> Clos-routed TPU SpMV plans.
+
+The capability analog of PETSc MatAIJ assembly + MatMult
+(``/root/reference/src/utils/utils.c:139-155``): ANY sparse matrix, no
+band/block structure assumed.  The reference leans on CSR's indirect
+addressing; TPU has no gather/scatter memory port, so the pack compiles
+the matrix's access pattern into a fixed routing program over the two
+Mosaic gather primitives (sublane / lane ``dynamic_gather``, see
+``ops/clos_route.py``):
+
+    y = K3( D^-1( K2( D( K1(x) ) ) ) )
+
+* K1 — "chunk gather": nonzeros grouped by 1024-element x-chunk; per
+  (8, 128) block, DMA the chunk and gather each nonzero's x value into
+  the block (2 ops), then apply the first Clos stage R2 (3 ops).
+* D  — XLA reshape-transpose ``(a, 1024) -> (1024, a)``: exchanges
+  1024-element blocks with stride-1024 position classes (the "wiring"
+  between Clos stages; a | 1024 keeps classes inside blocks).
+* K2 — middle Clos stage: one in-block bijection per block (3 ops).
+* K3 — final Clos stage fused with the ELL accumulation: per output
+  row-tile slot, permute the incoming block into row positions, multiply
+  by the stored values, accumulate into the y tile.
+
+Positions are routed by König edge colorings (``clos_route.edge_color``)
+at the global level (which block each element parks in between
+transposes) and per block (which sublane it parks in between the two
+lane-column moves).  Every index map is static per matrix — pack once
+(`prepare()` lifecycle), stream the i32 maps alongside the values at
+apply time.  Traffic ≈ 7x the values-read roofline, pattern-independent
+— vs the XLA gather path's 25.6x padded temps that stop compiling at
+n >= 4096 (round-3 measurement).
+
+Segments: rows are split into segments whose padded block count fits
+a <= 1024 (M <= 2^20 positions); each segment owns its routing and the
+kernels loop over segments inside one jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+import numpy as np
+
+from medane_tchakorom_ufc_thesis_repository_tpu.ops import clos_route
+from medane_tchakorom_ufc_thesis_repository_tpu.ops.clos_route import (
+    next_pow2,
+)
+
+logger = logging.getLogger(__name__)
+
+BLOCK = 1024  # elements per routed block = one (8, 128) f32 tile
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmentPlan:
+    """Static routing program for one row segment (numpy; the AIJ
+    operator ships these to the device once)."""
+
+    a: int              # routed blocks per side (power of two, <= 1024)
+    tile0: int          # first 1024-row output tile (global index)
+    ntiles: int         # output tiles covered by this segment
+    chunk_ids: np.ndarray   # (a,) int32: x chunk per g-block
+    k1_idx: np.ndarray      # (a*8, 128) int32: c1|c2<<3|cA1<<10|cB<<13|cA2<<20
+    k2_idx: np.ndarray      # (a*8, 128) int32: cA1|cB<<3|cA2<<10
+    k3_idx: np.ndarray      # (a*8, 128) int32: cA1|cB<<3|cA2<<10
+    vals: np.ndarray        # (a*8, 128) ELL values (0 at padding)
+    y_tile: np.ndarray      # (a,) int32: local output tile per slot
+    #                         (== ntiles for padding slots -> garbage tile)
+
+
+@dataclasses.dataclass(frozen=True)
+class AIJPlan:
+    shape: tuple
+    nnz: int
+    n_pad_cols: int
+    segments: tuple     # of SegmentPlan
+    fill: float         # routed positions / nnz (padding diagnostic)
+
+
+def _pack_k1_fields(c1, c2, cA1, cB, cA2):
+    return (c1 | (c2 << 3) | (cA1 << 10) | (cB << 13)
+            | (cA2 << 20)).astype(np.int32)
+
+
+def _pack_aba(cA1, cB, cA2):
+    return (cA1 | (cB << 3) | (cA2 << 10)).astype(np.int32)
+
+
+def _batched_block_perms(src_off, dst_off):
+    """Vectorized A∘B∘A decompositions for nb blocks at once.
+
+    ``src_off``/``dst_off``: (nb, 1024) in-block offsets of each element
+    (each row covers 0..1023 exactly once on each side).  Returns three
+    (nb, 8, 128) int32 index arrays (see clos_route.block_perm_indices).
+    """
+    from medane_tchakorom_ufc_thesis_repository_tpu import native
+
+    nb = src_off.shape[0]
+    s_i, s_l = src_off // 128, src_off % 128
+    d_i, d_l = dst_off // 128, dst_off % 128
+    psi = native.euler_color_blocks(s_l, d_l)
+    cA1 = np.zeros((nb, 8, 128), np.int32)
+    cB = np.zeros((nb, 8, 128), np.int32)
+    cA2 = np.zeros((nb, 8, 128), np.int32)
+    bi = np.repeat(np.arange(nb), BLOCK).reshape(nb, BLOCK)
+    cA1[bi, psi, s_l] = s_i
+    cB[bi, psi, d_l] = s_l
+    cA2[bi, d_i, d_l] = psi
+    return cA1, cB, cA2
+
+
+def _pack_gblocks(cols):
+    """Group nonzeros by x-chunk and place them into (8, 128) g-blocks
+    under the K1 gather constraint: within a block, cells in row ``i``
+    whose source lane is ``l`` must all read the same source sublane
+    (the sublane-gather map ``c1[i, l]`` is single-valued — duplicate
+    reads of one x element may share a (row, lane) claim).  Greedy with
+    spill: an element that fits no row of the current block defers to
+    the next block of the same chunk, so adversarial duplicate patterns
+    degrade fill instead of failing.
+
+    ``cols``: (m,) global column index of each nonzero.
+
+    Returns ``(chunk_ids (nb,), c1 (nb,8,128), c2 (nb,8,128),
+    elem_order (m,), src_off (m,))``: element ``elem_order[p]`` (an index
+    into ``cols``) lands in block ``p // 1024``-ish — precisely, elements
+    are listed in packed order with ``src_off[p]`` its in-block offset
+    and block boundaries implied by ``block_of[p]`` (also returned)."""
+    m = cols.shape[0]
+    chunk = cols // BLOCK
+    s_all = ((cols % BLOCK) // 128).astype(np.int64)
+    l_all = (cols % 128).astype(np.int64)
+    order = np.argsort(chunk, kind="stable")
+    chunk_ids = []
+    c1_blocks = []
+    c2_blocks = []
+    elem_order = np.empty(m, np.int64)
+    src_off = np.empty(m, np.int64)
+    block_of = np.empty(m, np.int64)
+    pos = 0
+    k = 0
+    while k < m:
+        q = int(chunk[order[k]])
+        k2 = k
+        while k2 < m and chunk[order[k2]] == q:
+            k2 += 1
+        queue = order[k:k2]
+        while len(queue):
+            b = len(chunk_ids)
+            claim = np.full((8, 128), -1, np.int16)
+            load = np.zeros(8, np.int64)
+            c1 = np.zeros((8, 128), np.int32)
+            c2 = np.zeros((8, 128), np.int32)
+            deferred = []
+            placed = 0
+            for qi, e in enumerate(queue):
+                s = int(s_all[e])
+                l = int(l_all[e])
+                for i in range(8):
+                    if load[i] < 128 and (claim[i, l] < 0
+                                          or claim[i, l] == s):
+                        j = int(load[i])
+                        claim[i, l] = s
+                        c1[i, l] = s
+                        c2[i, j] = l
+                        elem_order[pos] = e
+                        src_off[pos] = i * 128 + j
+                        block_of[pos] = b
+                        load[i] += 1
+                        placed += 1
+                        pos += 1
+                        break
+                else:
+                    deferred.append(e)
+                if placed == BLOCK:
+                    deferred.extend(queue[qi + 1:])
+                    break
+            chunk_ids.append(q)
+            c1_blocks.append(c1)
+            c2_blocks.append(c2)
+            queue = np.asarray(deferred, np.int64)
+        k = k2
+    nb = len(chunk_ids)
+    if nb == 0:
+        return (np.zeros(0, np.int32), np.zeros((0, 8, 128), np.int32),
+                np.zeros((0, 8, 128), np.int32), elem_order, src_off,
+                block_of)
+    return (np.asarray(chunk_ids, np.int32),
+            np.stack(c1_blocks), np.stack(c2_blocks),
+            elem_order, src_off, block_of)
+
+
+def _pack_segment(rows, cols, vals, tile0, ntiles, dtype):
+    """Build one SegmentPlan for nonzeros whose rows lie in tiles
+    [tile0, tile0 + ntiles).  Returns None if the padded block count
+    exceeds 1024 (caller splits the segment)."""
+    m = rows.shape[0]
+    # --- ELL side: slot list (tile-major), one nonzero per row per slot
+    r_loc = rows - tile0 * BLOCK
+    tile = r_loc // BLOCK
+    # w = occurrence index of each row (rows arrive CSR-sorted)
+    # vectorized per-row running count:
+    order = np.argsort(rows, kind="stable")
+    sorted_rows = rows[order]
+    is_new = np.ones(m, bool)
+    is_new[1:] = sorted_rows[1:] != sorted_rows[:-1]
+    grp_start = np.maximum.accumulate(np.where(is_new, np.arange(m), 0))
+    w_sorted = np.arange(m) - grp_start
+    w = np.empty(m, np.int64)
+    w[order] = w_sorted
+    # slots per tile = max w + 1
+    W_t = np.zeros(ntiles, np.int64)
+    if m:
+        np.maximum.at(W_t, tile, w + 1)
+    slot_base = np.zeros(ntiles + 1, np.int64)
+    np.cumsum(W_t, out=slot_base[1:])
+    nslots = int(slot_base[-1])
+    slot = slot_base[tile] + w
+    o_ell = (r_loc % BLOCK).astype(np.int64)
+    y_tile_real = np.repeat(np.arange(ntiles), W_t)
+
+    # --- g side: chunk-grouped constrained placement
+    (chunk_ids, c1g, c2g, elem_order, src_off_in, block_of) = \
+        _pack_gblocks(cols)
+    ngb = chunk_ids.shape[0]
+
+    B = max(ngb, nslots, 1)
+    a = next_pow2(B)
+    if a > BLOCK:
+        return None
+    M = a * BLOCK
+
+    # pad block lists to `a`
+    chunk_ids = np.concatenate(
+        [chunk_ids, np.zeros(a - ngb, np.int32)])
+    c1g = np.concatenate(
+        [c1g, np.zeros((a - ngb, 8, 128), np.int32)], axis=0)
+    c2g = np.concatenate(
+        [c2g, np.zeros((a - ngb, 8, 128), np.int32)], axis=0)
+    y_tile = np.concatenate(
+        [y_tile_real, np.full(a - nslots, ntiles, np.int64)])
+
+    # --- full M-position source/destination lists (elements + pads)
+    src_flat = np.empty(M, np.int64)
+    dst_flat = np.empty(M, np.int64)
+    src_flat[:m] = block_of * BLOCK + src_off_in
+    # element destinations, in the g-packed element order
+    dst_flat[:m] = (slot * BLOCK + o_ell)[elem_order]
+    occ_src = np.zeros(M, bool)
+    occ_src[src_flat[:m]] = True
+    occ_dst = np.zeros(M, bool)
+    occ_dst[dst_flat[:m]] = True
+    src_flat[m:] = np.flatnonzero(~occ_src)
+    dst_flat[m:] = np.flatnonzero(~occ_dst)
+
+    # --- global Clos: color = parking offset within blocks between D's
+    chi = clos_route.edge_color(
+        src_flat // BLOCK, dst_flat // BLOCK, a, a, BLOCK
+    ).astype(np.int64)
+
+    # --- three batched in-block bijection stages
+    # R2: within src blocks, offset src%1024 -> chi
+    beta_s = src_flat // BLOCK
+    beta_d = dst_flat // BLOCK
+    r2_src = _group_offsets(beta_s, src_flat % BLOCK)
+    r2_dst = _group_offsets(beta_s, chi)
+    cA, cB, cC = _batched_block_perms(r2_src, r2_dst)
+    k1_idx = _pack_k1_fields(c1g, c2g, cA, cB, cC).reshape(a * 8, 128)
+
+    # middle: within h blocks ((chi*a + beta) // 1024), offsets
+    # (chi*a + beta_s) % 1024 -> (chi*a + beta_d) % 1024
+    h_src = chi * a + beta_s
+    h_dst = chi * a + beta_d
+    assert np.array_equal(h_src // BLOCK, h_dst // BLOCK)
+    m_src = _group_offsets(h_src // BLOCK, h_src % BLOCK)
+    m_dst = _group_offsets(h_src // BLOCK, h_dst % BLOCK)
+    cA, cB, cC = _batched_block_perms(m_src, m_dst)
+    k2_idx = _pack_aba(cA, cB, cC).reshape(a * 8, 128)
+
+    # R1: within dst blocks, offset chi -> dst%1024
+    r1_src = _group_offsets(beta_d, chi)
+    r1_dst = _group_offsets(beta_d, dst_flat % BLOCK)
+    cA, cB, cC = _batched_block_perms(r1_src, r1_dst)
+    k3_idx = _pack_aba(cA, cB, cC).reshape(a * 8, 128)
+
+    # --- ELL values
+    vals_ell = np.zeros(M, dtype)
+    vals_ell[slot * BLOCK + o_ell] = vals
+    vals_ell = vals_ell.reshape(a * 8, 128)
+
+    return SegmentPlan(
+        a=a, tile0=int(tile0), ntiles=int(ntiles),
+        chunk_ids=chunk_ids, k1_idx=k1_idx, k2_idx=k2_idx,
+        k3_idx=k3_idx, vals=vals_ell,
+        y_tile=y_tile.astype(np.int32),
+    )
+
+
+def _group_offsets(block_idx, values):
+    """Scatter per-element ``values`` into an (nblocks, 1024) table in
+    block-grouped order: row b lists the values of the 1024 elements
+    with ``block_idx == b`` (order within the row follows element
+    order).  Every block index must appear exactly 1024 times."""
+    order = np.argsort(block_idx, kind="stable")
+    out = values[order].reshape(-1, BLOCK)
+    return out
+
+
+def pack_aij(rows, cols, vals, shape, dtype=np.float32,
+             target_nnz: int = 900_000) -> AIJPlan:
+    """Pack an arbitrary COO/CSR-listed sparse matrix into the Clos
+    gather plan.  Duplicate (row, col) entries are summed (PETSc
+    ADD_VALUES semantics)."""
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    vals = np.ascontiguousarray(vals)
+    nrows, ncols = int(shape[0]), int(shape[1])
+    if rows.size and (rows.min() < 0 or rows.max() >= nrows
+                      or cols.min() < 0 or cols.max() >= ncols):
+        raise ValueError("entry outside matrix shape")
+    # sum duplicates, sort by (row, col) = CSR order
+    key = rows * ncols + cols
+    order = np.argsort(key, kind="stable")
+    key = key[order]
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    if rows.size:
+        uniq = np.ones(rows.size, bool)
+        uniq[1:] = key[1:] != key[:-1]
+        seg_id = np.cumsum(uniq) - 1
+        svals = np.zeros(int(seg_id[-1]) + 1, np.float64)
+        np.add.at(svals, seg_id, vals.astype(np.float64))
+        rows, cols = rows[uniq], cols[uniq]
+        vals = svals
+    nnz = rows.size
+    n_pad_cols = BLOCK * max(1, -(-ncols // BLOCK))
+    ntiles_total = max(1, -(-nrows // BLOCK))
+
+    segments = []
+    # tile-aligned row segmentation with halving retry
+    tile_of = rows // BLOCK
+    t0 = 0
+    while t0 < ntiles_total:
+        # initial guess: as many tiles as keep nnz under target
+        t1 = ntiles_total
+        lo = np.searchsorted(tile_of, t0)
+        while t1 > t0 + 1:
+            hi = np.searchsorted(tile_of, t1)
+            if hi - lo <= target_nnz:
+                break
+            t1 = t0 + max(1, (t1 - t0) // 2)
+        while True:
+            hi = np.searchsorted(tile_of, t1)
+            seg = _pack_segment(rows[lo:hi], cols[lo:hi],
+                                vals[lo:hi].astype(dtype),
+                                t0, t1 - t0, dtype)
+            if seg is not None:
+                break
+            if t1 == t0 + 1:
+                raise ValueError(
+                    "a single 1024-row tile exceeds the 2^20-position "
+                    "routing budget (pathological duplicate pattern)")
+            t1 = t0 + max(1, (t1 - t0) // 2)
+        segments.append(seg)
+        t0 = t1
+    routed = sum(s.a * BLOCK for s in segments)
+    return AIJPlan(shape=(nrows, ncols), nnz=int(nnz),
+                   n_pad_cols=int(n_pad_cols), segments=tuple(segments),
+                   fill=float(routed) / max(nnz, 1))
+
+
+# ---------------------------------------------------------------------------
+# Reference applies (numpy exact; jnp fallback used on CPU / pre-Mosaic)
+# ---------------------------------------------------------------------------
+
+def _unpack_k1(idx):
+    return (idx & 7, (idx >> 3) & 127, (idx >> 10) & 7,
+            (idx >> 13) & 127, (idx >> 20) & 7)
+
+
+def _unpack_aba(idx):
+    return idx & 7, (idx >> 3) & 127, (idx >> 10) & 7
+
+
+def _aba_np(blk, cA1, cB, cA2):
+    t = np.take_along_axis(blk, cA1, axis=1)
+    u = np.take_along_axis(t, cB, axis=2)
+    return np.take_along_axis(u, cA2, axis=1)
+
+
+def aij_mv_np(plan: AIJPlan, x: np.ndarray) -> np.ndarray:
+    """Numpy bit-reference of the full routed SpMV (the kernels must
+    match this elementwise; exercised by tests against scipy/dense)."""
+    nrows, _ = plan.shape
+    x = np.asarray(x)
+    xp = np.zeros(plan.n_pad_cols, x.dtype)
+    xp[:x.shape[0]] = x
+    xc = xp.reshape(-1, 8, 128)
+    y = np.zeros(BLOCK * max(1, -(-nrows // BLOCK)), np.float64)
+    for seg in plan.segments:
+        a = seg.a
+        chunks = xc[seg.chunk_ids]                       # (a, 8, 128)
+        c1, c2, cA1, cB, cA2 = _unpack_k1(
+            seg.k1_idx.reshape(a, 8, 128))
+        t = np.take_along_axis(chunks, c1, axis=1)
+        g = np.take_along_axis(t, c2, axis=2)
+        g = _aba_np(g, cA1, cB, cA2)                     # K1 out (t1)
+        h = g.reshape(a, BLOCK).T.reshape(a, 8, 128)     # D
+        h = _aba_np(h, *_unpack_aba(seg.k2_idx.reshape(a, 8, 128)))
+        h = h.reshape(BLOCK, a).T.reshape(a, 8, 128)     # D^-1
+        o = _aba_np(h, *_unpack_aba(seg.k3_idx.reshape(a, 8, 128)))
+        contrib = (o.astype(np.float64)
+                   * seg.vals.reshape(a, 8, 128).astype(np.float64))
+        tiles = np.zeros((seg.ntiles + 1, 8, 128), np.float64)
+        np.add.at(tiles, seg.y_tile, contrib)
+        lo = seg.tile0 * BLOCK
+        y[lo:lo + seg.ntiles * BLOCK] += tiles[:seg.ntiles].reshape(-1)
+    return y[:nrows]
+
+
+def aij_mv_jnp(segments, n_pad_cols: int, nrows: int, x):
+    """Pure-jnp apply (CPU tests / interpreter environments / any
+    backend without Mosaic): identical math to ``aij_mv_np`` with
+    XLA gathers over the small (…, 8, 128) axes.  ``segments`` are
+    ``operators.AIJSegment`` pytrees."""
+    import jax
+    import jax.numpy as jnp
+
+    xp = jnp.zeros(n_pad_cols, x.dtype).at[:x.shape[0]].set(x)
+    xc = xp.reshape(-1, 8, 128)
+
+    def aba(blk, cA1, cB, cA2):
+        t = jnp.take_along_axis(blk, cA1, axis=1)
+        u = jnp.take_along_axis(t, cB, axis=2)
+        return jnp.take_along_axis(u, cA2, axis=1)
+
+    parts = []
+    for seg in segments:
+        a = int(seg.a)
+        ntiles = int(seg.ntiles)
+        chunks = jnp.take(xc, seg.chunk_ids, axis=0)
+        c1, c2, cA1, cB, cA2 = _unpack_k1(seg.k1_idx.reshape(a, 8, 128))
+        t = jnp.take_along_axis(chunks, c1, axis=1)
+        g = jnp.take_along_axis(t, c2, axis=2)
+        g = aba(g, cA1, cB, cA2)
+        h = g.reshape(a, BLOCK).T.reshape(a, 8, 128)
+        h = aba(h, *_unpack_aba(seg.k2_idx.reshape(a, 8, 128)))
+        h = h.reshape(BLOCK, a).T.reshape(a, 8, 128)
+        o = aba(h, *_unpack_aba(seg.k3_idx.reshape(a, 8, 128)))
+        contrib = o * seg.vals.reshape(a, 8, 128)
+        tiles = jax.ops.segment_sum(
+            contrib, seg.y_tile, num_segments=ntiles + 1)
+        parts.append(tiles[:ntiles].reshape(-1))
+    return jnp.concatenate(parts)[:nrows]

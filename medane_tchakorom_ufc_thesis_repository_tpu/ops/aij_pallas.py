@@ -1,0 +1,160 @@
+"""Pallas TPU kernels for the Clos-routed AIJ SpMV (``ops/aij_pack.py``).
+
+Three kernels around two XLA transposes:
+
+* K1 ``_aij_k1``: per g-block, DMA the block's 1024-element x chunk
+  (scalar-prefetched chunk id, double-buffered), gather each nonzero's
+  x value into the block (sublane+lane dynamic_gather) and apply the
+  first Clos stage (A∘B∘A) — 5 gather ops total.
+* K2 ``_aij_k2``: the middle Clos stage — one in-block bijection per
+  block (3 gather ops), pure VMEM streaming.
+* K3 ``_aij_k3``: the final Clos stage fused with the ELL reduction:
+  permute the block into row positions, multiply by the stored values,
+  accumulate into the output tile (VMEM-resident y, dynamic-slice
+  row-tile accumulation).
+
+The whole per-matrix access pattern lives in static int32 maps streamed
+alongside the blocks; x is the only dynamic input.  Capability match:
+PETSc AIJ MatMult (``/root/reference/src/utils/utils.c:139-155``).
+Interpreter-exact vs ``aij_pack.aij_mv_np`` (tests/test_aij.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 1024
+
+
+def _aba(blk, cA1, cB, cA2):
+    t = jnp.take_along_axis(blk, cA1, axis=0)
+    u = jnp.take_along_axis(t, cB, axis=1)
+    return jnp.take_along_axis(u, cA2, axis=0)
+
+
+def _unpack_k1(idx):
+    return (idx & 7, (idx >> 3) & 127, (idx >> 10) & 7,
+            (idx >> 13) & 127, (idx >> 20) & 7)
+
+
+def _unpack_aba(idx):
+    return idx & 7, (idx >> 3) & 127, (idx >> 10) & 7
+
+
+def _aij_k1(cids_ref, x_hbm, idx_ref, o_ref, xbuf, sems):
+    b = pl.program_id(0)
+    nprog = pl.num_programs(0)
+
+    def copy(t):
+        t = jnp.asarray(t, jnp.int32)
+        s = lax.rem(t, jnp.int32(2))
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(pl.multiple_of(cids_ref[t] * 8, 8), 8), :],
+            xbuf.at[s], sems.at[s],
+        )
+
+    @pl.when(b == 0)
+    def _():
+        copy(0).start()
+
+    @pl.when(b + 1 < nprog)
+    def _():
+        copy(b + 1).start()
+
+    copy(b).wait()
+    c1, c2, cA1, cB, cA2 = _unpack_k1(idx_ref[...])
+    xb = xbuf[lax.rem(jnp.asarray(b, jnp.int32), jnp.int32(2))]
+    t = jnp.take_along_axis(xb, c1, axis=0)
+    g = jnp.take_along_axis(t, c2, axis=1)
+    o_ref[...] = _aba(g, cA1, cB, cA2)
+
+
+def _aij_k2(h_ref, idx_ref, o_ref):
+    o_ref[...] = _aba(h_ref[...], *_unpack_aba(idx_ref[...]))
+
+
+def _aij_k3(meta_ref, h_ref, idx_ref, val_ref, o_ref):
+    e = pl.program_id(0)
+
+    @pl.when(e == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    o = _aba(h_ref[...], *_unpack_aba(idx_ref[...]))
+    contrib = o * val_ref[...]
+    r = pl.multiple_of(meta_ref[e] * 8, 8)
+    o_ref[pl.ds(r, 8), :] += contrib
+
+
+@partial(jax.jit, static_argnames=("a", "ntiles", "interpret"))
+def _aij_segment_mv(chunk_ids, k1_idx, k2_idx, k3_idx, vals, y_tile,
+                    xc, *, a: int, ntiles: int, interpret: bool):
+    """One segment: K1 -> D -> K2 -> D^-1 -> K3.  ``xc`` is the padded
+    x as (n_pad_cols // 128, 128).  Returns the segment's y rows
+    (ntiles * 1024,)."""
+    blk8 = pl.BlockSpec((8, 128), lambda b: (b, 0),
+                        memory_space=pltpu.VMEM)
+    g = pl.pallas_call(
+        _aij_k1,
+        grid=(a,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # chunk ids
+            pl.BlockSpec(memory_space=pl.ANY),       # x chunks in HBM
+            blk8,                                    # packed k1 indices
+        ],
+        out_specs=blk8,
+        out_shape=jax.ShapeDtypeStruct((a * 8, 128), xc.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, 128), xc.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(chunk_ids, xc, k1_idx)
+
+    h = g.reshape(a, BLOCK).T.reshape(a * 8, 128)        # D
+    h = pl.pallas_call(
+        _aij_k2,
+        grid=(a,),
+        in_specs=[blk8, blk8],
+        out_specs=blk8,
+        out_shape=jax.ShapeDtypeStruct((a * 8, 128), xc.dtype),
+        interpret=interpret,
+    )(h, k2_idx)
+    h = h.reshape(BLOCK, a).T.reshape(a * 8, 128)        # D^-1
+
+    y = pl.pallas_call(
+        _aij_k3,
+        grid=(a,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # y tile per slot
+            blk8, blk8, blk8,
+        ],
+        out_specs=pl.BlockSpec(((ntiles + 1) * 8, 128), lambda b: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(((ntiles + 1) * 8, 128), xc.dtype),
+        interpret=interpret,
+    )(y_tile, h, k3_idx, vals)
+    return y[:ntiles * 8, :].reshape(-1)
+
+
+def aij_mv_pallas(segments, n_pad_cols: int, nrows: int, x, *,
+                  interpret: bool = False):
+    """Full routed SpMV over all segments (``operators.AIJSegment``
+    pytrees from ``operators.AIJ``)."""
+    xp = jnp.zeros(n_pad_cols, x.dtype).at[:x.shape[0]].set(x)
+    xc = xp.reshape(-1, 128)
+    parts = []
+    for seg in segments:
+        parts.append(_aij_segment_mv(
+            seg.chunk_ids, seg.k1_idx, seg.k2_idx,
+            seg.k3_idx, seg.vals, seg.y_tile, xc,
+            a=int(seg.a), ntiles=int(seg.ntiles),
+            interpret=interpret,
+        ))
+    return jnp.concatenate(parts)[:nrows]

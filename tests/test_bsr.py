@@ -178,22 +178,28 @@ class TestRouting:
             np.asarray(ell.mv(jnp.asarray(x))), rtol=1e-12,
         )
 
-    def test_unblockable_warns_and_stays_ell(self):
-        # at the honest ~1950x ELL bar (round-3 re-measurement) a small
-        # matrix's high-fill BSR ALWAYS undercuts gather-ELL — the
-        # stays-ELL path is reachable only through the pack memory cap
-        # (max_bsr_bytes) or an empty candidate list; cap it here so the
-        # fallback + warning stay covered (dense route disabled too)
+    def test_unblockable_routes_aij(self):
+        # neither banded nor blockable, dense route disabled, BSR pack
+        # memory-capped: since round 5 this lands on the Clos-routed
+        # AIJ (the "stay on gather-ELL and warn" branch is retired)
+        from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (  # noqa: E501
+            AIJ,
+        )
+
         A = sp.random(256, 256, density=0.002, random_state=23).tocsr()
         A = A + sp.eye(256)
         rows, cols, vals, shape = _to_coo(A)
         ell = poisson.coo_to_ell(rows, cols, vals, shape,
                                  dtype=jnp.float64)
-        with pytest.warns(UserWarning, match="gather-ELL"):
-            out = as_tpu_operator(ell, max_diags=8, max_bsr_cost=4.0,
-                                  bsr_block_sizes=(128,), max_dense_n=0,
-                                  max_bsr_bytes=1024)
-        assert isinstance(out, ELL)
+        out = as_tpu_operator(ell, max_diags=8, max_bsr_cost=4.0,
+                              bsr_block_sizes=(128,), max_dense_n=0,
+                              max_bsr_bytes=1024)
+        assert isinstance(out, AIJ)
+        x = np.random.default_rng(3).standard_normal(256)
+        np.testing.assert_allclose(
+            np.asarray(out.mv(jnp.asarray(x, jnp.float64))),
+            A @ x, rtol=1e-10, atol=1e-10,
+        )
 
     def test_highfill_bsr_beats_ell_fallback(self):
         # denser random pattern: fails max_bsr_cost but the estimated
@@ -342,18 +348,25 @@ class TestFromScipy:
             np.asarray(op.rmv(jnp.asarray(y))), A.T @ y, rtol=1e-12
         )
 
-    def test_large_rectangular_routes_ell_with_warning(self):
+    def test_large_rectangular_routes_aij(self):
         from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+            AIJ,
             from_scipy,
         )
 
         A = sp.random(30, 50, density=0.1, random_state=41).tocsr()
-        with pytest.warns(UserWarning, match="scatter-add"):
-            op = from_scipy(A, dtype=jnp.float64, max_dense_n=0)
-        assert isinstance(op, ELL)
+        op = from_scipy(A, dtype=jnp.float64, max_dense_n=0)
+        assert isinstance(op, AIJ)
         x = np.random.default_rng(4).standard_normal(50)
         np.testing.assert_allclose(
-            np.asarray(op.mv(jnp.asarray(x))), A @ x, rtol=1e-12
+            np.asarray(op.mv(jnp.asarray(x, jnp.float64))), A @ x,
+            rtol=1e-10, atol=1e-12,
+        )
+        # the AIJ rmv is a routed gather (not ELL's scatter-add)
+        y = np.random.default_rng(5).standard_normal(30)
+        np.testing.assert_allclose(
+            np.asarray(op.rmv(jnp.asarray(y, jnp.float64))), A.T @ y,
+            rtol=1e-10, atol=1e-12,
         )
 
     def test_fill_estimate_counts_padding(self):

@@ -103,19 +103,18 @@ class TestRoutingHonorsCalibration:
         assert type(op).__name__ == "BSR"
 
         # calibration that prices EVERY block size above the bar ->
-        # same matrix now refuses BSR (falls through with the
-        # gather-ELL warning; ell bar lowered too so the high-fill
-        # last resort can't catch it)
+        # same matrix now refuses BSR (falls through to the Clos AIJ;
+        # aij bar lowered too so the high-fill last resort can't catch
+        # it)
         calibration.save({
             "bsr_bs_penalty": {str(b): 1000.0
                                for b in (8, 16, 32, 64, 128)},
-            "ell_relative_cost": 1.0,
+            "aij_relative_cost": 1.0,
         })
-        with pytest.warns(UserWarning):
-            op2 = operator_from_coo(rows, cols, vals, shape,
-                                    dtype=jnp.float64, max_dense_n=0,
-                                    max_bsr_cost=16.0)
-        assert type(op2).__name__ == "ELL"
+        op2 = operator_from_coo(rows, cols, vals, shape,
+                                dtype=jnp.float64, max_dense_n=0,
+                                max_bsr_cost=16.0)
+        assert type(op2).__name__ == "AIJ"
 
     def test_max_dense_n_default_from_calibration(self, monkeypatch,
                                                   tmp_path):
@@ -131,13 +130,12 @@ class TestRoutingHonorsCalibration:
         calibration.save({
             "bsr_bs_penalty": {str(b): 1000.0
                                for b in (8, 16, 32, 64, 128)},
-            "ell_relative_cost": 1.0,   # disarm the high-fill fallback
+            "aij_relative_cost": 1.0,   # disarm the high-fill fallback
             "max_dense_n": 64,
         })
-        with pytest.warns(UserWarning):
-            op = operator_from_coo(rows, cols, vals, shape,
-                                   dtype=jnp.float64)
-        assert type(op).__name__ == "ELL"
+        op = operator_from_coo(rows, cols, vals, shape,
+                               dtype=jnp.float64)
+        assert type(op).__name__ == "AIJ"
         calibration.save({"max_dense_n": 4096,
                           "bsr_bs_penalty": {str(b): 1000.0
                                              for b in (8, 16, 32, 64,

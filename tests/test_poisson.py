@@ -200,19 +200,18 @@ class TestFormatConversion:
         assert isinstance(op, DIA)
         assert op.offsets == (-8, -1, 0, 1, 8)
 
-    def test_as_tpu_operator_keeps_unstructured(self):
+    def test_as_tpu_operator_routes_unstructured_to_aij(self):
         import numpy as np
         import jax.numpy as jnp
         from medane_tchakorom_ufc_thesis_repository_tpu.core import poisson
         from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
-            ELL,
+            AIJ,
             as_tpu_operator,
         )
 
         # random sparsity, every better route disabled (no DIA fit, BSR
-        # and dense rejected) -> stays ELL with the gather warning
-        import pytest
-
+        # and dense rejected) -> Clos-routed AIJ (round 5; the
+        # stay-on-gather-ELL warn branch is retired)
         rng = np.random.default_rng(0)
         n = 200
         rows = rng.integers(0, n, 800)
@@ -221,10 +220,14 @@ class TestFormatConversion:
         vals = rng.standard_normal(pairs.shape[1])
         ell = poisson.coo_to_ell(pairs[0], pairs[1], vals, (n, n),
                                  dtype=jnp.float64)
-        with pytest.warns(UserWarning, match="gather-ELL"):
-            out = as_tpu_operator(ell, max_diags=64, max_bsr_cost=0.0,
-                                  bsr_block_sizes=(), max_dense_n=0)
-        assert isinstance(out, ELL)
+        out = as_tpu_operator(ell, max_diags=64, max_bsr_cost=0.0,
+                              bsr_block_sizes=(), max_dense_n=0)
+        assert isinstance(out, AIJ)
+        x = rng.standard_normal(n)
+        np.testing.assert_allclose(
+            np.asarray(out.mv(jnp.asarray(x, jnp.float64))),
+            np.asarray(ell.to_dense()) @ x, rtol=1e-10, atol=1e-10,
+        )
 
 
 class TestSlabStencil:
