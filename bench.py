@@ -172,6 +172,27 @@ def main():
     )
     bsr_nnz_per_s = (_nb * _bpr * _bs * _bs) / dt_bsr
 
+    # --- structureless AIJ SpMV: Clos-routed gather (round 5) -----------
+    # random pattern, NO band/block structure — the PETSc-AIJ capability
+    # case the gather-ELL path could not compile past n=4096.  Reported
+    # against the values-read roofline (vals + cols once at 819 GB/s).
+    from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+        AIJ,
+    )
+
+    _ra = _bnp.random.default_rng(7)
+    _an, _annz = 65536, 655360
+    aij = AIJ.from_coo(
+        _ra.integers(0, _an, _annz), _ra.integers(0, _an, _annz),
+        _ra.standard_normal(_annz), (_an, _an), with_rmv=False,
+    )
+    xa = jnp.asarray(_ra.standard_normal(_an), jnp.float32)
+    dt_aij = _slope_time(
+        lambda v: aij.mv(v) * jnp.float32(1e-3), xa, i1=5, i2=15
+    )
+    aij_nnz_per_s = aij.nnz / dt_aij
+    aij_roofline_x = dt_aij / (aij.nnz * 8 / 819e9)
+
     # --- secondary: SMSM_GLOBAL solve of 3D Poisson to 1e-5 -------------
     sop = blockops.block_poisson3d(64, 64, 64)
     b = blockops.rhs_ones(sop, jnp.float32)
@@ -394,6 +415,10 @@ def main():
         "bsr_values_read_gb_s": round(
             (_nb * _bpr * _bs * _bs) * 4 / dt_bsr / 1e9, 1
         ),
+        "aij_structureless_65536_gnnz_per_s": round(
+            aij_nnz_per_s / 1e9, 3),
+        "aij_values_read_roofline_x": round(aij_roofline_x, 1),
+        "aij_fill": round(aij.fill, 2),
         "smsm_global_3d_64_solve_s": round(solve_s, 3),
         "smsm_global_3d_64_sweeps": int(res.sweeps),
         "smsm_global_3d_64_rel_residual": f"{rel:.2e}",

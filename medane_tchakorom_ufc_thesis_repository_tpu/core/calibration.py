@@ -66,7 +66,7 @@ SHIPPED = {
     "bsr_bs_penalty": {8: 8.0, 16: 1.3, 32: 1.5, 64: 3.0, 128: 1.0,
                        256: 2.5},
     "ell_relative_cost": 1950.0,
-    "aij_relative_cost": 60.0,
+    "aij_relative_cost": 95.0,
     "max_dense_n": 4096,
 }
 

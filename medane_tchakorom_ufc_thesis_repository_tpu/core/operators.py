@@ -1052,14 +1052,19 @@ class AIJSegment:
     k3_idx: jax.Array      # (a*8, 128) int32 (packed 3-field)
     vals: jax.Array        # (a*8, 128)
     y_tile: jax.Array      # (a,) int32
+    yp_r2: jax.Array       # (a_y*8, 128) int32 — y-unpermute stages
+    yp_mid: jax.Array
+    yp_r1: jax.Array
     a: int
     tile0: int
     ntiles: int
+    a_y: int
 
 
 _register(AIJSegment,
-          ["chunk_ids", "k1_idx", "k2_idx", "k3_idx", "vals", "y_tile"],
-          ["a", "tile0", "ntiles"])
+          ["chunk_ids", "k1_idx", "k2_idx", "k3_idx", "vals", "y_tile",
+           "yp_r2", "yp_mid", "yp_r1"],
+          ["a", "tile0", "ntiles", "a_y"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -1120,7 +1125,10 @@ class AIJ:
                     k3_idx=jnp.asarray(s.k3_idx),
                     vals=jnp.asarray(s.vals),
                     y_tile=jnp.asarray(s.y_tile),
-                    a=s.a, tile0=s.tile0, ntiles=s.ntiles,
+                    yp_r2=jnp.asarray(s.yp_r2),
+                    yp_mid=jnp.asarray(s.yp_mid),
+                    yp_r1=jnp.asarray(s.yp_r1),
+                    a=s.a, tile0=s.tile0, ntiles=s.ntiles, a_y=s.a_y,
                 ) for s in plan.segments
             )
 

@@ -92,12 +92,28 @@ def _aij_k3(meta_ref, h_ref, idx_ref, val_ref, o_ref):
     o_ref[pl.ds(r, 8), :] += contrib
 
 
-@partial(jax.jit, static_argnames=("a", "ntiles", "interpret"))
+def _perm_pass(v, idx, a: int, interpret: bool):
+    """One in-block A∘B∘A permutation pass over ``a`` blocks (the K2
+    kernel; reused by the y-unpermute stages)."""
+    blk8 = pl.BlockSpec((8, 128), lambda b: (b, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _aij_k2,
+        grid=(a,),
+        in_specs=[blk8, blk8],
+        out_specs=blk8,
+        out_shape=jax.ShapeDtypeStruct((a * 8, 128), v.dtype),
+        interpret=interpret,
+    )(v, idx)
+
+
+@partial(jax.jit, static_argnames=("a", "ntiles", "a_y", "interpret"))
 def _aij_segment_mv(chunk_ids, k1_idx, k2_idx, k3_idx, vals, y_tile,
-                    xc, *, a: int, ntiles: int, interpret: bool):
-    """One segment: K1 -> D -> K2 -> D^-1 -> K3.  ``xc`` is the padded
-    x as (n_pad_cols // 128, 128).  Returns the segment's y rows
-    (ntiles * 1024,)."""
+                    yp_r2, yp_mid, yp_r1, xc, *, a: int, ntiles: int,
+                    a_y: int, interpret: bool):
+    """One segment: K1 -> D -> K2 -> D^-1 -> K3 -> routed y-unpermute.
+    ``xc`` is the padded x as (n_pad_cols // 128, 128).  Returns the
+    segment's y rows (ntiles * 1024,)."""
     blk8 = pl.BlockSpec((8, 128), lambda b: (b, 0),
                         memory_space=pltpu.VMEM)
     g = pl.pallas_call(
@@ -118,14 +134,7 @@ def _aij_segment_mv(chunk_ids, k1_idx, k2_idx, k3_idx, vals, y_tile,
     )(chunk_ids, xc, k1_idx)
 
     h = g.reshape(a, BLOCK).T.reshape(a * 8, 128)        # D
-    h = pl.pallas_call(
-        _aij_k2,
-        grid=(a,),
-        in_specs=[blk8, blk8],
-        out_specs=blk8,
-        out_shape=jax.ShapeDtypeStruct((a * 8, 128), xc.dtype),
-        interpret=interpret,
-    )(h, k2_idx)
+    h = _perm_pass(h, k2_idx, a, interpret)
     h = h.reshape(BLOCK, a).T.reshape(a * 8, 128)        # D^-1
 
     y = pl.pallas_call(
@@ -140,7 +149,16 @@ def _aij_segment_mv(chunk_ids, k1_idx, k2_idx, k3_idx, vals, y_tile,
         out_shape=jax.ShapeDtypeStruct(((ntiles + 1) * 8, 128), xc.dtype),
         interpret=interpret,
     )(y_tile, h, k3_idx, vals)
-    return y[:ntiles * 8, :].reshape(-1)
+
+    # routed y-unpermute (undo the pack's degree-sort row permutation)
+    yp = jnp.zeros((a_y * 8, 128), y.dtype).at[:ntiles * 8].set(
+        y[:ntiles * 8])
+    yp = _perm_pass(yp, yp_r2, a_y, interpret)
+    yp = yp.reshape(a_y, BLOCK).T.reshape(a_y * 8, 128)
+    yp = _perm_pass(yp, yp_mid, a_y, interpret)
+    yp = yp.reshape(BLOCK, a_y).T.reshape(a_y * 8, 128)
+    yp = _perm_pass(yp, yp_r1, a_y, interpret)
+    return yp.reshape(-1)[:ntiles * BLOCK]
 
 
 def aij_mv_pallas(segments, n_pad_cols: int, nrows: int, x, *,
@@ -153,8 +171,9 @@ def aij_mv_pallas(segments, n_pad_cols: int, nrows: int, x, *,
     for seg in segments:
         parts.append(_aij_segment_mv(
             seg.chunk_ids, seg.k1_idx, seg.k2_idx,
-            seg.k3_idx, seg.vals, seg.y_tile, xc,
-            a=int(seg.a), ntiles=int(seg.ntiles),
+            seg.k3_idx, seg.vals, seg.y_tile,
+            seg.yp_r2, seg.yp_mid, seg.yp_r1, xc,
+            a=int(seg.a), ntiles=int(seg.ntiles), a_y=int(seg.a_y),
             interpret=interpret,
         ))
     return jnp.concatenate(parts)[:nrows]
