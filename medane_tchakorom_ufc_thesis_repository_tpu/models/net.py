@@ -26,7 +26,10 @@ peer's listener is up).
 
 from __future__ import annotations
 
+import dataclasses
+import heapq
 import queue
+import random
 import socket
 import struct
 import threading
@@ -59,6 +62,107 @@ BIND_RACE_MARKER = "address already in use"
 STOLEN_PORT_MARKER = "send_data to rank"
 
 
+@dataclasses.dataclass(frozen=True)
+class WanConfig:
+    """WAN link emulation — the transport-level analog of the
+    reference's ``tc qdisc`` bridge shaping (50 mbit / 100 ms,
+    ``running_bulk_test_local:322-330``), which its async-vs-sync study
+    depends on.  Applied on the SEND side of every link:
+
+    * ``latency_s`` one-way propagation delay, plus uniform
+      ``[0, jitter_s)`` jitter;
+    * ``bandwidth_bps`` serialization rate (0 = unlimited): frames to
+      one destination queue behind each other at ``8·len/bw``;
+    * ``drop`` probability per DATA frame (protocol frames keep TCP
+      reliability, matching tc's rate/latency-only recipe; latest-wins
+      mailboxes absorb data loss as extra staleness).
+
+    Delivery is per-link FIFO (netem without reorder): jitter stretches
+    gaps but never reorders, so latest-wins mailboxes cannot regress to
+    an older iterate."""
+
+    latency_s: float = 0.0
+    jitter_s: float = 0.0
+    drop: float = 0.0
+    bandwidth_bps: float = 0.0
+    seed: int = 0
+
+    @property
+    def active(self) -> bool:
+        return (self.latency_s > 0 or self.jitter_s > 0
+                or self.drop > 0 or self.bandwidth_bps > 0)
+
+
+class _WanQueue:
+    """Send-side delay queue (python twin of the native router's
+    ``WanState``): a heap of (due, seq, dst, frame, droppable) serviced
+    by one sender thread."""
+
+    def __init__(self, cfg: WanConfig, deliver):
+        self.cfg = cfg
+        self.deliver = deliver
+        self.rng = random.Random(cfg.seed)
+        self.heap: list = []
+        self.link_free: Dict[int, float] = {}
+        self.last_due: Dict[int, float] = {}
+        self.seq = 0
+        self.lock = threading.Lock()
+        self.cv = threading.Condition(self.lock)
+        self.stop = False
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def push(self, dst: int, frame: bytes, droppable: bool) -> None:
+        with self.lock:
+            if droppable and self.cfg.drop > 0 \
+                    and self.rng.random() < self.cfg.drop:
+                return
+            now = time.monotonic()
+            free = max(self.link_free.get(dst, 0.0), now)
+            if self.cfg.bandwidth_bps > 0:
+                free += len(frame) * 8.0 / self.cfg.bandwidth_bps
+            self.link_free[dst] = free
+            due = free + self.cfg.latency_s
+            if self.cfg.jitter_s > 0:
+                due += self.rng.uniform(0.0, self.cfg.jitter_s)
+            due = max(due, self.last_due.get(dst, 0.0))
+            self.last_due[dst] = due
+            heapq.heappush(self.heap, (due, self.seq, dst, frame))
+            self.seq += 1
+            self.cv.notify()
+
+    def _run(self) -> None:
+        with self.lock:
+            while not self.stop:
+                if not self.heap:
+                    self.cv.wait(0.05)
+                    continue
+                due = self.heap[0][0]
+                now = time.monotonic()
+                if due > now:
+                    self.cv.wait(due - now)
+                    continue
+                _, _, dst, frame = heapq.heappop(self.heap)
+                self.lock.release()
+                try:
+                    self.deliver(dst, frame)
+                except OSError:
+                    pass   # peer left: emulated-link frames drop silently
+                finally:
+                    self.lock.acquire()
+
+    def drain_and_stop(self, timeout_s: float = 5.0) -> None:
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            with self.lock:
+                if not self.heap:
+                    break
+            time.sleep(0.005)
+        with self.lock:
+            self.stop = True
+            self.cv.notify_all()
+
+
 def _recvall(conn: socket.socket, n: int) -> Optional[bytes]:
     buf = b""
     while len(buf) < n:
@@ -77,10 +181,16 @@ class TcpTransport(Transport):
     """
 
     def __init__(self, rank: int, addrs: Sequence[Tuple[str, int]],
-                 connect_timeout: float = 60.0):
+                 connect_timeout: float = 60.0,
+                 wan: Optional[WanConfig] = None):
         self.rank = rank
         self.addrs = [tuple(a) for a in addrs]
         self.connect_timeout = connect_timeout
+        self._wan = None
+        if wan is not None and wan.active:
+            self._wan = _WanQueue(
+                wan, lambda dst, frame: self._sendall_now(
+                    dst, frame, connect_timeout=5.0))
         self._q: "queue.SimpleQueue[Msg]" = queue.SimpleQueue()
         self._pongs: set = set()
         self._ping_token = 0
@@ -183,7 +293,17 @@ class TcpTransport(Transport):
         )
 
     def _sendall(self, dst: int, frame: bytes,
-                 connect_timeout: Optional[float] = None) -> None:
+                 connect_timeout: Optional[float] = None,
+                 droppable: bool = False) -> None:
+        """WAN-aware send: under emulation, frames enter the delay queue
+        (fire-and-forget, per-link FIFO); otherwise direct."""
+        if self._wan is not None:
+            self._wan.push(dst, frame, droppable)
+            return
+        self._sendall_now(dst, frame, connect_timeout)
+
+    def _sendall_now(self, dst: int, frame: bytes,
+                     connect_timeout: Optional[float] = None) -> None:
         """Best-effort once established: a peer that terminates after a
         positive verdict closes its listener while we may still be
         publishing — those sends must drop silently, matching the
@@ -220,7 +340,7 @@ class TcpTransport(Transport):
         payload = np.ascontiguousarray(arr).tobytes()
         self._sendall(dst, _HDR.pack(
             _DATA_KIND, self.rank, 0, iteration, 0, len(payload),
-        ) + payload)
+        ) + payload, droppable=True)
 
     def read_data(self, src: int, dtype, shape):
         """Newest iterate published by ``src``: ``(array|None, version)``."""
@@ -270,6 +390,8 @@ class TcpTransport(Transport):
                 return out
 
     def close(self) -> None:
+        if self._wan is not None:
+            self._wan.drain_and_stop()
         self._stop.set()
         try:
             self._server.close()
@@ -291,7 +413,8 @@ class NativeTcpTransport(Transport):
     endpoints interoperate."""
 
     def __init__(self, rank: int, addrs: Sequence[Tuple[str, int]],
-                 connect_timeout: float = 60.0):
+                 connect_timeout: float = 60.0,
+                 wan: Optional[WanConfig] = None):
         import ctypes
 
         from medane_tchakorom_ufc_thesis_repository_tpu import native
@@ -309,6 +432,15 @@ class NativeTcpTransport(Transport):
         self._h = lib.comm_create(rank, csv)
         if self._h < 0:
             raise OSError(f"comm_create failed for rank {rank}")
+        if wan is not None and wan.active:
+            # delay queue lives in the router (comm.cpp WanState)
+            rc = lib.comm_set_wan(
+                self._h, float(wan.latency_s), float(wan.jitter_s),
+                float(wan.drop), float(wan.bandwidth_bps),
+                int(wan.seed),
+            )
+            if rc != 0:
+                raise OSError("comm_set_wan failed")
         self._ok_sends: set = set()   # ranks reached at least once
         self._departed: set = set()   # ranks that closed on us since
 
@@ -390,18 +522,20 @@ class NativeTcpTransport(Transport):
             self._h = -1
 
 
-def make_tcp_transport(rank: int, addrs, backend: str = "auto"):
+def make_tcp_transport(rank: int, addrs, backend: str = "auto",
+                       wan: Optional[WanConfig] = None):
     """Transport factory: ``'native'`` (C++ epoll router), ``'python'``
     (thread-per-connection), or ``'auto'`` (native when the toolchain
-    is available, else Python — both speak the same wire format)."""
+    is available, else Python — both speak the same wire format).
+    ``wan`` enables link emulation on either backend (``WanConfig``)."""
     if backend == "python":
-        return TcpTransport(rank, addrs)
+        return TcpTransport(rank, addrs, wan=wan)
     if backend == "native":
-        return NativeTcpTransport(rank, addrs)
+        return NativeTcpTransport(rank, addrs, wan=wan)
     if backend == "auto":
         from medane_tchakorom_ufc_thesis_repository_tpu import native
 
         if native.comm_available():
-            return NativeTcpTransport(rank, addrs)
-        return TcpTransport(rank, addrs)
+            return NativeTcpTransport(rank, addrs, wan=wan)
+        return TcpTransport(rank, addrs, wan=wan)
     raise ValueError(f"unknown transport backend {backend!r}")

@@ -79,6 +79,11 @@ def _certification_tail(transport, rank, peers, x, tol_local, *,
     # piggyback) — tail frames must match so latest-wins mailbox reads
     # stay shape-consistent across the async/tail boundary
     L = bs if frame_len is None else int(frame_len)
+    # progress-based deadline: a WAN-emulated link (models.net.WanConfig)
+    # makes each lockstep round cost 2+ RTT, so a FIXED budget starves
+    # the tail exactly when it matters (100 ms links: round ≈ 0.4 s).
+    # As long as rounds complete, the deadline extends; only a STALLED
+    # round (peer died / never entered the tail) bails out.
     deadline = time.monotonic() + deadline_s
     cur = np.asarray(x)
     prev_stack = None
@@ -131,6 +136,7 @@ def _certification_tail(transport, rank, peers, x, tol_local, *,
     try:
         publish(0, True, cur)
         for r in range(max_rounds):
+            round_start = time.monotonic()
             frames = wait_frames(r)
             if frames is None:
                 return x, False, rounds_done
@@ -141,6 +147,9 @@ def _certification_tail(transport, rank, peers, x, tol_local, *,
                 ))
             if not wait_acks(r):
                 return x, False, rounds_done
+            # round completed: extend the stall deadline (see above)
+            deadline = time.monotonic() + max(
+                deadline_s, 8.0 * (time.monotonic() - round_start))
             stack = stack_np.copy()
             stack[rank] = cur
             for j, (arr, _okj) in frames.items():
@@ -178,6 +187,8 @@ def net_async_block_solve(
     termination: str = "protocol",
     minimization: Optional[str] = None,
     s: int = 4,
+    schedule: str = "async",
+    sync_deadline_s: float = 600.0,
 ):
     """Run THIS process's block of the AM/AMAM iteration to termination.
 
@@ -211,12 +222,31 @@ def net_async_block_solve(
       with none terminates.  Heuristic — can mis-terminate under
       pathological delay, which is exactly why the reference replaced
       it with Alg-5.15; kept for capability parity.
+
+    ``schedule``: ``'async'`` (default — the AM/AMAM behavior above) or
+    ``'sync'`` — BULK-SYNCHRONOUS rounds over the same sockets: every
+    sweep publishes the iterate, waits for ALL peers' same-round frames
+    (acked, so latest-wins mailboxes can never skip a round — the
+    ``MPI_Sendrecv`` barrier of ``comm_sync_send_and_receive``,
+    ``comm.c:126-141``), and terminates on the all-blocks-under-
+    threshold handshake (``comm_sync_convergence_detection``,
+    ``comm.c:235-250``).  This is SM / SMSM_* over TCP — the sync
+    baseline of the reference's async-vs-sync WAN study.  With
+    ``minimization``, every ``s`` rounds the basis of (identical
+    lockstep) global iterates is minimized LOCALLY on each rank — no
+    R exchange needed because each process holds the full operator
+    description, deterministic because the stacks are identical.
+    Result is certified by construction (the identical-stack residual
+    handshake IS the certificate).
     """
     if termination not in ("protocol", "traversal"):
         raise ValueError(f"unknown termination {termination!r}")
+    if schedule not in ("async", "sync"):
+        raise ValueError(f"unknown schedule {schedule!r}")
     if minimization not in (None, "local", "semi_local", "global"):
         raise ValueError(f"unknown minimization {minimization!r}")
-    if minimization is not None and termination == "traversal":
+    if (minimization is not None and termination == "traversal"
+            and schedule == "async"):
         raise ValueError(
             "minimization runs under termination='protocol' (the legacy "
             "traversal guard predates the reference's AMAM drivers)"
@@ -300,6 +330,70 @@ def net_async_block_solve(
         # minimum-norm LS: early bases can be rank-deficient
         return np.linalg.lstsq(np.asarray(G, np.float64),
                                np.asarray(c, np.float64), rcond=None)[0]
+
+    # --- bulk-synchronous schedule (SM / SMSM_* over TCP) ---------------
+    if schedule == "sync":
+        t0 = time.perf_counter()
+        stack_np = np.zeros((nb, bs), np_dtype)
+        S_stacks: list = []
+
+        @jax.jit
+        def sync_gram(S_full):
+            # rows of R = A S for every block — computable locally
+            # because every process holds the full operator description;
+            # with identical lockstep stacks, all ranks derive the SAME
+            # alpha (the reference exchanges R halves instead because an
+            # MPI rank only holds its own rows, comm.c:252-286)
+            R = jax.vmap(op.full_mv)(S_full)          # (s, nb, bs)
+            if minimization == "global":
+                Rr = R.reshape(S_full.shape[0], -1)
+                target = b.reshape(-1)
+            else:                                     # semi_local
+                Rr = R[:, rank, :]
+                target = b[rank]
+            return Rr @ Rr.T, Rr @ target
+
+        def rec_local_rhs(x_stack):
+            if minimization is not None:
+                S_stacks.append(np.asarray(x_stack))
+            return local_rhs(x_stack)
+
+        def sync_sweep(rhs_b, x_b):
+            x_next, pre = sweep(rhs_b, x_b)
+            if minimization is not None and len(S_stacks) == s:
+                S_full = jnp.asarray(np.stack(S_stacks))   # (s, nb, bs)
+                if minimization == "local":
+                    x_next = minimize_local(S_full[:, rank, :], rhs_b)
+                else:
+                    G, c = sync_gram(S_full)
+                    alpha = _solve_gram_np(G, c)
+                    x_next = combine(
+                        S_full[:, rank, :], jnp.asarray(alpha, dtype))
+                S_stacks.clear()
+            return x_next, pre
+
+        x0 = jnp.zeros((bs,), dtype)
+        xs, certified, rounds = _certification_tail(
+            transport, rank, peers, x0, tol_local,
+            sweep=sync_sweep, local_rhs=rec_local_rhs,
+            stack_np=stack_np, np_dtype=np_dtype,
+            max_rounds=maxiter, deadline_s=sync_deadline_s,
+            frame_len=bs,
+        )
+        return {
+            "rank": rank,
+            "x_block": np.asarray(xs).tolist(),
+            "sweeps": rounds,
+            "converged": bool(certified),
+            "phase_tag": 0,
+            "certified": bool(certified),
+            # sync rounds ARE the solve; the post-verdict tail concept
+            # does not apply (0 keeps study tables from double-counting)
+            "tail_rounds": 0,
+            "rnorm0": rnorm0,
+            "peer_last_versions": {str(j): rounds for j in peers},
+            "elapsed_s": round(time.perf_counter() - t0, 3),
+        }
 
     # frame layout: plain (bs,) except 'global', which piggybacks the
     # Gram panel on every DATA frame: [x | G.ravel | c | panel_ver]
@@ -530,6 +624,17 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inner-maxiter", type=int, default=20)
     p.add_argument("--termination", default="protocol",
                    choices=["protocol", "traversal"])
+    p.add_argument("--schedule", default="async",
+                   choices=["async", "sync"],
+                   help="async (AM/AMAM) or bulk-synchronous lockstep "
+                        "rounds (SM/SMSM over TCP)")
+    p.add_argument("--wan-latency-ms", type=float, default=0.0,
+                   help="emulated one-way link latency (tc qdisc analog)")
+    p.add_argument("--wan-jitter-ms", type=float, default=0.0)
+    p.add_argument("--wan-drop", type=float, default=0.0,
+                   help="DATA-frame drop probability in [0,1)")
+    p.add_argument("--wan-bw-mbit", type=float, default=0.0,
+                   help="emulated link bandwidth in Mbit/s (0=unlimited)")
     p.add_argument("--minimization", default="none",
                    choices=["none", "local", "semi_local", "global"],
                    help="async s-step minimization scope (AMAM_* parity)")
@@ -558,6 +663,7 @@ def worker_main(argv: Optional[Sequence[str]] = None) -> int:
         InnerConfig,
     )
     from medane_tchakorom_ufc_thesis_repository_tpu.models.net import (
+        WanConfig,
         make_tcp_transport,
     )
 
@@ -567,7 +673,16 @@ def worker_main(argv: Optional[Sequence[str]] = None) -> int:
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
     b = blockops.rhs_ones(op, dtype)
 
-    transport = make_tcp_transport(args.rank, addrs, backend=args.transport)
+    wan = WanConfig(
+        latency_s=args.wan_latency_ms * 1e-3,
+        jitter_s=args.wan_jitter_ms * 1e-3,
+        drop=args.wan_drop,
+        bandwidth_bps=args.wan_bw_mbit * 1e6,
+        seed=args.rank + 1,
+    )
+    transport = make_tcp_transport(args.rank, addrs,
+                                   backend=args.transport,
+                                   wan=wan if wan.active else None)
     try:
         out = net_async_block_solve(
             op, b, args.rank, transport,
@@ -578,6 +693,7 @@ def worker_main(argv: Optional[Sequence[str]] = None) -> int:
             minimization=(None if args.minimization == "none"
                           else args.minimization),
             s=args.s,
+            schedule=args.schedule,
         )
     finally:
         # linger so late protocol frames from peers don't hit a dead port
@@ -602,6 +718,11 @@ def launch_net_async(
     timeout_s: float = 300.0,
     minimization: Optional[str] = None,
     s: int = 4,
+    schedule: str = "async",
+    wan_latency_ms: float = 0.0,
+    wan_jitter_ms: float = 0.0,
+    wan_drop: float = 0.0,
+    wan_bw_mbit: float = 0.0,
 ) -> List[dict]:
     """Local fan-out: one OS process per block (the mpiexec analog for
     the TCP-async path).  Returns each rank's parsed JSON result."""
@@ -629,6 +750,11 @@ def launch_net_async(
                 "--transport", transport,
                 "--minimization", minimization or "none",
                 "--s", str(s),
+                "--schedule", schedule,
+                "--wan-latency-ms", str(wan_latency_ms),
+                "--wan-jitter-ms", str(wan_jitter_ms),
+                "--wan-drop", str(wan_drop),
+                "--wan-bw-mbit", str(wan_bw_mbit),
             ]
             for rank in range(nblocks)
         ]

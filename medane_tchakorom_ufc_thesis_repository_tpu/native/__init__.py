@@ -189,6 +189,8 @@ def load_comm() -> Optional[ctypes.CDLL]:
         lib.comm_read_data.restype = i64
         lib.comm_rtt.argtypes = [i64, i32, f64]
         lib.comm_rtt.restype = f64
+        lib.comm_set_wan.argtypes = [i64, f64, f64, f64, f64, i64]
+        lib.comm_set_wan.restype = i32
         lib.comm_close.argtypes = [i64]
         _comm_lib = lib
         return _comm_lib

@@ -29,12 +29,15 @@
 #include <array>
 #include <atomic>
 #include <chrono>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
 #include <deque>
 #include <map>
 #include <memory>
 #include <mutex>
+#include <queue>
+#include <random>
 #include <set>
 #include <string>
 #include <thread>
@@ -63,6 +66,38 @@ struct Conn {
   std::vector<uint8_t> buf;
 };
 
+// WAN link emulation (the reference shapes a bridge with `tc qdisc`
+// to 50 mbit / 100 ms for its async-vs-sync study,
+// running_bulk_test_local:322-330).  A delay queue in the router: sends
+// enqueue with due = serialization(bandwidth) + latency + jitter, a
+// sender thread delivers in per-link FIFO order (netem-without-reorder
+// semantics — latest-wins mailboxes must never regress).  Drop applies
+// to DATA frames only (protocol frames ride TCP reliability, as the
+// reference's tc recipe shapes rate/latency but does not drop).
+struct WanFrame {
+  double due;
+  int64_t seq;
+  int32_t dst;
+  std::vector<uint8_t> frame;
+  bool operator>(const WanFrame& o) const {
+    return due != o.due ? due > o.due : seq > o.seq;
+  }
+};
+
+struct WanState {
+  double latency_s = 0.0, jitter_s = 0.0, drop = 0.0, bw_bps = 0.0;
+  std::mt19937 rng;
+  std::mutex mu;
+  std::condition_variable cv;
+  std::priority_queue<WanFrame, std::vector<WanFrame>,
+                      std::greater<WanFrame>> heap;
+  std::map<int32_t, double> link_free;   // per-dst serialization clock
+  std::map<int32_t, double> last_due;    // per-dst FIFO floor
+  int64_t seq = 0;
+  std::thread sender;
+  std::atomic<bool> stop{false};
+};
+
 struct Transport {
   int32_t rank = -1;
   std::vector<std::pair<std::string, int>> addrs;
@@ -84,7 +119,14 @@ struct Transport {
   int32_t ping_token = 0;
 
   std::map<int, Conn> conns;               // router thread only
+  std::unique_ptr<WanState> wan;           // set once before first send
 };
+
+double now_s() {
+  return std::chrono::duration<double>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
 
 bool send_all(int fd, const uint8_t* p, size_t n) {
   while (n) {
@@ -175,19 +217,73 @@ int get_out_fd(Transport* t, int32_t dst, std::mutex*& lock_out,
   return fd;
 }
 
-bool send_frame(Transport* t, int32_t dst, int32_t kind, int32_t tag,
-                int32_t iter, int32_t pos, const uint8_t* payload,
-                int64_t plen, double connect_timeout_s = 60.0) {
+bool send_bytes(Transport* t, int32_t dst, const uint8_t* p, size_t n,
+                double connect_timeout_s = 60.0) {
   std::mutex* lock = nullptr;
   int fd = get_out_fd(t, dst, lock, connect_timeout_s);
   if (fd < 0) return false;
+  std::lock_guard<std::mutex> lg(*lock);
+  return send_all(fd, p, n);
+}
+
+void wan_sender_main(Transport* t) {
+  WanState* w = t->wan.get();
+  std::unique_lock<std::mutex> lk(w->mu);
+  while (!w->stop.load()) {
+    if (w->heap.empty()) {
+      w->cv.wait_for(lk, std::chrono::milliseconds(50));
+      continue;
+    }
+    double due = w->heap.top().due;
+    double now = now_s();
+    if (due > now) {
+      w->cv.wait_for(lk, std::chrono::duration<double>(due - now));
+      continue;
+    }
+    WanFrame f = w->heap.top();
+    w->heap.pop();
+    lk.unlock();
+    // delivery failures under emulation drop silently (the peer left)
+    send_bytes(t, f.dst, f.frame.data(), f.frame.size(), 5.0);
+    lk.lock();
+  }
+}
+
+bool send_frame(Transport* t, int32_t dst, int32_t kind, int32_t tag,
+                int32_t iter, int32_t pos, const uint8_t* payload,
+                int64_t plen, double connect_timeout_s = 60.0) {
   std::vector<uint8_t> frame(kHdrSize + static_cast<size_t>(plen));
   pack_header(frame.data(), kind, t->rank, tag, iter, pos,
               static_cast<int32_t>(plen));
   if (plen) std::memcpy(frame.data() + kHdrSize, payload,
                         static_cast<size_t>(plen));
-  std::lock_guard<std::mutex> lg(*lock);
-  return send_all(fd, frame.data(), frame.size());
+  WanState* w = t->wan.get();
+  if (w != nullptr) {
+    std::lock_guard<std::mutex> lg(w->mu);
+    if (kind == kDataKind && w->drop > 0.0) {
+      std::uniform_real_distribution<double> u(0.0, 1.0);
+      if (u(w->rng) < w->drop) return true;  // dropped on the "wire"
+    }
+    double now = now_s();
+    double& free_at = w->link_free[dst];
+    if (free_at < now) free_at = now;
+    if (w->bw_bps > 0.0) {
+      free_at += static_cast<double>(frame.size()) * 8.0 / w->bw_bps;
+    }
+    double due = free_at + w->latency_s;
+    if (w->jitter_s > 0.0) {
+      std::uniform_real_distribution<double> u(0.0, w->jitter_s);
+      due += u(w->rng);
+    }
+    double& floor = w->last_due[dst];
+    if (due < floor) due = floor;   // per-link FIFO: no reordering
+    floor = due;
+    w->heap.push(WanFrame{due, w->seq++, dst, std::move(frame)});
+    w->cv.notify_one();
+    return true;   // enqueue = accepted (fire-and-forget on the link)
+  }
+  return send_bytes(t, dst, frame.data(), frame.size(),
+                    connect_timeout_s);
 }
 
 void handle_frame(Transport* t, const Header& h,
@@ -338,6 +434,25 @@ int64_t comm_create(int32_t rank, const char* addrs_csv) {
   return h;
 }
 
+// Enable WAN link emulation on a transport (call once, before traffic).
+// latency/jitter seconds, drop in [0,1) (DATA frames only), bw_bps
+// bits/second (0 = unlimited).  Returns 0, or -1 on a bad handle.
+int32_t comm_set_wan(int64_t h, double latency_s, double jitter_s,
+                     double drop, double bw_bps, int64_t seed) {
+  Transport* t = get(h);
+  if (!t) return -1;
+  auto w = std::make_unique<WanState>();
+  w->latency_s = latency_s;
+  w->jitter_s = jitter_s;
+  w->drop = drop;
+  w->bw_bps = bw_bps;
+  w->rng.seed(static_cast<uint32_t>(seed));
+  t->wan = std::move(w);
+  WanState* raw = t->wan.get();
+  raw->sender = std::thread(wan_sender_main, t);
+  return 0;
+}
+
 int32_t comm_send(int64_t h, int32_t dst, int32_t kind, int32_t tag,
                   int32_t iter, int32_t pos, const uint8_t* payload,
                   int64_t plen) {
@@ -413,6 +528,23 @@ void comm_close(int64_t h) {
     if (it == g_transports.end()) return;
     t = std::move(it->second);
     g_transports.erase(it);
+  }
+  if (t->wan) {
+    // drain pending delayed frames (bounded): peers may still need the
+    // final exchange that is sitting in the delay queue
+    auto drain_deadline = std::chrono::steady_clock::now() +
+                          std::chrono::seconds(5);
+    for (;;) {
+      {
+        std::lock_guard<std::mutex> lg(t->wan->mu);
+        if (t->wan->heap.empty()) break;
+      }
+      if (std::chrono::steady_clock::now() > drain_deadline) break;
+      std::this_thread::sleep_for(std::chrono::milliseconds(5));
+    }
+    t->wan->stop.store(true);
+    t->wan->cv.notify_all();
+    if (t->wan->sender.joinable()) t->wan->sender.join();
   }
   t->stop.store(true);
   if (t->router.joinable()) t->router.join();
