@@ -58,6 +58,11 @@ class MsgKind(enum.Enum):
     # a certification-round DATA frame so latest-wins mailboxes can never
     # skip a round.  Not part of Alg-5.15; `_handle` ignores it.
     TAIL_ACK = "tail_ack"
+    # SLCV legacy protocol (``SlcvNode``) — appended so existing wire
+    # indices (TcpTransport maps kinds by enum position) stay stable
+    S_PARTIAL_CV = "s_partial_cv"    # TAG_SEND_CV=123 analog
+    S_CANCEL_CV = "s_cancel_cv"      # TAG_CANCEL_CV=1024 analog
+    GLOBAL_CV = "global_cv"          # TAG_SEND_RCV_GLOBAL_CV=888 analog
 
 
 @dataclasses.dataclass(frozen=True)
@@ -271,3 +276,165 @@ class Alg515Node:
             self._process_messages()
             self._maybe_start_verification()
         return self.state
+
+
+def slcv_tree(rank: int, nblocks: int):
+    """Spanning tree over block roots for the SLCV protocol: binary
+    heap shape (parent ``(i-1)//2``).  The reference hardcodes the
+    2-node tree block-0-root <-> block-npb-root
+    (``build_spanning_tree``, ``conv_detection.c:180-196``, with the
+    comment that >2 blocks would need a real tree) — this is that
+    generalization; for ``nblocks=2`` it reduces to the reference's
+    pair.  Returns ``(parent | None, children)``."""
+    parent = None if rank == 0 else (rank - 1) // 2
+    children = [c for c in (2 * rank + 1, 2 * rank + 2) if c < nblocks]
+    return parent, children
+
+
+class SlcvNode:
+    """The legacy "SLCV" counter protocol — the reference's FIRST
+    decentralized termination scheme (``src/utils/conv_detection.c:
+    6-196``; tags ``include/constants.h:24-39``), superseded there by
+    Algorithm 5.15 but kept as an independently interesting mechanism.
+    Re-derived from the protocol's behavior; no reference code copied.
+
+    Mechanics (per node = block root, on a spanning tree):
+
+    * ``preLocalCV`` — the residual is under threshold this iteration;
+      held for ``threshold_slcv`` CONSECUTIVE iterations ⇒ ``sLocalCV``
+      (the counter that names the protocol).
+    * subtree convergence flows UP the tree: a node whose ``sLocalCV``
+      holds and whose children's sPartialCVs are all present sends
+      ``sPartialCV(iteration)`` to its parent; a residual rebound (or a
+      child's cancellation) RETRACTS it with ``CancelCV(iteration)``.
+    * stale-message filtering by per-neighbor iteration counters (the
+      reference's ``prevIterNumS``/``prevIterNumC``): a PartialCV is
+      accepted only if at least as new as the last Cancel seen from
+      that child, and vice versa — out-of-order claims can never
+      resurrect a retracted subtree.
+    * the ROOT reaching full-subtree convergence sets ``globalCV`` and
+      gossips it DOWN the tree (``GLOBAL_CV`` positive); any
+      retraction reaching the root gossips the negative.
+    * termination is the caller's: iterate until ``global_cv`` has held
+      CONTINUOUSLY longer than the measured message traversal time
+      (``held_for()`` vs the startup RTT probe — the reference's
+      ``MAX_TRAVERSAL_TIME`` guard,
+      ``asynchronous-multisplitting.c.save:307-329``).
+
+    Unlike Alg-5.15 there is no verification round and no leader: the
+    guard window is the only defense against a claim retracted in
+    flight — which is exactly why the reference replaced it.
+    """
+
+    def __init__(self, rank: int, nblocks: int, transport: Transport,
+                 threshold_slcv: int = 4):
+        import time as _time
+
+        self._now = _time.monotonic
+        self.rank = rank
+        self.nblocks = nblocks
+        self.transport = transport
+        self.threshold_slcv = max(1, threshold_slcv)
+        self.parent, self.children = slcv_tree(rank, nblocks)
+        self.iteration = 0
+        self.under_count = 0
+        self.s_local_cv = False
+        self.sent_partial: Optional[int] = None
+        self.child_partial: Dict[int, Optional[int]] = {
+            c: None for c in self.children}
+        self._last_s: Dict[int, int] = {c: -1 for c in self.children}
+        self._last_c: Dict[int, int] = {c: -1 for c in self.children}
+        self.global_cv = False
+        self._global_since = 0.0
+
+    # -- queries ---------------------------------------------------------
+    def _subtree_cv(self) -> bool:
+        return self.s_local_cv and all(
+            v is not None for v in self.child_partial.values())
+
+    def held_for(self) -> float:
+        """Seconds ``global_cv`` has held continuously (0 when unset)."""
+        if not self.global_cv:
+            return 0.0
+        return self._now() - self._global_since
+
+    # -- messaging -------------------------------------------------------
+    def _send(self, dst: int, kind: MsgKind, positive: bool = True,
+              iteration: Optional[int] = None) -> None:
+        self.transport.send(dst, Msg(
+            kind=kind, src=self.rank, phase_tag=0,
+            iteration=self.iteration if iteration is None else iteration,
+            positive=positive,
+        ))
+
+    def _set_global(self, value: bool) -> None:
+        if value and not self.global_cv:
+            self._global_since = self._now()
+        self.global_cv = value
+        for c in self.children:
+            self._send(c, MsgKind.GLOBAL_CV, positive=value)
+
+    def _retract_up(self) -> None:
+        """Our subtree is no longer converged: cancel the claim we sent
+        (or clear globalCV at the root)."""
+        if self.parent is not None:
+            if self.sent_partial is not None:
+                self._send(self.parent, MsgKind.S_CANCEL_CV)
+                self.sent_partial = None
+        elif self.global_cv:
+            self._set_global(False)
+
+    def _maybe_claim_up(self) -> None:
+        if not self._subtree_cv():
+            return
+        if self.parent is not None:
+            if self.sent_partial is None:
+                self.sent_partial = self.iteration
+                self._send(self.parent, MsgKind.S_PARTIAL_CV)
+        elif not self.global_cv:
+            self._set_global(True)
+
+    def _handle(self, msg: Msg) -> None:
+        if msg.kind is MsgKind.S_PARTIAL_CV:
+            if msg.src not in self.child_partial:
+                return
+            # accept only if not retracted by an as-new-or-newer cancel
+            if msg.iteration >= self._last_c[msg.src]:
+                self.child_partial[msg.src] = msg.iteration
+                self._last_s[msg.src] = msg.iteration
+                self._maybe_claim_up()
+        elif msg.kind is MsgKind.S_CANCEL_CV:
+            if msg.src not in self.child_partial:
+                return
+            if msg.iteration >= self._last_s[msg.src]:
+                self._last_c[msg.src] = msg.iteration
+                if self.child_partial[msg.src] is not None:
+                    self.child_partial[msg.src] = None
+                    self._retract_up()
+        elif msg.kind is MsgKind.GLOBAL_CV:
+            # gossip from the parent; forward down
+            if msg.positive and not self.global_cv:
+                self._global_since = self._now()
+            self.global_cv = msg.positive
+            for c in self.children:
+                self._send(c, MsgKind.GLOBAL_CV, positive=msg.positive)
+
+    def pump(self) -> None:
+        for msg in self.transport.drain(self.rank):
+            self._handle(msg)
+
+    # -- per-iteration hook ----------------------------------------------
+    def step(self, under_threshold: bool) -> None:
+        self.iteration += 1
+        if under_threshold:
+            self.under_count += 1
+            if (not self.s_local_cv
+                    and self.under_count >= self.threshold_slcv):
+                self.s_local_cv = True
+                self._maybe_claim_up()
+        else:
+            self.under_count = 0
+            if self.s_local_cv:
+                self.s_local_cv = False
+                self._retract_up()
+        self.pump()

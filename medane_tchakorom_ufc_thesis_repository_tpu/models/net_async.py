@@ -222,6 +222,14 @@ def net_async_block_solve(
       with none terminates.  Heuristic — can mis-terminate under
       pathological delay, which is exactly why the reference replaced
       it with Alg-5.15; kept for capability parity.
+    * ``'slcv'`` — the reference's FIRST protocol, the SLCV counter
+      machine (``conv_detection.c:6-196``): consecutive-under-threshold
+      counters (``sLocalCV``), spanning-tree ``sPartialCV``/``CancelCV``
+      with per-neighbor iteration filtering, ``globalCV`` gossip, and
+      the hold-longer-than-traversal termination guard
+      (``models.convergence.SlcvNode``).  Like 'traversal' it carries
+      no certificate and can mis-terminate under pathological delay —
+      the historical reason for Alg-5.15.
 
     ``schedule``: ``'async'`` (default — the AM/AMAM behavior above) or
     ``'sync'`` — BULK-SYNCHRONOUS rounds over the same sockets: every
@@ -239,17 +247,17 @@ def net_async_block_solve(
     Result is certified by construction (the identical-stack residual
     handshake IS the certificate).
     """
-    if termination not in ("protocol", "traversal"):
+    if termination not in ("protocol", "traversal", "slcv"):
         raise ValueError(f"unknown termination {termination!r}")
     if schedule not in ("async", "sync"):
         raise ValueError(f"unknown schedule {schedule!r}")
     if minimization not in (None, "local", "semi_local", "global"):
         raise ValueError(f"unknown minimization {minimization!r}")
-    if (minimization is not None and termination == "traversal"
+    if (minimization is not None and termination != "protocol"
             and schedule == "async"):
         raise ValueError(
             "minimization runs under termination='protocol' (the legacy "
-            "traversal guard predates the reference's AMAM drivers)"
+            "guards predate the reference's AMAM drivers)"
         )
     if minimization is not None and s < 1:
         # s <= 0 would make the cycle boundary unreachable: S_buf grows
@@ -516,6 +524,48 @@ def net_async_block_solve(
         final_state = converged
         phase_tag = 0
         certified, tail_rounds = None, 0   # legacy guard: no certificate
+    elif termination == "slcv":
+        # the reference's FIRST termination protocol
+        # (conv_detection.c:6-196): sLocalCV counters + spanning-tree
+        # sPartialCV/CancelCV + globalCV gossip + the
+        # hold-longer-than-traversal guard
+        # (asynchronous-multisplitting.c.save:307-329)
+        from medane_tchakorom_ufc_thesis_repository_tpu.models.convergence import (  # noqa: E501
+            SlcvNode,
+        )
+
+        snode = SlcvNode(rank, nb, transport,
+                         threshold_slcv=min_convergence_count)
+        max_traversal = max(0.05, max(transport.rtt(j) for j in peers))
+        ever: set = set()   # peers that have published at least once —
+        # the minimal soundness gate the legacy protocol lacks: without
+        # it a block "converges" its decoupled system before any peer
+        # iterate arrives (the repo-wide false-convergence invariant)
+        done = False
+        while sweeps < maxiter and not done:
+            ever |= set(drain_peers())
+            rhs = local_rhs(jnp.asarray(stack_np))
+            x, pre_norm = sweep(rhs, x)
+            sweeps += 1
+            xb = np.asarray(x)
+            for j in peers:
+                transport.send_data(j, sweeps, xb)
+            snode.step(
+                under_threshold=(float(pre_norm) <= tol_local
+                                 and ever == set(peers)))
+            # keep iterating while globalCV holds (the guard): any
+            # retraction gossip clears it and the hold restarts
+            if snode.global_cv and snode.held_for() > 2.0 * max_traversal:
+                done = True
+        # linger to serve the tree: a non-root that terminates first
+        # must keep forwarding gossip until peers observe their hold
+        linger = time.monotonic() + 2.0 * max_traversal + 0.5
+        while time.monotonic() < linger:
+            snode.pump()
+            time.sleep(0.005)
+        final_state = done
+        phase_tag = 0
+        certified, tail_rounds = None, 0   # legacy protocol: no certificate
     else:
         S_buf: list = []
         while node.state is not State.FINISHED and sweeps < maxiter:
@@ -623,7 +673,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-convergence-count", type=int, default=4)
     p.add_argument("--inner-maxiter", type=int, default=20)
     p.add_argument("--termination", default="protocol",
-                   choices=["protocol", "traversal"])
+                   choices=["protocol", "traversal", "slcv"])
     p.add_argument("--schedule", default="async",
                    choices=["async", "sync"],
                    help="async (AM/AMAM) or bulk-synchronous lockstep "

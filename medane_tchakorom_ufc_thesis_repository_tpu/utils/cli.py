@@ -165,10 +165,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "the C++ epoll router (native/src/comm.cpp); "
                         "auto prefers native when it builds")
     p.add_argument("--termination", default=None,
-                   choices=["protocol", "traversal"],
-                   help="net-async termination: Alg-5.15 protocol or the "
+                   choices=["protocol", "traversal", "slcv"],
+                   help="net-async termination: Alg-5.15 protocol, the "
                         "legacy 2x-traversal-time quiet-window guard "
-                        "(asynchronous-multisplitting.c.save:307-329)")
+                        "(asynchronous-multisplitting.c.save:307-329), or "
+                        "the legacy SLCV counter protocol "
+                        "(conv_detection.c:6-196)")
+    p.add_argument("--wan-latency-ms", type=float, default=0.0,
+                   dest="wan_latency_ms",
+                   help="net-async WAN emulation: one-way link latency "
+                        "(the reference's tc-qdisc study analog; see "
+                        "also utils.wan_study)")
+    p.add_argument("--wan-bw-mbit", type=float, default=0.0,
+                   dest="wan_bw_mbit",
+                   help="net-async WAN emulation: link bandwidth Mbit/s")
     p.add_argument("--multihost", type=int, default=None, metavar="NPROCS",
                    help="fan out NPROCS OS processes over jax.distributed "
                         "(the reference's mpiexec analog, iSolve:347-401); "
@@ -262,16 +272,24 @@ def run_net_async(args) -> dict:
 
     alg = args.alg or "AM"
     minim_map = {
-        "AM": None,
-        "AMAM_LOCAL": "local",
-        "AMAM_SEMI_LOCAL": "semi_local",
-        "AMAM_GLOBAL": "global",
+        "AM": (None, "async"),
+        "AMAM_LOCAL": ("local", "async"),
+        "AMAM_SEMI_LOCAL": ("semi_local", "async"),
+        "AMAM_GLOBAL": ("global", "async"),
+        # sync lockstep rounds over the same sockets (round 5): the
+        # sync baselines of the WAN study (utils.wan_study)
+        "SM": (None, "sync"),
+        "SMSM_LOCAL": ("local", "sync"),
+        "SMSM_SEMI_LOCAL": ("semi_local", "sync"),
+        "SMSM_GLOBAL": ("global", "sync"),
     }
     if alg not in minim_map:
         raise SystemExit(
-            "--net-async runs the async algorithms: AM | "
-            "AMAM_{LOCAL,SEMI_LOCAL,GLOBAL}"
+            "--net-async runs AM | AMAM_{LOCAL,SEMI_LOCAL,GLOBAL} "
+            "(async) or SM | SMSM_{LOCAL,SEMI_LOCAL,GLOBAL} (sync "
+            "lockstep over TCP)"
         )
+    minimization, schedule = minim_map[alg]
     m = args.m or 64
     n = args.n or 64
     results = launch_net_async(
@@ -282,8 +300,11 @@ def run_net_async(args) -> dict:
         dtype=args.dtype or "float64",
         termination=args.termination or "protocol",
         transport=args.transport or "auto",
-        minimization=minim_map[alg],
+        minimization=minimization,
         s=4 if args.s is None else args.s,
+        schedule=schedule,
+        wan_latency_ms=args.wan_latency_ms or 0.0,
+        wan_bw_mbit=args.wan_bw_mbit or 0.0,
     )
     import jax.numpy as jnp
 
@@ -349,7 +370,8 @@ def config_from_args(args) -> "RunConfig":
             {"config", "json", "profile_dir", "multihost",
              "devices_per_process", "stage_timers", "record_history",
              "net_async", "show_config", "np_flag", "npb_flag",
-             "transport", "termination", "flame"}
+             "transport", "termination", "flame",
+             "wan_latency_ms", "wan_bw_mbit"}
             | pb_keys
         )
     }
