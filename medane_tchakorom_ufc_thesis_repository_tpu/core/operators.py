@@ -290,7 +290,7 @@ class Stencil3D:
         size = nx * ny * nz
         return 7 * size - 2 * (nx * ny + ny * nz + nx * nz)
 
-    def mv(self, x):
+    def mv(self, x, in_place: bool = False):
         """Shape-polymorphic apply: accepts the flat ``(nx*ny*nz,)`` vector
         or the grid-shaped ``(nx, ny, nz)`` array and returns the same
         shape.  Grid-shaped callers avoid a real flat<->tiled relayout
@@ -312,7 +312,7 @@ class Stencil3D:
         g = x if x.ndim == 3 else x.reshape(nx, ny, nz)
         itemsize = jnp.dtype(g.dtype).itemsize
         if g.size * itemsize > _VMEM_RESIDENT_BYTES:
-            y = self._pallas_apply(g, (), "mv")
+            y = self._pallas_apply(g, (), "mv", in_place=in_place)
             if y is not None:
                 return y if x.ndim == 3 else y.reshape(-1)
             sl = _slab_planes(nx, ny * nz * itemsize)
@@ -420,7 +420,7 @@ class Stencil3D:
         return fused_pallas.pallas_enabled()
 
     def _pallas_apply(self, g, extras, kind, omega=None,
-                      out_dtype=None):
+                      out_dtype=None, in_place=False):
         """Route an HBM-scale GRID-SHAPED apply through the Mosaic
         stencil kernel when the environment compiles it and the shape
         meets the DMA alignment (``ny`` divisible by the dtype's
@@ -437,7 +437,7 @@ class Stencil3D:
         return stencil_pallas.stencil3d_apply_pallas(
             g, *extras, nx=self.nx, ny=self.ny, nz=self.nz,
             diag=self.diag, off=self.off, kind=kind, omega=omega,
-            out_dtype=out_dtype,
+            out_dtype=out_dtype, in_place=in_place,
         )
 
     def _fused_apply(self, x, extras, epilogue):
@@ -458,7 +458,8 @@ class Stencil3D:
         y = epilogue(g, self.mv(g), *ex)
         return y if x.ndim == 3 else y.reshape(-1)
 
-    def jacobi_sweep(self, x, b, omega, out_dtype=None):
+    def jacobi_sweep(self, x, b, omega, out_dtype=None,
+                     in_place: bool = False):
         """One damped-Jacobi smoothing sweep ``x + omega * (b - A x)``
         with the update fused into the stencil pass (Pallas kernel or
         slab epilogue — saves ~2 full memory passes per sweep at HBM
@@ -471,7 +472,7 @@ class Stencil3D:
         the fallbacks cast after (XLA fuses the cast into its epilogue
         pass, so values match either way)."""
         y = self._pallas_fused(x, (b,), "jacobi", omega,
-                               out_dtype=out_dtype)
+                               out_dtype=out_dtype, in_place=in_place)
         if y is not None:
             return y
         w = jnp.asarray(omega, x.dtype)
@@ -516,7 +517,8 @@ class Stencil3D:
             pn, ap = pn.reshape(z.shape), ap.reshape(z.shape)
         return pn, ap, dot
 
-    def jacobi_sweep_dot(self, x, b, omega, out_dtype=None):
+    def jacobi_sweep_dot(self, x, b, omega, out_dtype=None,
+                         in_place: bool = False):
         """``(x', b · x')`` with ``x' = x + omega (b - A x)`` — the
         damped-Jacobi sweep plus the dot of the result against the RHS,
         accumulated on-core by the Pallas 'jacobi_dot' kind.  This is
@@ -536,7 +538,8 @@ class Stencil3D:
                 w = None
             if w is not None:
                 out = self._pallas_apply(g, (gb,), "jacobi_dot", w,
-                                         out_dtype=out_dtype)
+                                         out_dtype=out_dtype,
+                                         in_place=in_place)
                 if out is not None:
                     y, dot = out
                     return (y if x.ndim == 3 else y.reshape(x.shape),
@@ -651,7 +654,7 @@ class Stencil3D:
         )
 
     def _pallas_fused(self, x, extras, kind, omega=None,
-                      out_dtype=None):
+                      out_dtype=None, in_place=False):
         """Pallas route for the fused epilogues; the STATIC-omega
         requirement (it compiles into the kernel) falls back to the
         slab epilogue when omega arrives as a traced value."""
@@ -666,7 +669,8 @@ class Stencil3D:
                 return None
         ex = tuple(e if e.ndim == 3 else e.reshape(nx, ny, nz)
                    for e in extras)
-        y = self._pallas_apply(g, ex, kind, omega, out_dtype=out_dtype)
+        y = self._pallas_apply(g, ex, kind, omega, out_dtype=out_dtype,
+                               in_place=in_place)
         if y is None:
             return None
         return y if x.ndim == 3 else y.reshape(x.shape)

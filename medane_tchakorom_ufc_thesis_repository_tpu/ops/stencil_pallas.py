@@ -105,29 +105,41 @@ def window_copy(x_hbm, win, sems, t, tile_r, halo_r, nprog):
     return body, top, bot
 
 
-def issue_window(x_hbm, win, sems, t, tile_r, halo_r, nprog):
+def issue_window(x_hbm, win, sems, t, tile_r, halo_r, nprog,
+                 vmem_top: bool = False):
+    """``vmem_top``: skip the top-halo HBM DMA — the caller sources it
+    from the PREVIOUS window slot's last body rows (they are the same x
+    rows, already resident).  Saves one halo plane of read traffic per
+    tile AND removes the only read-after-write hazard of running the
+    kernel IN-PLACE (``input_output_aliases``): the output write of
+    tile ``t`` overlaps exactly the top halo of window ``t+1``."""
     body, top, bot = window_copy(x_hbm, win, sems, t, tile_r, halo_r, nprog)
     body().start()
 
-    @pl.when(t > 0)
-    def _():
-        top().start()
+    if not vmem_top:
+        @pl.when(t > 0)
+        def _():
+            top().start()
 
     @pl.when(t < nprog - 1)
     def _():
         bot().start()
 
 
-def wait_window(x_hbm, win, sems, t, tile_r, halo_r, nprog):
+def wait_window(x_hbm, win, sems, t, tile_r, halo_r, nprog,
+                vmem_top: bool = False):
     """Wait for ``issue_window(t)``'s copies; zero-fill the halo blocks
-    edge tiles don't receive."""
+    edge tiles don't receive.  With ``vmem_top`` the top halo arrives by
+    a VMEM copy issued by the PREVIOUS grid step (see ``issue_window``),
+    so only body+bottom are waited."""
     s = _slot(t)
     body, top, bot = window_copy(x_hbm, win, sems, t, tile_r, halo_r, nprog)
     body().wait()
 
-    @pl.when(t > 0)
-    def _():
-        top().wait()
+    if not vmem_top:
+        @pl.when(t > 0)
+        def _():
+            top().wait()
 
     @pl.when(t == 0)
     def _():
@@ -142,6 +154,18 @@ def wait_window(x_hbm, win, sems, t, tile_r, halo_r, nprog):
     def _():
         win[s, pl.ds(halo_r + tile_r, halo_r), :] = jnp.zeros(
             (halo_r, win.shape[2]), win.dtype)
+
+
+def copy_top_from_prev(win, t, tile_r, halo_r, nprog):
+    """VMEM-source window ``t+1``'s top halo: the last ``halo_r`` body
+    rows of window ``t``'s slot ARE those x rows.  Must run at grid step
+    ``t`` (slot ``t``'s body already waited; window ``t+2``'s DMA into
+    that slot not yet issued)."""
+    @pl.when(t + 1 < nprog)
+    def _():
+        s = _slot(t)
+        sn = _slot(t + 1)
+        win[sn, pl.ds(0, halo_r), :] = win[s, pl.ds(tile_r, halo_r), :]
 
 
 def pipelined_window(x_hbm, win, sems, i, tile_r, halo_r, nprog):
@@ -332,17 +356,22 @@ def _kernel3d(x_hbm, *rest, tile_m, ny, nz, diag, off, kind, omega):
 
     @pl.when(i == 0)
     def _():
-        issue_window(x_hbm, win, sems, 0, r, ny, nprog)
+        issue_window(x_hbm, win, sems, 0, r, ny, nprog, vmem_top=True)
         if has_extra:
             extra_copy(e_hbm, ebuf, esems, 0, r, ny).start()
 
     @pl.when(i + 1 < nprog)
     def _():
-        issue_window(x_hbm, win, sems, i + 1, r, ny, nprog)
+        issue_window(x_hbm, win, sems, i + 1, r, ny, nprog,
+                     vmem_top=True)
         if has_extra:
             extra_copy(e_hbm, ebuf, esems, i + 1, r, ny).start()
 
-    wait_window(x_hbm, win, sems, i, r, ny, nprog)
+    wait_window(x_hbm, win, sems, i, r, ny, nprog, vmem_top=True)
+    # source window i+1's top halo from this slot's last body plane
+    # (same x rows, already resident — and the in-place hazard fix,
+    # see issue_window)
+    copy_top_from_prev(win, i, r, ny, nprog)
     if has_extra:
         extra_copy(e_hbm, ebuf, esems, i, r, ny).wait()
 
@@ -408,11 +437,12 @@ def sublane_granularity(dtype) -> int:
 
 @partial(jax.jit, static_argnames=("nx", "ny", "nz", "diag", "off",
                                    "tile_m", "kind", "omega",
-                                   "out_dtype"))
+                                   "out_dtype", "in_place"))
 def stencil3d_apply_pallas(
     x: jax.Array, *extras, nx: int, ny: int, nz: int,
     diag: float = 6.0, off: float = -1.0, tile_m: int = 0,
     kind: str = "mv", omega: float | None = None, out_dtype=None,
+    in_place: bool = False,
 ) -> jax.Array:
     """3D 7-point stencil apply with optional fused epilogue.
 
@@ -427,6 +457,18 @@ def stencil3d_apply_pallas(
     free — it removes the separate cast pass at a precision boundary
     (e.g. the bf16 MG cycle's correction returned to the f32 CG loop).
     Extras may also differ in dtype from ``x`` for the same reason.
+
+    ``in_place``: alias the output onto ``x``'s buffer
+    (``input_output_aliases``).  Round-5 finding: in a chained loop
+    (the smoother sweeps, the bench's SpMV chain), XLA materializes a
+    whole-array COPY per iteration to feed the loop carry — 1.56 ms of
+    the 3.28 ms chained 512³ apply.  Aliasing removes it when the
+    caller's ``x`` dies at the call; when ``x`` stays live, XLA inserts
+    the protective copy again (donation semantics), so pass it only at
+    call sites where the input is dead.  Safe in-place execution is
+    guaranteed by the VMEM-sourced top halo (``copy_top_from_prev``) —
+    the output write of tile ``t`` otherwise races the top-halo read of
+    window ``t+1``.  Requires ``out_dtype == x.dtype``.
 
     Shape-polymorphic like ``Stencil3D.mv`` (see the 2D twin's note on
     layout bitcasts: pass GRID-shaped ``(nx, ny, nz)`` state in hot
@@ -467,6 +509,9 @@ def stencil3d_apply_pallas(
                                   memory_space=pltpu.VMEM)]
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+    if in_place and odt != x.dtype:
+        in_place = False   # aliasing needs matching buffers; the
+        #                    precision-boundary sweeps keep the copy
     out = pl.pallas_call(
         partial(_kernel3d, tile_m=tile_m, ny=ny, nz=nz, diag=diag,
                 off=off, kind=kind, omega=omega),
@@ -476,6 +521,7 @@ def stencil3d_apply_pallas(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
+        input_output_aliases={0: 0} if in_place else {},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(xg, *eg)

@@ -243,7 +243,7 @@ class TestTwoProcessAMAM:
             net_async_block_solve,
         )
 
-        with pytest.raises(ValueError, match="traversal"):
+        with pytest.raises(ValueError, match="protocol"):
             net_async_block_solve(
                 None, None, 0, None, termination="traversal",
                 minimization="global",
