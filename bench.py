@@ -206,12 +206,18 @@ def main():
     aij_roofline_x = dt_aij / (aij.nnz * 8 / 819e9)
 
     # --- secondary: SMSM_GLOBAL solve of 3D Poisson to 1e-5 -------------
+    # Round-5 flagship tuning: the inner GMRES spent its time in
+    # orthogonalization + Givens on VMEM-small strips; a CHEBYSHEV
+    # inner (analytic Dirichlet strip bounds, pure matvec chain — no
+    # dots, no Givens) measured 0.267 -> 0.071 s at identical outer
+    # convergence (48 vs 40 sweeps, rel 8.6e-6).  Sweep: cheby(12/20/30)
+    # 0.069/0.071/0.072 s, gmres(15,1e-4) 0.147, cg(15) 0.074.
     sop = blockops.block_poisson3d(64, 64, 64)
     b = blockops.rhs_ones(sop, jnp.float32)
     solve = jax.jit(
         lambda bb: ms.smsm(
             sop, bb, scope="global", s=4, rtol=1e-5, maxiter=400,
-            inner=ms.InnerConfig(restart=30, maxiter=30, rtol=1e-8),
+            inner=ms.InnerConfig(method="chebyshev", maxiter=20),
         )
     )
     res = solve(b)  # compile + run
@@ -225,6 +231,19 @@ def main():
         jnp.linalg.norm(b.reshape(-1) - sop.global_mv(res.x.reshape(-1)))
         / res.rnorm0
     )
+    # continuity metric: the round-1..4 gmres-inner config
+    solve_g = jax.jit(
+        lambda bb: ms.smsm(
+            sop, bb, scope="global", s=4, rtol=1e-5, maxiter=400,
+            inner=ms.InnerConfig(restart=30, maxiter=30, rtol=1e-8),
+        )
+    )
+    res_g = solve_g(b)
+    _fence(res_g.x)
+    t0 = time.perf_counter()
+    res_g = solve_g(b2)
+    _fence(res_g.x)
+    solve_gmres_s = time.perf_counter() - t0
 
     # --- secondary: GMRES baseline on the same 3D system ----------------
     from medane_tchakorom_ufc_thesis_repository_tpu.solvers import gmres
@@ -432,6 +451,8 @@ def main():
         "aij_values_read_roofline_x": round(aij_roofline_x, 1),
         "aij_fill": round(aij.fill, 2),
         "smsm_global_3d_64_solve_s": round(solve_s, 3),
+        "smsm_global_3d_64_inner": "chebyshev(20)",
+        "smsm_global_3d_64_gmres_inner_s": round(solve_gmres_s, 3),
         "smsm_global_3d_64_sweeps": int(res.sweeps),
         "smsm_global_3d_64_rel_residual": f"{rel:.2e}",
         "smsm_global_3d_64_converged": bool(res.converged),

@@ -1063,12 +1063,13 @@ class AIJSegment:
     tile0: int
     ntiles: int
     a_y: int
+    wide: bool = False
 
 
 _register(AIJSegment,
           ["chunk_ids", "k1_idx", "k2_idx", "k3_idx", "vals", "y_tile",
            "yp_r2", "yp_mid", "yp_r1"],
-          ["a", "tile0", "ntiles", "a_y"])
+          ["a", "tile0", "ntiles", "a_y", "wide"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -1133,6 +1134,7 @@ class AIJ:
                     yp_mid=jnp.asarray(s.yp_mid),
                     yp_r1=jnp.asarray(s.yp_r1),
                     a=s.a, tile0=s.tile0, ntiles=s.ntiles, a_y=s.a_y,
+                    wide=s.wide,
                 ) for s in plan.segments
             )
 

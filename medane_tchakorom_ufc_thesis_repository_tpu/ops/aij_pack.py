@@ -52,10 +52,32 @@ logger = logging.getLogger(__name__)
 BLOCK = 1024  # elements per routed block = one (8, 128) f32 tile
 
 
+def to_wide(arr: np.ndarray, a: int) -> np.ndarray:
+    """Narrow block layout -> 8-block-wide super-step layout.
+
+    Narrow: row ``b*8 + i``, lane ``l`` (one (8, 128) tile per block).
+    Wide: row ``(b//8)*8 + i``, lane ``(b%8)*128 + l`` — 8 blocks side
+    by side in the lanes of one (8, 1024) tile, so the Mosaic sublane
+    gather (axis=0, ANY width — probe-verified) serves all 8 blocks in
+    ONE op.  Requires ``a % 8 == 0``."""
+    nsb = a // 8
+    return (arr.reshape(nsb, 8, 8, 128).transpose(0, 2, 1, 3)
+            .reshape(a, 1024))
+
+
+def to_narrow(arr: np.ndarray, a: int) -> np.ndarray:
+    nsb = a // 8
+    return (arr.reshape(nsb, 8, 8, 128).transpose(0, 2, 1, 3)
+            .reshape(a * 8, 128))
+
+
 @dataclasses.dataclass(frozen=True)
 class SegmentPlan:
     """Static routing program for one row segment (numpy; the AIJ
-    operator ships these to the device once)."""
+    operator ships these to the device once).  When ``wide`` is set the
+    k1/k2/k3 index maps and ``vals`` are stored in the 8-block-wide
+    layout (``to_wide``) consumed by the wide kernels; the numpy/jnp
+    reference paths convert back via ``to_narrow``."""
 
     a: int              # routed blocks per side (power of two, <= 1024)
     tile0: int          # first 1024-row output tile (global index)
@@ -72,6 +94,7 @@ class SegmentPlan:
     yp_r2: np.ndarray       # (a_y*8, 128) int32 packed A∘B∘A
     yp_mid: np.ndarray      # (a_y*8, 128) int32
     yp_r1: np.ndarray       # (a_y*8, 128) int32
+    wide: bool = False      # k1/k2/k3/vals in the 8-block-wide layout
 
 
 @dataclasses.dataclass(frozen=True)
@@ -319,12 +342,20 @@ def _pack_segment(rows, cols, vals, tile0, ntiles, dtype):
     yp_mid = _pack_aba(*ymid).reshape(a_y * 8, 128)
     yp_r1 = _pack_aba(*yr1).reshape(a_y * 8, 128)
 
+    wide = a % 8 == 0
+    if wide:
+        k1_idx = to_wide(k1_idx, a)
+        k2_idx = to_wide(k2_idx, a)
+        k3_idx = to_wide(k3_idx, a)
+        vals_ell = to_wide(vals_ell, a)
+
     return SegmentPlan(
         a=a, tile0=int(tile0), ntiles=int(ntiles),
         chunk_ids=chunk_ids, k1_idx=k1_idx, k2_idx=k2_idx,
         k3_idx=k3_idx, vals=vals_ell,
         y_tile=y_tile.astype(np.int32),
         a_y=a_y, yp_r2=yp_r2, yp_mid=yp_mid, yp_r1=yp_r1,
+        wide=wide,
     )
 
 
@@ -479,18 +510,22 @@ def aij_mv_np(plan: AIJPlan, x: np.ndarray) -> np.ndarray:
     y = np.zeros(BLOCK * max(1, -(-nrows // BLOCK)), np.float64)
     for seg in plan.segments:
         a = seg.a
+        k1i, k2i, k3i, vl = seg.k1_idx, seg.k2_idx, seg.k3_idx, seg.vals
+        if seg.wide:
+            k1i, k2i, k3i = (to_narrow(k1i, a), to_narrow(k2i, a),
+                             to_narrow(k3i, a))
+            vl = to_narrow(vl, a)
         chunks = xc[seg.chunk_ids]                       # (a, 8, 128)
-        c1, c2, cA1, cB, cA2 = _unpack_k1(
-            seg.k1_idx.reshape(a, 8, 128))
+        c1, c2, cA1, cB, cA2 = _unpack_k1(k1i.reshape(a, 8, 128))
         t = np.take_along_axis(chunks, c1, axis=1)
         g = np.take_along_axis(t, c2, axis=2)
         g = _aba_np(g, cA1, cB, cA2)                     # K1 out (t1)
         h = g.reshape(a, BLOCK).T.reshape(a, 8, 128)     # D
-        h = _aba_np(h, *_unpack_aba(seg.k2_idx.reshape(a, 8, 128)))
+        h = _aba_np(h, *_unpack_aba(k2i.reshape(a, 8, 128)))
         h = h.reshape(BLOCK, a).T.reshape(a, 8, 128)     # D^-1
-        o = _aba_np(h, *_unpack_aba(seg.k3_idx.reshape(a, 8, 128)))
+        o = _aba_np(h, *_unpack_aba(k3i.reshape(a, 8, 128)))
         contrib = (o.astype(np.float64)
-                   * seg.vals.reshape(a, 8, 128).astype(np.float64))
+                   * vl.reshape(a, 8, 128).astype(np.float64))
         tiles = np.zeros((seg.ntiles + 1, 8, 128), np.float64)
         np.add.at(tiles, seg.y_tile, contrib)
         # routed y-unpermute (undo the degree-sort row permutation)
@@ -525,19 +560,31 @@ def aij_mv_jnp(segments, n_pad_cols: int, nrows: int, x):
         return jnp.take_along_axis(u, cA2, axis=1)
 
     parts = []
+    def nrw(arr, a, wide):
+        if not wide:
+            return arr
+        nsb = a // 8
+        return (arr.reshape(nsb, 8, 8, 128).transpose(0, 2, 1, 3)
+                .reshape(a * 8, 128))
+
     for seg in segments:
         a = int(seg.a)
+        wide = bool(getattr(seg, "wide", False))
         ntiles = int(seg.ntiles)
+        k1i = nrw(seg.k1_idx, a, wide)
+        k2i = nrw(seg.k2_idx, a, wide)
+        k3i = nrw(seg.k3_idx, a, wide)
+        vl = nrw(seg.vals, a, wide)
         chunks = jnp.take(xc, seg.chunk_ids, axis=0)
-        c1, c2, cA1, cB, cA2 = _unpack_k1(seg.k1_idx.reshape(a, 8, 128))
+        c1, c2, cA1, cB, cA2 = _unpack_k1(k1i.reshape(a, 8, 128))
         t = jnp.take_along_axis(chunks, c1, axis=1)
         g = jnp.take_along_axis(t, c2, axis=2)
         g = aba(g, cA1, cB, cA2)
         h = g.reshape(a, BLOCK).T.reshape(a, 8, 128)
-        h = aba(h, *_unpack_aba(seg.k2_idx.reshape(a, 8, 128)))
+        h = aba(h, *_unpack_aba(k2i.reshape(a, 8, 128)))
         h = h.reshape(BLOCK, a).T.reshape(a, 8, 128)
-        o = aba(h, *_unpack_aba(seg.k3_idx.reshape(a, 8, 128)))
-        contrib = o * seg.vals.reshape(a, 8, 128)
+        o = aba(h, *_unpack_aba(k3i.reshape(a, 8, 128)))
+        contrib = o * vl.reshape(a, 8, 128)
         tiles = jax.ops.segment_sum(
             contrib, seg.y_tile, num_segments=ntiles + 1)
         ay = int(seg.a_y)
