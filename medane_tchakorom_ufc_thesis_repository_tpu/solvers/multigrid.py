@@ -246,15 +246,17 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0,
     # jacobi_sweep/residual fuse the elementwise update into the
     # stencil's slab loop at HBM scale (~2 memory passes saved per
     # sweep; identical values — below the cutoff XLA fuses anyway)
-    # smoother sweeps consume their iterate: run the Pallas kernel
-    # IN-PLACE (input_output_aliases) so the chained loop never pays
-    # XLA's per-iteration carry copy (round 5: 1.56 ms of each 3.28 ms
-    # chained 512^3 apply was that copy)
-    _js = getattr(A, "jacobi_sweep", None)
-    if _js is not None:
-        smooth = lambda x_, b_, w: _js(x_, b_, w, in_place=True)  # noqa: E731,E501
-    else:
-        smooth = lambda x_, b_, w: x_ + w * (b_ - A.mv(x_))  # noqa: E731
+    # NOTE (round-5 negative result): routing the smoother sweeps
+    # through the IN-PLACE kernel here measured SLOWER (W-cycle 9.9 ->
+    # 17.2 ms) and OOM'd the 512^3 fused north-star.  The XLA carry
+    # copy that in_place eliminates is a PALLAS-OUTPUT-INTO-LOOP-CARRY
+    # phenomenon; the cycle is UNROLLED (no loop carries), so aliasing
+    # had nothing to win and made buffer assignment strictly harder
+    # (protective copies + extra live buffers).  in_place stays for
+    # genuine chained loops (bench's chained-SpMV; user smoother
+    # iterations driven through fori_loop).
+    smooth = getattr(A, "jacobi_sweep",
+                     lambda x_, b_, w: x_ + w * (b_ - A.mv(x_)))
     resid = getattr(A, "residual", lambda x_, b_: b_ - A.mv(x_))
     needs_cast = (cast_dtype is not None
                   and b.dtype != jnp.dtype(cast_dtype))
@@ -334,11 +336,9 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0,
         if rdot:
             jsd = getattr(A, "jacobi_sweep_dot", None)
             if jsd is not None:
-                return jsd(x, b, omega, out_dtype=out_dtype,
-                           in_place=True)
-            return js(x, b, omega, out_dtype=out_dtype,
-                      in_place=True), None
-        return js(x, b, omega, out_dtype=out_dtype, in_place=True)
+                return jsd(x, b, omega, out_dtype=out_dtype)
+            return js(x, b, omega, out_dtype=out_dtype), None
+        return js(x, b, omega, out_dtype=out_dtype)
     for _ in range(post):
         x = smooth(x, b, omega)
     x = x if out_dtype is None else x.astype(out_dtype)

@@ -144,7 +144,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(I_Solver/Exchange/O_Solver/Convergence — the "
                         "PetscLog-stage analog; stacked backend)")
     p.add_argument("--flame", default=None, metavar="PATH", dest="flame",
-                   help="write the stage timers as a flamegraph-style "
+                   help="write the stage timers: .html flamegraph, "
+                        ".txt folded stacks, .xml nested-timer report "
+                        "with companion XSL (-log_view ::ascii_xml "
+                        "analog); otherwise a flamegraph-style "
                         "HTML artifact (the performance_xml2html.xsl / "
                         "-log_view ::ascii_flamegraph analog); implies "
                         "--stage-timers for .html, or folded-stack text "
@@ -1087,17 +1090,28 @@ def main(argv=None) -> int:
         from medane_tchakorom_ufc_thesis_repository_tpu.utils.report import (
             folded,
             render_flamegraph,
+            render_xml,
+            render_xml_stylesheet,
         )
 
         items = pt.items()
+        title = f"{cfg.alg} {result.get('grid', '')} stage timers"
         with open(args.flame, "w") as f:
             if args.flame.endswith(".txt"):
                 f.write(folded(items))
+            elif args.flame.endswith(".xml"):
+                # -log_view ::ascii_xml analog: nested-timer XML + the
+                # companion XSL next to it (performance_xml2html parity)
+                f.write(render_xml(items, title=title))
+                import os as _os
+
+                xsl = _os.path.join(
+                    _os.path.dirname(_os.path.abspath(args.flame)),
+                    "performance_xml2html.xsl")
+                with open(xsl, "w") as g:
+                    g.write(render_xml_stylesheet())
             else:
-                f.write(render_flamegraph(
-                    items,
-                    title=f"{cfg.alg} {result.get('grid', '')} stage timers",
-                ))
+                f.write(render_flamegraph(items, title=title))
         print(f"wrote {args.flame}", file=sys.stderr)
 
     if args.json:

@@ -183,6 +183,90 @@ total wall time (PetscLog-stage analog; hover for exact numbers)</p>
 """
 
 
+def render_xml(items, title: str = "stage timers") -> str:
+    """PhaseTimer items -> nested-timer XML, the ``-log_view
+    ::ascii_xml`` analog (the report the reference renders with
+    ``performance_xml2html.xsl``): a ``<root>`` with recursively nested
+    ``<event>`` entries carrying name / time / ncalls / percent of
+    total.  '/'-separated phase names nest.  Pairs with
+    ``render_xml_stylesheet`` — write it next to the XML and the
+    ``<?xml-stylesheet?>`` header renders the report in a browser."""
+    tree: Dict = {}
+    for name, secs, calls in items:
+        node = tree
+        for seg in name.split("/"):
+            node = node.setdefault(seg, {"_t": 0.0, "_c": 0, "_kids": {}})
+            node["_t"] += secs
+            node["_c"] += calls
+            node = node["_kids"]
+    total = sum(v["_t"] for v in tree.values()) or 1.0
+
+    def emit(level: Dict, depth: int) -> List[str]:
+        pad = "  " * depth
+        out = []
+        for seg, v in level.items():
+            out.append(
+                f"{pad}<event>\n"
+                f"{pad}  <name>{html.escape(seg)}</name>\n"
+                f"{pad}  <time>{v['_t']:.6f}</time>\n"
+                f"{pad}  <ncalls>{v['_c']}</ncalls>\n"
+                f"{pad}  <percent>{100.0 * v['_t'] / total:.2f}</percent>"
+            )
+            kids = emit(v["_kids"], depth + 2)
+            if kids:
+                out.append(f"{pad}  <events>")
+                out.extend(kids)
+                out.append(f"{pad}  </events>")
+            out.append(f"{pad}</event>")
+        return out
+
+    body = "\n".join(emit(tree, 1))
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<?xml-stylesheet type="text/xsl" href="performance_xml2html.xsl"?>\n'
+        f"<root>\n  <title>{html.escape(title)}</title>\n"
+        f"  <totaltime>{total:.6f}</totaltime>\n"
+        f"{body}\n</root>\n"
+    )
+
+
+def render_xml_stylesheet() -> str:
+    """Companion XSLT turning ``render_xml`` output into an HTML table
+    (our own small analog of the reference's third-party
+    ``performance_xml2html.xsl`` — written from scratch for this
+    format, not copied)."""
+    return """<?xml version="1.0" encoding="UTF-8"?>
+<xsl:stylesheet version="1.0"
+    xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+<xsl:template match="/root">
+<html><head><title><xsl:value-of select="title"/></title>
+<style>
+body { font: 14px system-ui, sans-serif; margin: 2em; }
+table { border-collapse: collapse; }
+th, td { border: 1px solid #ccc; padding: 3px 10px; text-align: right; }
+td.n { text-align: left; }
+</style></head><body>
+<h1><xsl:value-of select="title"/></h1>
+<p>total <xsl:value-of select="totaltime"/> s</p>
+<table><tr><th>stage</th><th>time s</th><th>calls</th><th>%</th></tr>
+<xsl:apply-templates select="event"/>
+</table></body></html>
+</xsl:template>
+<xsl:template match="event">
+<tr>
+<td class="n"><xsl:attribute name="style">padding-left: <xsl:value-of
+  select="count(ancestor::event)*18 + 10"/>px</xsl:attribute>
+<xsl:value-of select="name"/></td>
+<td><xsl:value-of select="time"/></td>
+<td><xsl:value-of select="ncalls"/></td>
+<td><xsl:value-of select="percent"/></td>
+</tr>
+<xsl:apply-templates select="events/event"/>
+</xsl:template>
+</xsl:stylesheet>
+"""
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="report")
     p.add_argument("jsonl", help="bulk-run JSONL log")
