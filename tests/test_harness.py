@@ -94,6 +94,31 @@ class TestFlamegraph:
         out.write_text(html_text)
         assert out.stat().st_size > 1000
 
+    def test_xml_artifact(self, tmp_path):
+        """-log_view ::ascii_xml analog: nested-timer XML + the
+        companion XSL validate and carry the stage tree."""
+        import xml.etree.ElementTree as ET
+
+        from medane_tchakorom_ufc_thesis_repository_tpu.utils.report import (
+            render_xml,
+            render_xml_stylesheet,
+        )
+
+        xml_text = render_xml(self.ITEMS, title="t")
+        root = ET.fromstring(xml_text)
+        assert root.tag == "root"
+        names = [e.findtext("name") for e in root.iter("event")]
+        assert "Loading" in names and "Exchange" in names
+        # nesting: Exchange is a child event of I_Solver
+        isolver = [e for e in root.iter("event")
+                   if e.findtext("name") == "I_Solver"][0]
+        kids = [e.findtext("name")
+                for e in isolver.findall("events/event")]
+        assert kids == ["Exchange"]
+        assert abs(float(root.findtext("totaltime")) - 2.6) < 1e-9
+        # the stylesheet is well-formed XML too
+        ET.fromstring(render_xml_stylesheet())
+
     def test_cli_flame_flag(self, tmp_path):
         from medane_tchakorom_ufc_thesis_repository_tpu.utils import cli
 
