@@ -115,7 +115,9 @@ class TestFlamegraph:
         kids = [e.findtext("name")
                 for e in isolver.findall("events/event")]
         assert kids == ["Exchange"]
-        assert abs(float(root.findtext("totaltime")) - 2.6) < 1e-9
+        # child stage times accumulate into their parents (same
+        # convention as render_flamegraph): 0.5 + (2.0+0.4) + 0.1
+        assert abs(float(root.findtext("totaltime")) - 3.0) < 1e-9
         # the stylesheet is well-formed XML too
         ET.fromstring(render_xml_stylesheet())
 
