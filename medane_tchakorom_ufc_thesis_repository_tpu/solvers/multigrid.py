@@ -247,14 +247,14 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0,
     # stencil's slab loop at HBM scale (~2 memory passes saved per
     # sweep; identical values — below the cutoff XLA fuses anyway)
     # NOTE (round-5 negative result): routing the smoother sweeps
-    # through the IN-PLACE kernel here measured SLOWER (W-cycle 9.9 ->
-    # 17.2 ms) and OOM'd the 512^3 fused north-star.  The XLA carry
-    # copy that in_place eliminates is a PALLAS-OUTPUT-INTO-LOOP-CARRY
+    # through the IN-PLACE kernel here measured SLOWER (W-cycle chain
+    # ~15.7 vs ~11.5 ms/cycle equivalent).  The XLA carry copy that
+    # in_place eliminates is a PALLAS-OUTPUT-INTO-LOOP-CARRY
     # phenomenon; the cycle is UNROLLED (no loop carries), so aliasing
     # had nothing to win and made buffer assignment strictly harder
-    # (protective copies + extra live buffers).  in_place stays for
-    # genuine chained loops (bench's chained-SpMV; user smoother
-    # iterations driven through fori_loop).
+    # (protective copies where liveness analysis is conservative).
+    # in_place stays for genuine chained loops (bench's chained-SpMV;
+    # user smoother iterations driven through fori_loop).
     smooth = getattr(A, "jacobi_sweep",
                      lambda x_, b_, w: x_ + w * (b_ - A.mv(x_)))
     resid = getattr(A, "residual", lambda x_, b_: b_ - A.mv(x_))
