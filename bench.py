@@ -386,23 +386,39 @@ def main():
     # tolerance saves ~1 PCG iteration/pass — 512^3 0.62 -> 0.556 s
     # measured.  3e-4 tips to 3 passes (0.70 s) and 64^3 prefers 1e-5
     # (margin thins to 2x) — both measured, don't "simplify" to one value.
+    # Degraded-compile guard (round 5): under load, the remote compile
+    # service occasionally returns a DE-OPTIMIZED binary for a large
+    # program (measured: the identical 512^3 program at 16-29 s steady
+    # vs 0.31 s from a fresh compile minutes later) — and the server
+    # compile cache can then serve that bad binary to every process.
+    # Retry with a harmlessly perturbed STATIC arg (max_passes 6 -> 7:
+    # same executed work, different program hash -> fresh compile) when
+    # the steady-state time is implausible, and keep the best.
+    def _northstar_guarded(opx, b_df, floor_s):
+        best_t, best_r = None, None
+        for mp in (6, 7):
+            df_northstar_fused(opx, b_df, rtol=1e-8, inner_rtol=1e-4,
+                               max_passes=mp)  # compile
+            t, r = _best_of(
+                lambda: df_northstar_fused(opx, b_df, rtol=1e-8,
+                                           inner_rtol=1e-4,
+                                           max_passes=mp))
+            if best_t is None or t < best_t:
+                best_t, best_r = t, r
+            if t <= floor_s:
+                break
+        return best_t, best_r
+
     b256hi = op.mv(jnp.ones((nx, ny, nz), jnp.float32))  # exact (integers)
     b256_df = (b256hi, jnp.zeros_like(b256hi))
-    df_northstar_fused(op, b256_df, rtol=1e-8, inner_rtol=1e-4)  # compile
-    refine256_s, rres256 = _best_of(
-        lambda: df_northstar_fused(op, b256_df, rtol=1e-8, inner_rtol=1e-4)
-    )
+    refine256_s, rres256 = _northstar_guarded(op, b256_df, 0.4)
 
     # --- HBM-scale north-star: 3D 512^3 (134M unknowns) to 1e-8 ---------
     # same fused recipe at 8x the state (537 MB/array, slab-routed
     # stencil applies); ~5 GB peak of the chip's 16 GB HBM
     b512hi = op512.mv(jnp.ones((512, 512, 512), jnp.float32))
     b512_df = (b512hi, jnp.zeros_like(b512hi))
-    df_northstar_fused(op512, b512_df, rtol=1e-8, inner_rtol=1e-4)  # compile
-    refine512_s, rres512 = _best_of(
-        lambda: df_northstar_fused(op512, b512_df, rtol=1e-8,
-                                   inner_rtol=1e-4)
-    )
+    refine512_s, rres512 = _northstar_guarded(op512, b512_df, 1.2)
 
     # measured CPU reference on this host: scipy CSR SpMV (the PETSc-AIJ
     # class of kernel the reference runs), single thread
