@@ -57,8 +57,9 @@ __all__ = [
 #     gather-ELL at every density tested up to this size; above it the
 #     n^2 storage dominates — 64 MB f32 at the cutoff)
 #   * aij_relative_cost: Clos-routed AIJ SpMV per-nonzero cost relative
-#     to the slice paths (round-5 on-chip measurement at n=65536 d=10
-#     random structureless, chained-slope).  Pattern-independent by
+#     to the slice paths (round-5 on-chip, wide 8-block kernels:
+#     0.071 ms at n=65536 d=10 random structureless = 11.1x the
+#     values-read roofline, chained-slope).  Pattern-independent by
 #     construction — replaces ell_relative_cost as the unstructured
 #     routing bar (gather-ELL is retired from routing; its constant is
 #     kept for the format table and tests).
@@ -66,7 +67,7 @@ SHIPPED = {
     "bsr_bs_penalty": {8: 8.0, 16: 1.3, 32: 1.5, 64: 3.0, 128: 1.0,
                        256: 2.5},
     "ell_relative_cost": 1950.0,
-    "aij_relative_cost": 95.0,
+    "aij_relative_cost": 12.0,
     "max_dense_n": 4096,
 }
 
