@@ -256,6 +256,9 @@ def load_clos() -> Optional[ctypes.CDLL]:
         lib.euler_color.restype = None
         lib.euler_color_blocks.argtypes = [i64, p_i64, p_i64, p_i32]
         lib.euler_color_blocks.restype = None
+        lib.aij_pack_gblocks.argtypes = [i64, p_i64, p_i32, p_i32, p_i64,
+                                         p_i64, p_i32, p_i64, p_i64]
+        lib.aij_pack_gblocks.restype = i64
         _clos_lib = lib
         return _clos_lib
 
@@ -271,6 +274,29 @@ def euler_color(src, dst, nl: int, nr: int, delta: int, out) -> None:
     lib.euler_color(len(src), nl, nr, delta,
                     np.ascontiguousarray(src, np.int64),
                     np.ascontiguousarray(dst, np.int64), out)
+
+
+def aij_pack_gblocks(chunk, s_all, l_all, order):
+    """Native AIJ g-block greedy placement (``ops/aij_pack``'s
+    pack-time hot loop); returns ``(chunk_ids, elem_order, src_off,
+    block_of)`` or None when the library is unavailable."""
+    lib = load_clos()
+    if lib is None:
+        return None
+    m = len(order)
+    chunk = np.ascontiguousarray(chunk, np.int64)
+    s_all = np.ascontiguousarray(s_all, np.int32)
+    l_all = np.ascontiguousarray(l_all, np.int32)
+    order = np.ascontiguousarray(order, np.int64)
+    elem_order = np.empty(max(m, 1), np.int64)
+    src_off = np.empty(max(m, 1), np.int32)
+    block_of = np.empty(max(m, 1), np.int64)
+    chunk_of_block = np.empty(m + 1, np.int64)
+    nb = lib.aij_pack_gblocks(m, chunk, s_all, l_all, order,
+                              elem_order, src_off, block_of,
+                              chunk_of_block)
+    return (chunk_of_block[:nb].astype(np.int32), elem_order[:m],
+            src_off[:m].astype(np.int64), block_of[:m])
 
 
 def euler_color_blocks(src, dst) -> np.ndarray:

@@ -12,6 +12,7 @@
 //
 // Build: g++ -O3 -std=c++17 -shared -fPIC -o _clos.so clos.cpp
 
+#include <cstddef>
 #include <cstdint>
 #include <vector>
 
@@ -125,6 +126,65 @@ void euler_color_blocks(int64_t nb, const int64_t* src, const int64_t* dst,
     euler_color(1024, 128, 128, 8, src + b * 1024, dst + b * 1024,
                 colors + b * 1024);
   }
+}
+
+// AIJ g-block greedy placement (the pack-time hot loop of
+// ops/aij_pack._pack_gblocks — the K1 gather constraint: within a
+// block, cells in row i whose source lane is l must all read the same
+// source sublane; spill-on-conflict).  Elements arrive SORTED by chunk
+// (`order` indexes the original arrays).  Writes per-POSITION outputs
+// (elem_order, src_off, block_of; positions 0..m) and per-block chunk
+// ids (capacity m + 1).  Returns the block count.
+int64_t aij_pack_gblocks(int64_t m, const int64_t* chunk,
+                         const int32_t* s_all, const int32_t* l_all,
+                         const int64_t* order, int64_t* elem_order,
+                         int32_t* src_off, int64_t* block_of,
+                         int64_t* chunk_of_block) {
+  std::vector<int16_t> claim(8 * 128);
+  std::vector<int32_t> load(8);
+  std::vector<int64_t> queue, deferred;
+  int64_t nb = 0, pos = 0, k = 0;
+  while (k < m) {
+    const int64_t q = chunk[order[k]];
+    int64_t k2 = k;
+    while (k2 < m && chunk[order[k2]] == q) ++k2;
+    queue.assign(order + k, order + k2);
+    while (!queue.empty()) {
+      std::fill(claim.begin(), claim.end(), int16_t{-1});
+      std::fill(load.begin(), load.end(), 0);
+      deferred.clear();
+      int32_t placed = 0;
+      for (std::size_t qi = 0; qi < queue.size(); ++qi) {
+        const int64_t e = queue[qi];
+        const int32_t s = s_all[e], l = l_all[e];
+        bool done = false;
+        for (int i = 0; i < 8; ++i) {
+          int16_t& c = claim[i * 128 + l];
+          if (load[i] < 128 && (c < 0 || c == s)) {
+            c = static_cast<int16_t>(s);
+            elem_order[pos] = e;
+            src_off[pos] = i * 128 + load[i];
+            block_of[pos] = nb;
+            ++load[i];
+            ++placed;
+            ++pos;
+            done = true;
+            break;
+          }
+        }
+        if (!done) deferred.push_back(e);
+        if (placed == 1024) {
+          deferred.insert(deferred.end(), queue.begin() + qi + 1,
+                          queue.end());
+          break;
+        }
+      }
+      chunk_of_block[nb++] = q;
+      queue.swap(deferred);
+    }
+    k = k2;
+  }
+  return nb;
 }
 
 }  // extern "C"

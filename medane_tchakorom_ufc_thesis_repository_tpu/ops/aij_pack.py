@@ -155,68 +155,80 @@ def _pack_gblocks(cols):
     into ``cols``) lands in block ``p // 1024``-ish — precisely, elements
     are listed in packed order with ``src_off[p]`` its in-block offset
     and block boundaries implied by ``block_of[p]`` (also returned)."""
+    from medane_tchakorom_ufc_thesis_repository_tpu import native
+
     m = cols.shape[0]
     chunk = cols // BLOCK
     s_all = ((cols % BLOCK) // 128).astype(np.int64)
     l_all = (cols % 128).astype(np.int64)
     order = np.argsort(chunk, kind="stable")
-    chunk_ids = []
-    c1_blocks = []
-    c2_blocks = []
-    elem_order = np.empty(m, np.int64)
-    src_off = np.empty(m, np.int64)
-    block_of = np.empty(m, np.int64)
-    pos = 0
-    k = 0
-    while k < m:
-        q = int(chunk[order[k]])
-        k2 = k
-        while k2 < m and chunk[order[k2]] == q:
-            k2 += 1
-        queue = order[k:k2]
-        while len(queue):
-            b = len(chunk_ids)
-            claim = np.full((8, 128), -1, np.int16)
-            load = np.zeros(8, np.int64)
-            c1 = np.zeros((8, 128), np.int32)
-            c2 = np.zeros((8, 128), np.int32)
-            deferred = []
-            placed = 0
-            for qi, e in enumerate(queue):
-                s = int(s_all[e])
-                l = int(l_all[e])
-                for i in range(8):
-                    if load[i] < 128 and (claim[i, l] < 0
-                                          or claim[i, l] == s):
-                        j = int(load[i])
-                        claim[i, l] = s
-                        c1[i, l] = s
-                        c2[i, j] = l
-                        elem_order[pos] = e
-                        src_off[pos] = i * 128 + j
-                        block_of[pos] = b
-                        load[i] += 1
-                        placed += 1
-                        pos += 1
+
+    placed = native.aij_pack_gblocks(chunk, s_all, l_all, order) \
+        if m else None
+    if placed is not None:
+        chunk_ids, elem_order, src_off, block_of = placed
+    else:
+        # python fallback of the same greedy (native/src/clos.cpp is
+        # the fast path: the per-element loop is the pack-time
+        # bottleneck — ~2 µs/nnz in python, ~20 ns/nnz native)
+        chunk_ids_l: list = []
+        elem_order = np.empty(m, np.int64)
+        src_off = np.empty(m, np.int64)
+        block_of = np.empty(m, np.int64)
+        pos = 0
+        k = 0
+        while k < m:
+            q = int(chunk[order[k]])
+            k2 = k
+            while k2 < m and chunk[order[k2]] == q:
+                k2 += 1
+            queue = order[k:k2]
+            while len(queue):
+                b = len(chunk_ids_l)
+                claim = np.full((8, 128), -1, np.int16)
+                load = np.zeros(8, np.int64)
+                deferred = []
+                nplaced = 0
+                for qi, e in enumerate(queue):
+                    s = int(s_all[e])
+                    l = int(l_all[e])
+                    for i in range(8):
+                        if load[i] < 128 and (claim[i, l] < 0
+                                              or claim[i, l] == s):
+                            claim[i, l] = s
+                            elem_order[pos] = e
+                            src_off[pos] = i * 128 + int(load[i])
+                            block_of[pos] = b
+                            load[i] += 1
+                            nplaced += 1
+                            pos += 1
+                            break
+                    else:
+                        deferred.append(e)
+                    if nplaced == BLOCK:
+                        deferred.extend(queue[qi + 1:])
                         break
-                else:
-                    deferred.append(e)
-                if placed == BLOCK:
-                    deferred.extend(queue[qi + 1:])
-                    break
-            chunk_ids.append(q)
-            c1_blocks.append(c1)
-            c2_blocks.append(c2)
-            queue = np.asarray(deferred, np.int64)
-        k = k2
-    nb = len(chunk_ids)
+                chunk_ids_l.append(q)
+                queue = np.asarray(deferred, np.int64)
+            k = k2
+        chunk_ids = np.asarray(chunk_ids_l, np.int32)
+
+    nb = chunk_ids.shape[0] if m else 0
     if nb == 0:
+        z = np.zeros(0, np.int64)
         return (np.zeros(0, np.int32), np.zeros((0, 8, 128), np.int32),
-                np.zeros((0, 8, 128), np.int32), elem_order, src_off,
-                block_of)
-    return (np.asarray(chunk_ids, np.int32),
-            np.stack(c1_blocks), np.stack(c2_blocks),
-            elem_order, src_off, block_of)
+                np.zeros((0, 8, 128), np.int32), z, z, z)
+    # c1/c2 from the placements, vectorized (duplicate writes per
+    # (block, row, lane) carry the SAME s by the claim constraint)
+    i_pos = src_off // 128
+    j_pos = src_off % 128
+    le = l_all[elem_order]
+    se = s_all[elem_order]
+    c1 = np.zeros((nb, 8, 128), np.int32)
+    c2 = np.zeros((nb, 8, 128), np.int32)
+    c1[block_of, i_pos, le] = se
+    c2[block_of, i_pos, j_pos] = le
+    return (chunk_ids, c1, c2, elem_order, src_off, block_of)
 
 
 def _route_bijection(src_flat, dst_flat, a):
