@@ -142,6 +142,23 @@ def main():
         lambda v: op512.mv(v) * jnp.float32(0.125), x512, i1=20, i2=60
     )
     nnz512_per_s = op512.nnz / dt512
+    # the same chain with the kernel running IN-PLACE
+    # (input_output_aliases): the non-aliased chain pays a whole-array
+    # XLA copy feeding the loop carry (round-5 finding, DESIGN.md §11)
+    # plus a scale pass; this is the smoother-chain-realistic number
+    # (a scaled operator keeps values bounded without the extra pass)
+    op512s = poisson.poisson3d(512, 512, 512)
+    op512s = type(op512s)(512, 512, 512, diag=0.75, off=-0.125)
+    from medane_tchakorom_ufc_thesis_repository_tpu.ops import (
+        stencil_pallas as _sp,
+    )
+
+    dt512ip = _slope_time(
+        lambda v: _sp.stencil3d_apply_pallas(
+            v, nx=512, ny=512, nz=512, diag=0.75, off=-0.125,
+            kind="mv", in_place=True),
+        x512, i1=20, i2=60,
+    )
 
     # --- general-sparse (AIJ-parity) SpMV: BSR block-ELL -----------------
     # random block-sparse matrix (dense 128x128 blocks at random block
@@ -467,6 +484,9 @@ def main():
         "spmv_cost_in_axpy_units": round(spmv_axpy_units, 2),
         "spmv_hbm_512_ms": round(dt512 * 1e3, 4),
         "spmv_hbm_512_gnnz_per_s": round(nnz512_per_s / 1e9, 3),
+        "spmv_hbm_512_inplace_ms": round(dt512ip * 1e3, 4),
+        "spmv_hbm_512_inplace_gb_s": round(
+            2 * 512 ** 3 * 4 / dt512ip / 1e9, 1),
         "bsr_blocksparse_gnnz_per_s": round(bsr_nnz_per_s / 1e9, 3),
         "bsr_values_read_gb_s": round(
             (_nb * _bpr * _bs * _bs) * 4 / dt_bsr / 1e9, 1
