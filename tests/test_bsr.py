@@ -201,23 +201,47 @@ class TestRouting:
             A @ x, rtol=1e-10, atol=1e-10,
         )
 
-    def test_highfill_bsr_beats_ell_fallback(self):
-        # denser random pattern: fails max_bsr_cost but the estimated
-        # BSR cost (~42x) still undercuts gather-ELL's measured 139x —
-        # the last-resort comparison routes BSR with a warning
+    def test_highfill_bsr_vs_aij_bar(self, monkeypatch, tmp_path):
+        # denser random pattern that fails max_bsr_cost: under the
+        # round-5 measured AIJ bar (12x) the ~42x high-fill BSR LOSES
+        # the last-resort comparison and the matrix routes to the
+        # Clos-routed AIJ; with the bar raised (calibration override)
+        # the high-fill BSR branch still fires with its warning
+        from medane_tchakorom_ufc_thesis_repository_tpu.core import (
+            calibration,
+        )
+        from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (  # noqa: E501
+            AIJ,
+        )
+
         A = sp.random(256, 256, density=0.02, random_state=23).tocsr()
         A = A + sp.eye(256)
         rows, cols, vals, shape = _to_coo(A)
         ell = poisson.coo_to_ell(rows, cols, vals, shape,
                                  dtype=jnp.float64)
-        with pytest.warns(UserWarning, match="HIGH-fill BSR"):
-            out = as_tpu_operator(ell, max_diags=8, max_bsr_cost=4.0,
-                                  bsr_block_sizes=(128,), max_dense_n=0)
-        assert isinstance(out, BSR)
+        out = as_tpu_operator(ell, max_diags=8, max_bsr_cost=4.0,
+                              bsr_block_sizes=(128,), max_dense_n=0)
+        assert isinstance(out, AIJ)
         x = np.random.default_rng(25).standard_normal(256)
         np.testing.assert_allclose(
-            np.asarray(out.mv(jnp.asarray(x))), A @ x, rtol=1e-12
+            np.asarray(out.mv(jnp.asarray(x, jnp.float64))), A @ x,
+            rtol=1e-10, atol=1e-10,
         )
+
+        path = tmp_path / "cal.json"
+        monkeypatch.setenv("MEDANE_TPU_CALIBRATION", str(path))
+        calibration.save({"aij_relative_cost": 1950.0})
+        try:
+            with pytest.warns(UserWarning, match="HIGH-fill BSR"):
+                out2 = as_tpu_operator(
+                    ell, max_diags=8, max_bsr_cost=4.0,
+                    bsr_block_sizes=(128,), max_dense_n=0)
+            assert isinstance(out2, BSR)
+            np.testing.assert_allclose(
+                np.asarray(out2.mv(jnp.asarray(x))), A @ x, rtol=1e-12
+            )
+        finally:
+            calibration.reset_cache()
 
     def test_small_unstructured_routes_dense(self):
         # same pattern, dense route at the default cutoff: the MXU
