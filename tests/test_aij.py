@@ -210,6 +210,30 @@ class TestAIJPallasInterpreter:
 
 
 class TestAIJSolves:
+    def test_solve_api_routes_structureless_to_aij(self):
+        """The whole user journey on a structureless matrix: scipy in,
+        AIJ routing, KSP solve — warning-free (the round-4 gather-ELL
+        warn branch is retired)."""
+        import warnings
+
+        import scipy.sparse as sp
+
+        from medane_tchakorom_ufc_thesis_repository_tpu import solve
+
+        n = 3000
+        B = sp.random(n, n, density=0.0015, random_state=1)
+        A = (B + B.T) * 0.5
+        A = A + sp.eye(n) * (abs(A).sum(axis=1).max() + 1.0)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            x, info = solve(A.tocsr(), np.ones(n), rtol=1e-6,
+                            method="gmres", pc="jacobi")
+        assert info["operator"] == "AIJ"
+        assert info["converged"]
+        rel = (np.linalg.norm(A @ np.asarray(x) - 1.0)
+               / np.linalg.norm(np.ones(n)))
+        assert rel <= 2e-6, rel
+
     def test_gmres_on_aij_random_spd(self):
         """End-to-end: GMRES on an AIJ-wrapped SPD matrix converges to
         the dense solution (the reference's gmres_solution driver on a
