@@ -220,8 +220,8 @@ class TestAIJSolves:
 
         from medane_tchakorom_ufc_thesis_repository_tpu import solve
 
-        n = 3000
-        B = sp.random(n, n, density=0.0015, random_state=1)
+        n = 6000   # above the dense cutoff (max_dense_n=4096)
+        B = sp.random(n, n, density=0.0008, random_state=1)
         A = (B + B.T) * 0.5
         A = A + sp.eye(n) * (abs(A).sum(axis=1).max() + 1.0)
         with warnings.catch_warnings():
