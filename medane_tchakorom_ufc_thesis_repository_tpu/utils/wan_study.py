@@ -29,6 +29,7 @@ import numpy as np
 
 
 def _merged_rel(results: List[dict], m: int, n: int) -> float:
+    # nblocks inferred from the result count
     import jax.numpy as jnp
 
     from medane_tchakorom_ufc_thesis_repository_tpu.models import blockops
@@ -46,6 +47,7 @@ def run_study(
     *,
     m: int = 48,
     n: Optional[int] = None,
+    nblocks: int = 2,
     latencies_ms=(0.0, 25.0, 100.0),
     rtol: float = 1e-4,
     s: int = 4,
@@ -72,7 +74,7 @@ def run_study(
         for name, kw in algs:
             t0 = time.perf_counter()
             res = launch_net_async(
-                nblocks=2, m=m, n=n, rtol=rtol, maxiter=maxiter,
+                nblocks=nblocks, m=m, n=n, rtol=rtol, maxiter=maxiter,
                 inner_maxiter=inner_maxiter, s=s,
                 transport=transport, timeout_s=timeout_s,
                 wan_latency_ms=lat, wan_bw_mbit=bw_mbit,
@@ -81,6 +83,7 @@ def run_study(
             wall = time.perf_counter() - t0
             rows.append({
                 "alg": name,
+                "nblocks": nblocks,
                 "latency_ms": lat,
                 "bw_mbit": bw_mbit,
                 "wall_s": round(max(r["elapsed_s"] for r in res), 3),
@@ -129,6 +132,7 @@ def as_markdown(rows: List[dict]) -> str:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="wan_study")
     p.add_argument("--m", type=int, default=48)
+    p.add_argument("--nblocks", type=int, default=2)
     p.add_argument("--n", type=int, default=None)
     p.add_argument("--latencies", default="0,25,100",
                    help="comma-separated one-way latencies in ms")
@@ -140,7 +144,7 @@ def main(argv=None) -> int:
     p.add_argument("--json", default=None)
     args = p.parse_args(argv)
     rows = run_study(
-        m=args.m, n=args.n,
+        m=args.m, n=args.n, nblocks=args.nblocks,
         latencies_ms=[float(x) for x in args.latencies.split(",")],
         rtol=args.rtol, s=args.s, inner_maxiter=args.inner_maxiter,
         bw_mbit=args.bw_mbit, transport=args.transport,
