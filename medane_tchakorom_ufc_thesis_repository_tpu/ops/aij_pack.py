@@ -258,7 +258,8 @@ def _route_bijection(src_flat, dst_flat, a):
     return r2, mid, r1
 
 
-def _pack_segment(rows, cols, vals, tile0, ntiles, dtype):
+def _pack_segment(rows, cols, vals, tile0, ntiles, dtype,
+                  min_blocks: int = 1):
     """Build one SegmentPlan for nonzeros whose rows lie in tiles
     [tile0, tile0 + ntiles).  Returns None if the padded block count
     exceeds 1024 (caller splits the segment).
@@ -305,7 +306,7 @@ def _pack_segment(rows, cols, vals, tile0, ntiles, dtype):
         _pack_gblocks(cols)
     ngb = chunk_ids.shape[0]
 
-    B = max(ngb, nslots, 1)
+    B = max(ngb, nslots, min_blocks, 1)
     a = next_pow2(B)
     if a > BLOCK:
         return None
@@ -382,7 +383,8 @@ def _group_offsets(block_idx, values):
 
 
 def pack_aij(rows, cols, vals, shape, dtype=np.float32,
-             target_nnz: int = 900_000) -> AIJPlan:
+             target_nnz: int = 900_000,
+             min_blocks: int = 1) -> AIJPlan:
     """Pack an arbitrary COO/CSR-listed sparse matrix into the Clos
     gather plan.  Duplicate (row, col) entries are summed (PETSc
     ADD_VALUES semantics)."""
@@ -476,7 +478,8 @@ def pack_aij(rows, cols, vals, shape, dtype=np.float32,
             hi = np.searchsorted(tile_of, t1)
             seg = _pack_segment(rows[lo:hi], cols[lo:hi],
                                 vals[lo:hi].astype(dtype),
-                                t0, t1 - t0, dtype)
+                                t0, t1 - t0, dtype,
+                                min_blocks=min_blocks)
             if seg is not None:
                 break
             if t1 == t0 + 1:

@@ -260,3 +260,190 @@ def sharded_general_solve(mesh: Mesh, op: ShardedGeneralBSR,
     )
     return krylov.KrylovResult(x=x, iters=iters, resnorm=rnorm,
                                resnorm0=rnorm0, converged=conv)
+
+
+# ---------------------------------------------------------------------------
+# Row-strip-sharded AIJ: the Clos-routed gather SpMV per device strip
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ShardedAIJ:
+    """Row-strip-sharded Clos-routed AIJ (round 5): device ``d`` owns
+    rows ``[d*strip, (d+1)*strip)`` packed as ONE single-segment AIJ
+    plan (``ops/aij_pack``, uniform ``a`` across strips via
+    ``min_blocks``); the matvec ``all_gather``s x and runs the routed
+    gather program strip-locally.  This is MPIAIJ for STRUCTURELESS
+    patterns at gather-kernel speed — ``ShardedGeneralBSR`` remains the
+    pick when the pattern has exploitable block structure.
+
+    Arrays carry a leading ``(ndev,)`` axis (one plan per strip).
+    """
+
+    chunk_ids: jax.Array   # (ndev, a) int32
+    k1_idx: jax.Array      # (ndev, a, 1024) int32 (wide) or (ndev, a*8, 128)
+    k2_idx: jax.Array
+    k3_idx: jax.Array
+    vals: jax.Array
+    y_tile: jax.Array      # (ndev, a) int32
+    yp_r2: jax.Array       # (ndev, a_y*8, 128) int32
+    yp_mid: jax.Array
+    yp_r1: jax.Array
+    n: int
+    a: int
+    ntiles: int
+    a_y: int
+    wide: bool
+    n_pad_cols: int
+
+    @property
+    def ndev(self) -> int:
+        return self.chunk_ids.shape[0]
+
+    @property
+    def strip(self) -> int:
+        return self.n // self.ndev
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+
+jax.tree_util.register_dataclass(
+    ShardedAIJ,
+    data_fields=["chunk_ids", "k1_idx", "k2_idx", "k3_idx", "vals",
+                 "y_tile", "yp_r2", "yp_mid", "yp_r1"],
+    meta_fields=["n", "a", "ntiles", "a_y", "wide", "n_pad_cols"],
+)
+
+
+def shard_aij_from_coo(rows, cols, vals, n: int, ndev: int,
+                       dtype=jnp.float32) -> ShardedAIJ:
+    """Host-side pack: COO -> one single-segment AIJ plan per device
+    strip, padded to a UNIFORM block count (two-phase: natural packs,
+    then re-pack below-max strips with ``min_blocks`` floored at the
+    max).  ``n`` must be divisible by ``ndev``; each strip must fit one
+    routing segment (<= 2^20 routed positions ~ 0.8M nnz/strip — split
+    rows across more devices beyond that)."""
+    from medane_tchakorom_ufc_thesis_repository_tpu.ops import aij_pack
+
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    vals = np.asarray(vals)
+    if n % ndev:
+        raise ValueError(f"n={n} not divisible by ndev={ndev}")
+    strip = n // ndev
+    np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
+
+    def pack(d, min_blocks=1):
+        lo, hi = d * strip, (d + 1) * strip
+        msk = (rows >= lo) & (rows < hi)
+        plan = aij_pack.pack_aij(rows[msk] - lo, cols[msk], vals[msk],
+                                 (strip, n), dtype=np_dtype,
+                                 target_nnz=1 << 62,
+                                 min_blocks=min_blocks)
+        if len(plan.segments) != 1:
+            raise ValueError(
+                f"strip {d} needs {len(plan.segments)} routing segments "
+                "(> 2^20 routed positions); use more devices")
+        return plan.segments[0]
+
+    segs = [pack(d) for d in range(ndev)]
+    a_max = max(s.a for s in segs)
+    segs = [s if s.a == a_max else pack(d, min_blocks=a_max)
+            for d, s in enumerate(segs)]
+    stack = lambda f: jnp.asarray(np.stack([getattr(s, f)  # noqa: E731
+                                            for s in segs]))
+    s0 = segs[0]
+    assert all(s.a == a_max and s.ntiles == s0.ntiles
+               and s.a_y == s0.a_y and s.wide == s0.wide for s in segs)
+    return ShardedAIJ(
+        chunk_ids=stack("chunk_ids"), k1_idx=stack("k1_idx"),
+        k2_idx=stack("k2_idx"), k3_idx=stack("k3_idx"),
+        vals=stack("vals"), y_tile=stack("y_tile"),
+        yp_r2=stack("yp_r2"), yp_mid=stack("yp_mid"),
+        yp_r1=stack("yp_r1"),
+        n=int(n), a=int(a_max), ntiles=int(s0.ntiles),
+        a_y=int(s0.a_y), wide=bool(s0.wide),
+        n_pad_cols=int(1024 * max(1, -(-n // 1024))),
+    )
+
+
+def _aij_local_mv(op: ShardedAIJ, plan_loc, x_full):
+    """One strip's y from the FULL x via the routed gather program
+    (Pallas on TPU, the pure-jnp twin elsewhere — same routing)."""
+    from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+        AIJSegment,
+    )
+    from medane_tchakorom_ufc_thesis_repository_tpu.ops import (
+        aij_pack,
+        aij_pallas,
+        fused_pallas,
+    )
+
+    (cid, k1, k2, k3, vl, yt, r2, mid, r1) = plan_loc
+    seg = AIJSegment(
+        chunk_ids=cid[0], k1_idx=k1[0], k2_idx=k2[0], k3_idx=k3[0],
+        vals=vl[0], y_tile=yt[0], yp_r2=r2[0], yp_mid=mid[0],
+        yp_r1=r1[0], a=op.a, tile0=0, ntiles=op.ntiles, a_y=op.a_y,
+        wide=op.wide,
+    )
+    if fused_pallas.pallas_enabled():
+        interpret = jax.default_backend() != "tpu"
+        return aij_pallas.aij_mv_pallas(
+            (seg,), op.n_pad_cols, op.strip, x_full, interpret=interpret)
+    return aij_pack.aij_mv_jnp((seg,), op.n_pad_cols, op.strip, x_full)
+
+
+def sharded_aij_solve(mesh: Mesh, op: ShardedAIJ, b: jax.Array, *,
+                      method: str = "gmres", restart: int = 30,
+                      maxiter: int = 2000, rtol: float = 1e-6
+                      ) -> krylov.KrylovResult:
+    """GMRES/CG/BiCGStab on a row-sharded AIJ operator: all_gather'd x,
+    strip-local routed-gather applies, psum reductions (the
+    MPIAIJ-MatMult + KSP pattern for structureless matrices)."""
+    if method not in ("gmres", "cg", "bicgstab"):
+        raise ValueError(
+            f"method must be 'gmres' | 'cg' | 'bicgstab', got {method!r}"
+        )
+    axes = tuple(mesh.axis_names)
+    ndev = math.prod(mesh.shape[a] for a in axes)
+    if ndev != op.ndev:
+        raise ValueError(
+            f"operator packed for {op.ndev} devices, mesh has {ndev}"
+        )
+    vec = P(axes)
+    plan_specs = tuple(
+        P(axes, *([None] * (getattr(op, f).ndim - 1)))
+        for f in ("chunk_ids", "k1_idx", "k2_idx", "k3_idx", "vals",
+                  "y_tile", "yp_r2", "yp_mid", "yp_r1")
+    )
+
+    def body(b_loc, *plan_loc):
+        def mv(x_loc):
+            x_full = lax.all_gather(x_loc, axes, tiled=True)
+            return _aij_local_mv(op, plan_loc, x_full)
+
+        if method == "cg":
+            res = krylov.cg(mv, b_loc, maxiter=maxiter, rtol=rtol,
+                            axis_name=axes)
+        elif method == "bicgstab":
+            res = krylov.bicgstab(mv, b_loc, maxiter=maxiter, rtol=rtol,
+                                  axis_name=axes)
+        else:
+            res = krylov.gmres(mv, b_loc, restart=restart,
+                               maxiter=maxiter, rtol=rtol,
+                               axis_name=axes)
+        return res.x, res.iters, res.resnorm, res.resnorm0, res.converged
+
+    run = jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(vec,) + plan_specs,
+        out_specs=(vec, P(), P(), P(), P()),
+        check_vma=False,
+    ))
+    x, iters, rnorm, rnorm0, conv = run(
+        jnp.asarray(b, op.dtype), op.chunk_ids, op.k1_idx, op.k2_idx,
+        op.k3_idx, op.vals, op.y_tile, op.yp_r2, op.yp_mid, op.yp_r1,
+    )
+    return krylov.KrylovResult(x=x, iters=iters, resnorm=rnorm,
+                               resnorm0=rnorm0, converged=conv)
