@@ -112,6 +112,7 @@ def _random_block_coo(n: int, bs: int, stored: int, seed: int = 0):
 def measure_calibration(stored: int = 32 << 20, n: int = 32768,
                         block_sizes=(8, 16, 32, 64, 128),
                         ell_grid: int = 2048, dense_ns=(1024, 2048, 4096),
+                        aij_n: int = 65536, aij_nnz: int = 655360,
                         seed: int = 0, log=print) -> dict:
     """Run the microbenchmarks and return a calibration dict
     (``core.calibration.save`` persists it).
@@ -195,6 +196,25 @@ def measure_calibration(stored: int = 32 << 20, n: int = 32768,
     max_dense = min(max_dense or SHIPPED["max_dense_n"],
                     SHIPPED["max_dense_n"])
 
+    # --- Clos-routed AIJ cost vs DIA (structureless routing bar) ------
+    # random n=65536 d=10 against the SAME DIA per-nonzero baseline the
+    # other bars use (round-5: wide kernels measured ~12x on v5e)
+    from medane_tchakorom_ufc_thesis_repository_tpu.core.operators import (
+        AIJ,
+    )
+
+    an, annz = aij_n, aij_nnz
+    aop = AIJ.from_coo(rng.integers(0, an, annz),
+                       rng.integers(0, an, annz),
+                       rng.standard_normal(annz), (an, an),
+                       with_rmv=False)
+    xa = jnp.asarray(rng.standard_normal(an), dtype)
+    t_aij = _slope_time(lambda o, s: o.mv(s) * jnp.float32(1e-3), xa,
+                        i1=10, i2=30, op=aop)
+    aij_cost = round((t_aij / aop.nnz) / (t_dia / dia.nnz), 1)
+    log(f"  AIJ {t_aij*1e3:.3f} ms ({aop.nnz/1e6:.1f}M nnz): "
+        f"{aij_cost}x DIA per nonzero")
+
     return {
         "device_kind": dev.device_kind.replace(" ", "_").replace("/", "_"),
         "platform": dev.platform,
@@ -202,6 +222,7 @@ def measure_calibration(stored: int = 32 << 20, n: int = 32768,
         "stored_budget": stored,
         "bsr_bs_penalty": penalty,
         "ell_relative_cost": ell_cost,
+        "aij_relative_cost": aij_cost,
         "max_dense_n": int(max_dense),
     }
 

@@ -155,7 +155,8 @@ class TestMeasure:
 
         cal = measure_calibration(stored=1 << 14, n=512,
                                   block_sizes=(8, 16), ell_grid=24,
-                                  dense_ns=(128,), log=lambda *a: None)
+                                  dense_ns=(128,), aij_n=2048,
+                                  aij_nnz=8000, log=lambda *a: None)
         assert set(cal) >= {"device_kind", "platform", "bsr_bs_penalty",
                             "ell_relative_cost", "max_dense_n"}
         pens = cal["bsr_bs_penalty"]
@@ -163,4 +164,5 @@ class TestMeasure:
         assert min(pens.values()) == 1.0
         assert all(v >= 1.0 and np.isfinite(v) for v in pens.values())
         assert cal["ell_relative_cost"] > 0
+        assert cal["aij_relative_cost"] > 0
         assert 0 < cal["max_dense_n"] <= 4096
