@@ -140,6 +140,52 @@ def _prolong(e: jax.Array, dims: Tuple[int, ...]) -> jax.Array:
     )
 
 
+def _axis_blend(g: jax.Array, ax: int) -> jax.Array:
+    """The 1D linear-interpolation blend on a fine axis (cell-centered
+    factor-2): even index k mixes 3/4 of itself with 1/4 of its lower
+    neighbor, odd k with its upper neighbor (boundary-clamped).  The
+    operator is SYMMETRIC (each even/odd parity pair points at each
+    other), so it serves both the trilinear prolongation
+    ``P = B · U`` and the matching full weighting
+    ``R = (1/2^d) Uᵀ Bᵀ = mean-restrict ∘ B`` — keeping the cycle a
+    valid symmetric CG preconditioner.  Pure pad+slice + parity select:
+    no stride-2 addressing, no size-2 minor dims (the (8, 128)-tiling
+    relayout trap, CLAUDE.md)."""
+    from jax import lax
+
+    n = g.shape[ax]
+    down = jnp.concatenate([
+        lax.slice_in_dim(g, 0, 1, axis=ax),
+        lax.slice_in_dim(g, 0, n - 1, axis=ax),
+    ], axis=ax)
+    up = jnp.concatenate([
+        lax.slice_in_dim(g, 1, n, axis=ax),
+        lax.slice_in_dim(g, n - 1, n, axis=ax),
+    ], axis=ax)
+    k = lax.broadcasted_iota(jnp.int32, g.shape, ax)
+    nb = jnp.where(k % 2 == 0, down, up)
+    w = jnp.asarray(0.25, g.dtype)
+    return (1 - w) * g + w * nb
+
+
+def _prolong_lin(e: jax.Array, dims: Tuple[int, ...]) -> jax.Array:
+    """Trilinear (bilinear in 2D) prolongation: PWC replication then the
+    per-axis blends."""
+    g = _prolong(e, dims)
+    for ax in range(g.ndim):
+        g = _axis_blend(g, ax)
+    return g
+
+
+def _restrict_lin(r: jax.Array, dims: Tuple[int, ...]) -> jax.Array:
+    """Full weighting matched to ``_prolong_lin`` (R ∝ Pᵀ; B is
+    symmetric so the blend is applied on the fine grid first)."""
+    g = r
+    for ax in range(g.ndim):
+        g = _axis_blend(g, ax)
+    return _restrict(g, dims)
+
+
 def _dirichlet_bounds(dims: Tuple[int, ...], diag: float, off: float):
     """Exact spectral interval of the (2d, off) Dirichlet stencil: the
     eigenvalues are ``diag + 2*off*sum_i cos(k_i pi/(n_i+1))``."""
@@ -167,11 +213,19 @@ class MGLevels:
     nu: int                              # pre/post smoothing sweeps
     coarse_iters: int
     cycle: str = "w"                     # 'w' | 'v' (PCMG -pc_mg_cycle_type)
+    transfers: str = "pwc"               # 'pwc' | 'linear' (trilinear P,
+    #   matched full weighting R — the PCMG -pc_mg_interpolation-type
+    #   analog).  MEASURED round 5 (CPU f64, 64^3/128^3): NO iteration
+    #   win over pwc (V 8/10 -> 8/10, W 5/6 -> 6/6): with nu=2 damped
+    #   Jacobi and cell-centered factor-2 coarsening the smoother, not
+    #   the transfer order, limits the cycle — and pwc keeps the fused
+    #   Mosaic transfer kernels, so it stays the default.  This answers
+    #   the round-3 FMG note's "revisit with better transfers".
 
 
 def plan(op, *, nu: int = 2, min_size: int = 4,
          max_levels: int = 32, coarse_iters: int = 40,
-         cycle: str = "w") -> MGLevels:
+         cycle: str = "w", transfers: str = "pwc") -> MGLevels:
     """Build the level hierarchy for a Stencil2D/3D operator.
 
     Coarsening halves every dimension while all of them stay even and
@@ -187,6 +241,9 @@ def plan(op, *, nu: int = 2, min_size: int = 4,
     """
     if cycle not in ("v", "w"):
         raise ValueError(f"cycle must be 'v' or 'w', got {cycle!r}")
+    if transfers not in ("pwc", "linear"):
+        raise ValueError(
+            f"transfers must be 'pwc' or 'linear', got {transfers!r}")
     dims = _op_dims(op)
     levels = [dims]
     while len(levels) < max_levels:
@@ -197,6 +254,7 @@ def plan(op, *, nu: int = 2, min_size: int = 4,
     return MGLevels(
         dims=tuple(levels), diag=float(op.diag), off=float(op.off),
         nu=nu, coarse_iters=coarse_iters, cycle=cycle,
+        transfers=transfers,
     )
 
 
@@ -298,13 +356,15 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0,
     # Mosaic kernel computes residual + restriction in ONE pass (the
     # fine r never exists in HBM — it is used for nothing else); the
     # fallback composes the two ops
+    linear = levels.transfers == "linear"
     rc = None
-    rr = getattr(A, "residual_restrict", None)
+    rr = None if linear else getattr(A, "residual_restrict", None)
     if rr is not None:
         rc = rr(x, b, scale=4.0)
     if rc is None:
         r = resid(x, b)
-        rc = 4.0 * _restrict(r, dims)
+        rc = 4.0 * (_restrict_lin(r, dims) if linear
+                    else _restrict(r, dims))
     ec = vcycle(levels, rc, level + 1)
     if levels.cycle == "w" and level + 1 < len(levels.dims) - 1:
         # W-cycle: re-solve the coarse problem on ITS residual (second
@@ -317,14 +377,15 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0,
     # Mosaic kernel routes (prolong + add + sweep in one pass)
     post = levels.nu
     xp = None
-    if levels.nu >= 1:
+    if levels.nu >= 1 and not linear:
         pj = getattr(A, "prolong_jacobi", None)
         if pj is not None:
             xp = pj(x, b, ec.astype(dtype), omega)
     if xp is not None:
         x, post = xp, levels.nu - 1
     else:
-        x = x + _prolong(ec, levels.dims[level + 1]).astype(dtype)
+        pro = _prolong_lin if linear else _prolong
+        x = x + pro(ec, levels.dims[level + 1]).astype(dtype)
 
     js = getattr(A, "jacobi_sweep", None)
     if post and js is not None:
@@ -347,6 +408,7 @@ def vcycle(levels: MGLevels, b: jax.Array, level: int = 0,
 
 def mg_preconditioner(op, *, nu: int = 2, min_size: int = 4,
                       coarse_iters: int = 40, cycle: str = "w",
+                      transfers: str = "pwc",
                       dtype=None, return_rdot: bool = False) -> Callable:
     """Return ``M(r) -> z ~= A^{-1} r`` (one V- or W-cycle, both
     symmetric — valid CG preconditioners), shape-polymorphic like the
@@ -362,7 +424,7 @@ def mg_preconditioner(op, *, nu: int = 2, min_size: int = 4,
     tie (VMEM-resident, bandwidth not binding — auto keeps the input
     dtype below ``_BF16_CYCLE_BYTES``)."""
     levels = plan(op, nu=nu, min_size=min_size, coarse_iters=coarse_iters,
-                  cycle=cycle)
+                  cycle=cycle, transfers=transfers)
     dims = levels.dims[0]
     if dtype is None:
         nbytes_f32 = 4 * math.prod(dims)

@@ -222,3 +222,36 @@ class TestCyclePrecision:
         import numpy as np
 
         np.testing.assert_array_equal(np.asarray(z32), np.asarray(zexp))
+
+
+class TestLinearTransfers:
+    """transfers='linear' (trilinear P + matched full weighting — the
+    PCMG interpolation-type analog).  Round-5 measured result: no
+    iteration win over pwc (the smoother limits the cycle), kept for
+    capability parity; these tests pin symmetry + convergence."""
+
+    def test_prolong_restrict_adjoint(self):
+        import numpy as np
+
+        from medane_tchakorom_ufc_thesis_repository_tpu.solvers.multigrid import (  # noqa: E501
+            _prolong_lin,
+            _restrict_lin,
+        )
+
+        rng = np.random.default_rng(0)
+        dims = (16, 8, 16)
+        cdims = tuple(d // 2 for d in dims)
+        e = jnp.asarray(rng.standard_normal(cdims))
+        f = jnp.asarray(rng.standard_normal(dims))
+        lhs = float(jnp.vdot(_prolong_lin(e, cdims), f))
+        rhs = float(jnp.vdot(e, 8.0 * _restrict_lin(f, dims)))
+        assert abs(lhs - rhs) <= 1e-10 * max(1.0, abs(lhs))
+
+    def test_cycle_preconditions_cg(self):
+        op = poisson.poisson3d(32, 32, 32)
+        b = poisson.rhs_for_exact_ones(op)
+        M = mg_preconditioner(op, transfers="linear", dtype=jnp.float64)
+        r = cg(op.mv, b, rtol=1e-8, maxiter=40, precond=M)
+        assert bool(r.converged)
+        rel = float(jnp.linalg.norm(b - op.mv(r.x)) / jnp.linalg.norm(b))
+        assert rel <= 2e-8
