@@ -19,7 +19,10 @@ subtracts dispatch fixed costs and defeats cross-iteration fusion —
   DIA on the same banded matrix (the bar other formats must beat);
 * ``max_dense_n`` — largest tested n where the dense MXU matvec beats
   gather-ELL on a 1%-density random matrix (capped at the shipped 4096:
-  above that the n² storage cost dominates the routing decision).
+  above that the n² storage cost dominates the routing decision);
+* ``aij_relative_cost`` — the Clos-routed AIJ SpMV per-nonzero cost
+  relative to the same DIA baseline (random structureless n=65536
+  d=10) — the bar high-fill BSR must undercut before it beats AIJ.
 
 Without ``--save`` this is a dry run: it prints the JSON so the numbers
 can be inspected before they start steering routing decisions.
