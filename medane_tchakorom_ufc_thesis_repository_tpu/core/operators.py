@@ -1119,6 +1119,12 @@ class AIJ:
     @staticmethod
     def from_coo(rows, cols, vals, shape, dtype=jnp.float32,
                  with_rmv: bool = True, target_nnz: int = 900_000):
+        """``with_rmv`` packs a second plan for the transpose (LSQR/
+        CGNE's rmv).  SYMMETRIC matrices share the forward plan instead
+        (auto-detected: sorted (row, col, val) triples equal their
+        swapped sort) — halving pack time for the common SPD case.  A
+        false negative in the detector (duplicate entries sorting
+        differently) only costs the extra pack, never correctness."""
         from medane_tchakorom_ufc_thesis_repository_tpu.ops import aij_pack
 
         def to_segs(plan):
@@ -1142,14 +1148,30 @@ class AIJ:
         plan = aij_pack.pack_aij(rows, cols, vals, shape, dtype=np_dtype,
                                  target_nnz=target_nnz)
         t_plan = None
-        if with_rmv:
+        symmetric = False
+        if with_rmv and shape[0] == shape[1]:
+            r_ = np.asarray(rows, np.int64)
+            c_ = np.asarray(cols, np.int64)
+            v_ = np.asarray(vals)
+            k1 = r_ * shape[1] + c_
+            k2 = c_ * shape[1] + r_
+            o1 = np.argsort(k1, kind="stable")
+            o2 = np.argsort(k2, kind="stable")
+            symmetric = bool(
+                np.array_equal(k1[o1], k2[o2])
+                and np.allclose(v_[o1], v_[o2], rtol=0, atol=0)
+            )
+        if with_rmv and not symmetric:
             t_plan = aij_pack.pack_aij(cols, rows, vals,
                                        (shape[1], shape[0]),
                                        dtype=np_dtype,
                                        target_nnz=target_nnz)
+        fwd = to_segs(plan)
         return AIJ(
-            segments=to_segs(plan),
-            t_segments=to_segs(t_plan) if t_plan is not None else (),
+            segments=fwd,
+            t_segments=(fwd if (with_rmv and symmetric)
+                        else to_segs(t_plan) if t_plan is not None
+                        else ()),
             nrows=int(shape[0]), ncols=int(shape[1]),
             n_pad_cols=plan.n_pad_cols,
             n_pad_rows=(t_plan.n_pad_cols if t_plan is not None
