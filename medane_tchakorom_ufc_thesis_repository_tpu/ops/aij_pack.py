@@ -490,9 +490,18 @@ def pack_aij(rows, cols, vals, shape, dtype=np.float32,
         segments.append(seg)
         t0 = t1
     routed = sum(s.a * BLOCK for s in segments)
+    fill = float(routed) / max(nnz, 1)
+    if nnz >= 100_000 and fill > 4.0:
+        # adversarial duplicate patterns / extreme sparsity degrade the
+        # constrained placement; the plan stays correct, just padded
+        logger.info(
+            "aij pack fill %.1fx at nnz=%d (%d segments) — padding-"
+            "dominated routing; per-nonzero cost scales with fill",
+            fill, nnz, len(segments),
+        )
     return AIJPlan(shape=(nrows, ncols), nnz=int(nnz),
                    n_pad_cols=int(n_pad_cols), segments=tuple(segments),
-                   fill=float(routed) / max(nnz, 1))
+                   fill=fill)
 
 
 # ---------------------------------------------------------------------------
