@@ -216,18 +216,28 @@ def main():
         _ra.standard_normal(_annz), (_an, _an), with_rmv=False,
     )
     xa = jnp.asarray(_ra.standard_normal(_an), jnp.float32)
-    # same degradation guard as BSR: a poisoned slope window can even go
-    # NEGATIVE (r05 capture measured -6.2 Gnnz/s on 5/15-length chains);
-    # longer chains + retry while implausible
-    dt_aij = float("inf")
+    # same degradation guard as BSR, but TWO-SIDED: a poisoned slope
+    # window has produced both -6.2 Gnnz/s AND an impossible 153 Gnnz/s
+    # (0.7x the values-READ roofline) across r05 captures.  Accept only
+    # rates inside the physically plausible band (the wide kernels
+    # measure ~9 Gnnz/s steady); otherwise retry, and fall back to the
+    # median attempt if none lands in band.
+    _aij_tries = []
+    dt_aij = None
     for _attempt in range(3):
         dt_try = _slope_time(
             lambda v: aij.mv(v) * jnp.float32(1e-3), xa, i1=10, i2=30
         )
         if dt_try > 0:
-            dt_aij = min(dt_aij, dt_try)
-        if aij.nnz / dt_aij >= 4e9:
-            break
+            _aij_tries.append(dt_try)
+            rate = aij.nnz / dt_try
+            if 2e9 <= rate <= 30e9:
+                dt_aij = dt_try
+                break
+    if dt_aij is None:
+        _aij_tries.sort()
+        dt_aij = (_aij_tries[len(_aij_tries) // 2]
+                  if _aij_tries else float("inf"))
     aij_nnz_per_s = aij.nnz / dt_aij
     aij_roofline_x = dt_aij / (aij.nnz * 8 / 819e9)
 
