@@ -197,7 +197,7 @@ def main():
             lambda v: bsr.mv(v) * jnp.float32(0.125), xb, i1=20, i2=60
         )
         dt_bsr = min(dt_bsr, dt_try)
-        if _bsr_nnz / dt_bsr >= 100e9:
+        if _bsr_nnz / dt_bsr >= 150e9:
             break
     bsr_nnz_per_s = _bsr_nnz / dt_bsr
 
