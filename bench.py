@@ -226,7 +226,7 @@ def main():
     dt_aij = None
     for _attempt in range(3):
         dt_try = _slope_time(
-            lambda v: aij.mv(v) * jnp.float32(1e-3), xa, i1=10, i2=30
+            lambda v: aij.mv(v) * jnp.float32(1e-3), xa, i1=30, i2=90
         )
         if dt_try > 0:
             _aij_tries.append(dt_try)
