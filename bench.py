@@ -223,21 +223,21 @@ def main():
     # measure ~9 Gnnz/s steady); otherwise retry, and fall back to the
     # median attempt if none lands in band.
     _aij_tries = []
-    dt_aij = None
     for _attempt in range(3):
         dt_try = _slope_time(
             lambda v: aij.mv(v) * jnp.float32(1e-3), xa, i1=30, i2=90
         )
         if dt_try > 0:
             _aij_tries.append(dt_try)
-            rate = aij.nnz / dt_try
-            if 2e9 <= rate <= 30e9:
-                dt_aij = dt_try
-                break
-    if dt_aij is None:
+    _in_band = [t for t in _aij_tries
+                if 2e9 <= aij.nnz / t <= 30e9]
+    if _in_band:
+        dt_aij = min(_in_band)
+    elif _aij_tries:
         _aij_tries.sort()
-        dt_aij = (_aij_tries[len(_aij_tries) // 2]
-                  if _aij_tries else float("inf"))
+        dt_aij = _aij_tries[len(_aij_tries) // 2]
+    else:
+        dt_aij = float("inf")
     aij_nnz_per_s = aij.nnz / dt_aij
     aij_roofline_x = dt_aij / (aij.nnz * 8 / 819e9)
 
